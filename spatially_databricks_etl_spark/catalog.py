@@ -1,0 +1,1022 @@
+"""Query catalog: every implemented operator exposed as a named query
+over the fixture tables, with a DuckDB-equivalent oracle SQL string.
+
+This backs ``__spark_entry__.py::queries()/oracle_sql()`` (the
+correctness gate) and ``bench.py`` (the perf gate). Conventions:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- floating aggregates are rounded (sum→2dp, avg→4-6dp) so
+  double-summation order differences can't flip the value hash;
+- integer-valued derived columns are cast to the same width on both
+  sides (Spark ``long`` ↔ DuckDB ``BIGINT``, ``int`` ↔ ``INTEGER``);
+- every top-k / limit query carries a unique tiebreaker key;
+- approximate operators (LSH/MinHash/SimHash buckets) have NO oracle
+  entry — the driver records rows-only; unit tests add property
+  checks (exact re-verification of returned pairs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.functions.text import (
+    TOKEN_REGEX,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from spatially_databricks_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    simhash_near_dedup,
+)
+from spatially_databricks_etl_spark.operators.relational import (
+    asof_join,
+    broadcast_join,
+    range_join,
+    top_k,
+    top_k_per_group,
+)
+from spatially_databricks_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_self_join_pairs,
+    lsh_bucketed_topk,
+)
+from spatially_databricks_etl_spark.plans.pipeline import filter_gold, transform_events
+from spatially_databricks_etl_spark.streaming.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from spatially_databricks_etl_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2a)
+# ---------------------------------------------------------------------------
+
+
+def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference ETL replay (scan→derive→filter), flattened for
+    the oracle. Mirrors `Spatially ETL test.py:131,156-205,237-245`."""
+    gold = filter_gold(transform_events(_t(spark, sf_dir, "events")))
+    return gold.select(
+        "event_id",
+        "event_ts",
+        "user_id",
+        "event_category",
+        "interaction_class",
+        "event_value",
+        "k_value",
+        F.col("event_meta.note").alias("meta_note"),
+        F.col("event_meta.k_value").alias("meta_k_value"),
+        F.col("event_meta.magnitude").alias("meta_magnitude"),
+    )
+
+
+SQL_REF_PIPELINE = """
+WITH t AS (
+  SELECT event_id,
+         ts AS event_ts,
+         user_id,
+         CASE WHEN event_type = 'purchase' THEN 'PURCHASE'
+              WHEN event_type = 'signup' THEN 'SIGNUP'
+              ELSE event_type END AS event_category,
+         value AS event_value,
+         CAST(trim(string_split(regexp_replace(props, '[{}"]', '', 'g'), ':')[2]) AS INTEGER) AS k_value
+  FROM events
+)
+SELECT event_id, event_ts, user_id, event_category,
+       CASE WHEN contains(lower(event_category), 'click') THEN 'Interaction'
+            ELSE 'Other' END AS interaction_class,
+       event_value, k_value,
+       CAST(NULL AS VARCHAR) AS meta_note,
+       CAST(k_value AS DOUBLE) AS meta_k_value,
+       event_value AS meta_magnitude
+FROM t
+WHERE event_ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND event_ts <  TIMESTAMP '2024-01-25 00:00:00'
+  AND event_category IN ('click', 'view', 'PURCHASE', 'SIGNUP')
+  AND NOT regexp_matches(event_category, '(?i)error')
+"""
+
+
+def q_filter_range_in_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CTAS WHERE shape in isolation (#21-#23):
+    range + IN + NOT RLIKE, counted per category."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+            & F.col("event_type").isin("click", "view", "purchase")
+            & ~F.col("event_type").rlike("(?i)err")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_FILTER_RANGE_IN_RLIKE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type IN ('click', 'view', 'purchase')
+  AND NOT regexp_matches(event_type, '(?i)err')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational completion (SURVEY.md §2b): aggregations
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass grouped aggregation with derived
+    measures; partial (map-side) aggregation makes this shuffle only
+    one row per (flag,status) per partition — scale-optimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Spark expands to two-phase plan).
+    The approx path (HLL) is q_approx_distinct (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg →
+    global top-k (TakeOrderedAndProject, no full sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = broadcast_join(
+        orders, cust.select("c_custkey"), on=orders["o_custkey"] == F.col("c_custkey")
+    ).join(li, F.col("o_orderkey") == li["l_orderkey"])
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10)
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(lineitem) ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    with broadcast dims — only the fact⋈orders join shuffles; every
+    dimension side is broadcast so the 100 TB fact never moves twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = broadcast_join(
+        cust,
+        broadcast_join(nation, region, on=nation["n_regionkey"] == region["r_regionkey"]),
+        on=cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem, orders, customer, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with ≥1 finished order (existence
+    probe — no row multiplication, dedup-free)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join (null-extended both sides): per-nation
+    customer/supplier counts."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce(c["c_nationkey"], s["s_nationkey"]).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+SQL_OUTER_JOIN = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitems shipped within 60 days of their
+    order date. The equi key keeps it a hash join (range is a cheap
+    post-filter) — the scale-safe range-join form."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_date_hi", F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    joined = range_join(
+        li,
+        orders,
+        equi=[("l_orderkey", "o_orderkey")],
+        lower=("l_shipdate", "o_orderdate"),
+        upper=("l_shipdate", "o_date_hi"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event annotated with the most
+    recent 'error' event time of the same user at-or-before it.
+    Implemented via union+window (one shuffle), not a range explode."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("error_ts").alias("last_error_ts"))
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id, user_id, ts,
+       max(CASE WHEN event_type = 'error' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number ≤ k)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+        rank_col="rn",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (rows-frame cumulative sum)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over grouped aggregates (supplier balance per
+    nation)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+SQL_RANK_DENSE_RANK = """
+SELECT s_nationkey, s_suppkey,
+       rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+       dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS bal_dense_rank
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations that have customers but no
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations present on both sides."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_SET_INTERSECT = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct over heterogeneous sources."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s).groupBy("nationkey").agg(
+        F.countDistinct("side").alias("n_sides"), F.count("*").alias("n_rows")
+    )
+
+
+SQL_UNION_BY_NAME = """
+WITH u AS (
+  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+)
+SELECT nationkey, count(DISTINCT side) AS n_sides, count(*) AS n_rows FROM u GROUP BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (date / math / string / json)
+# ---------------------------------------------------------------------------
+
+
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / month bucketing of orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SQL_DATE_TRUNC = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/dayofweek extraction + interval arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month_num"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        )
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT o_orderkey, year(o_orderdate) AS order_year, month(o_orderdate) AS order_month_num,
+       o_orderdate + INTERVAL 90 DAY AS due_date
+FROM orders
+"""
+
+
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/sqrt/round/least/greatest over lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_disc_dev"),
+        F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+        F.round(F.max(F.greatest("l_extendedprice", "l_quantity")), 2).alias("max_greatest"),
+        F.round(F.min(F.least("l_tax", "l_discount")), 6).alias("min_least"),
+    )
+
+
+SQL_MATH_FNS = """
+SELECT l_linestatus,
+       round(sum(abs(l_discount - 0.05)), 4) AS sum_abs_disc_dev,
+       round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty,
+       round(max(greatest(l_extendedprice, l_quantity)), 2) AS max_greatest,
+       round(min(least(l_tax, l_discount)), 6) AS min_least
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substring/length/concat/replace family over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+        F.max(F.upper(F.substring("p_name", 1, 4))).alias("max_prefix"),
+        F.min(F.concat_ws("-", "p_type", "p_brand")).alias("min_type_brand"),
+    )
+
+
+SQL_STRING_FNS = """
+SELECT p_brand, count(*) AS n,
+       round(avg(length(p_name)), 4) AS avg_name_len,
+       max(upper(substring(p_name, 1, 4))) AS max_prefix,
+       min(concat_ws('-', p_type, p_brand)) AS min_type_brand
+FROM part GROUP BY p_brand
+"""
+
+
+def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + modular bucketing."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), F.col("value"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_JSON_FNS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, chars, whitespace tokens,
+    regex (BPE-ish) tokens, punctuation ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count("text", whitespace=True)), 4).alias("avg_ws_tokens"),
+        F.round(F.avg(token_count("text", whitespace=False)), 4).alias("avg_re_tokens"),
+        F.round(F.avg(punct_ratio("text")), 6).alias("avg_punct_ratio"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_ws_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]'))), 4) AS avg_re_tokens,
+       round(avg(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)
+                 ELSE 0.0 END), 6) AS avg_punct_ratio
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs. the labeled lang column (confusion
+    counts). Deterministic argmax with lexicographic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_MARKER_SQL = {
+    "de": "('der','die','und','das','ist')",
+    "en": "('the','and','of','to','is')",
+    "es": "('el','la','de','que','los')",
+    "fr": "('le','la','les','des','est')",
+    "zh": "('de5','shi4','le5','zai4','you3')",
+}
+
+SQL_LANG_ID = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN {de})) AS s_de,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN {en})) AS s_en,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN {es})) AS s_es,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN {fr})) AS s_fr,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN {zh})) AS s_zh
+  FROM documents
+), named AS (
+  SELECT lang,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, count(*) AS n FROM named GROUP BY lang, predicted_lang
+""".format(**_MARKER_SQL)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score distribution per source."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+        F.round(F.avg(stopword_ratio("text")), 6).alias("avg_stopword_ratio"),
+    )
+
+
+_SW_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
+
+SQL_QUALITY_SCORE = (
+    r"""
+WITH m AS (
+  SELECT source, text,
+         length(text) AS n_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN """
+    + _SW_SQL
+    + r""")) / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+              ELSE 0.0 END AS sw_ratio
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(((CASE WHEN n_len >= 50 AND n_len <= 20000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN sw_ratio > 0.05 AND sw_ratio < 0.6 THEN 1.0 ELSE 0.0 END)) / 3.0), 6) AS avg_quality,
+       round(avg(sw_ratio), 6) AS avg_stopword_ratio
+FROM m GROUP BY source
+"""
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min doc_id per
+    (lang, source) group)."""
+    d = _t(spark, sf_dir, "documents")
+    out = exact_dedup(d, ["lang", "source"], keep_by="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source
+"""
+
+
+def q_rlike_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate surface over documents (RLIKE + NOT RLIKE)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").rlike("(?i)merge (join|scan)") & ~F.col("source").rlike("^src1$"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_RLIKE_DOCS = """
+SELECT lang, count(*) AS n FROM documents
+WHERE regexp_matches(text, '(?i)merge (join|scan)') AND NOT regexp_matches(source, '^src1$')
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors (broadcast
+    queries × one corpus scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10, query_id_col="query_id")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_BRUTE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) top-10 — no oracle (approximate);
+    unit tests check recall against brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_topk(emb, queries, k=10, planes=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs — approximate candidate
+    generation, exact Jaccard verification (no SQL oracle; property
+    tests re-verify every returned pair)."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_near_dedup(d, threshold=0.5, shingle_size=5)
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_near_dedup(d, max_hamming=16)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_self_join_pairs(emb, threshold=0.85, planes=6, dim=64)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics (batch-parity oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window agg — same builder serves the
+    streaming path (readStream + watermark); batch parity is the
+    Structured Streaming contract, so the oracle checks it."""
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, window_duration="1 hour", key_col="event_type")
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30 min gap) per user — batch
+    parity for the streaming session operator."""
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(ev, gap="30 minutes", key_col="user_id")
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "ref_pipeline": q_ref_pipeline,
+    "filter_range_in_rlike": q_filter_range_in_rlike,
+    "q1_pricing_summary": q1_pricing_summary,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "count_distinct": q_count_distinct,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_star_join": q5_star_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "outer_join": q_outer_join,
+    "range_join": q_range_join,
+    "asof_join": q_asof_join,
+    "window_topk": q_window_topk,
+    "window_lag": q_window_lag,
+    "window_running_sum": q_window_running_sum,
+    "rank_dense_rank": q_rank_dense_rank,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "union_by_name": q_union_by_name,
+    "date_trunc": q_date_trunc,
+    "date_parts": q_date_parts,
+    "math_fns": q_math_fns,
+    "string_fns": q_string_fns,
+    "json_fns": q_json_fns,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "dedup_exact": q_dedup_exact,
+    "rlike_docs": q_rlike_docs,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "tumbling_window": q_tumbling_window,
+    "session_window": q_session_window,
+}
+
+ORACLES: dict[str, str] = {
+    "ref_pipeline": SQL_REF_PIPELINE,
+    "filter_range_in_rlike": SQL_FILTER_RANGE_IN_RLIKE,
+    "q1_pricing_summary": SQL_Q1,
+    "rollup": SQL_ROLLUP,
+    "cube": SQL_CUBE,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    "q3_top_revenue_orders": SQL_Q3,
+    "q5_star_join": SQL_Q5,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "outer_join": SQL_OUTER_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "window_topk": SQL_WINDOW_TOPK,
+    "window_lag": SQL_WINDOW_LAG,
+    "window_running_sum": SQL_WINDOW_RUNNING_SUM,
+    "rank_dense_rank": SQL_RANK_DENSE_RANK,
+    "set_except": SQL_SET_EXCEPT,
+    "set_intersect": SQL_SET_INTERSECT,
+    "union_by_name": SQL_UNION_BY_NAME,
+    "date_trunc": SQL_DATE_TRUNC,
+    "date_parts": SQL_DATE_PARTS,
+    "math_fns": SQL_MATH_FNS,
+    "string_fns": SQL_STRING_FNS,
+    "json_fns": SQL_JSON_FNS,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "rlike_docs": SQL_RLIKE_DOCS,
+    "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "session_window": SQL_SESSION_WINDOW,
+    # no oracle (approximate): ann_lsh_topk, minhash_neardup,
+    # simhash_neardup, embedding_neardup
+}

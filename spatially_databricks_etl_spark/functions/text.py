@@ -1,0 +1,123 @@
+"""Text-analysis column functions for LLM-data-pipeline use
+(SURVEY.md §2b north-star ops; absent from the reference).
+
+All built-in-function compositions (split/regexp/transform/aggregate)
+— JVM-side, no Python in the hot path, so they stream through
+whole-stage codegen over billions of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish word/punct tokenizer: words-with-apostrophes, numbers, or
+# single non-space punctuation — close to GPT-2's pre-tokenizer split.
+TOKEN_REGEX = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),  # pinyin-romanized markers
+}
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+)
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """Array of tokens via regexp extraction (BPE-ish pre-tokenize)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def token_count(col: Column | str, *, whitespace: bool = False) -> Column:
+    """Token count: whitespace mode (``size(split(text,'\\s+'))``) or
+    regex-tokenizer mode."""
+    c = F.col(col) if isinstance(col, str) else col
+    if whitespace:
+        return F.size(F.split(F.trim(c), r"\s+"))
+    return F.size(tokens(c))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """punctuation chars / total chars (0.0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.array_intersect(toks, sw))  # distinct-presence variant
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    _ = n_sw  # distinct variant kept for reference; ratio uses full hits
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band + low punct +
+    healthy stopword ratio. Deterministic, built-ins only."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_ok = F.when((F.length(c) >= 50) & (F.length(c) <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) < 0.2, 1.0).otherwise(0.0)
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw > 0.05) & (sw < 0.6), 1.0).otherwise(0.0)
+    return (length_ok + punct_ok + sw_ok) / F.lit(3.0)
+
+
+def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Marker-word language ID: score = count of language marker words
+    among whitespace tokens; argmax language, 'und' if all zero.
+    Ties break by language code order (deterministic).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    markers = markers or LANG_MARKERS
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(markers):
+        marker_arr = F.array(*[F.lit(m) for m in markers[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def ngrams(col: Column | str, n: int = 3, *, character: bool = True) -> Column:
+    """Array of n-grams (character shingles by default) — the input to
+    MinHash/Jaccard dedup. Character mode slides over the lowercased
+    string; token mode slides over whitespace tokens.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if character:
+        s = F.lower(c)
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+        return F.transform(idx, lambda i: F.substring(s, i, n))
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 61) - 1, base: int = 257) -> Column:
+    """Deterministic polynomial rolling hash of a string (document
+    fingerprint). h = sum(byte_i * base^(n-i)) mod m via F.aggregate —
+    codegen'd, no UDF. Collision-resistant enough for dedup triage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(base) + x, F.lit(modulus)),
+    )

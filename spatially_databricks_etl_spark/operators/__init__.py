@@ -1,0 +1,37 @@
+from spatially_databricks_etl_spark.operators.relational import (
+    asof_join,
+    broadcast_join,
+    range_join,
+    salted_join,
+    top_k,
+    top_k_per_group,
+)
+from spatially_databricks_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dedup,
+)
+from spatially_databricks_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_self_join_pairs,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "asof_join",
+    "broadcast_join",
+    "range_join",
+    "salted_join",
+    "top_k",
+    "top_k_per_group",
+    "exact_dedup",
+    "minhash_near_dedup",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dedup",
+    "brute_force_topk",
+    "cosine_self_join_pairs",
+    "lsh_bucketed_topk",
+]

@@ -1,0 +1,156 @@
+"""Multimodal column conventions + processing plumbing (north-star).
+
+Convention: a modality payload is an opaque ``binary`` column plus a
+typed metadata struct — schema-first so Catalyst can prune/push down
+on metadata without touching bytes:
+
+    payload  binary
+    media    struct<modality:string, mime:string, width:int,
+                    height:int, sample_rate:int, duration_ms:int>
+
+Processing (decode / resize / frame-sample / feature-extract) runs as
+Arrow-batched ``mapInPandas`` — the ONLY place Python belongs: bytes
+in, bytes/features out, one Arrow hop per batch, parallel across
+partitions. The actual codec call is stubbed (no image/audio libs in
+this container): ``decode_fn`` defaults to a deterministic fake so
+the distributed plumbing (schema, batching, partition sizing) is real
+and testable; swap in PIL/ffmpeg per-executor in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_STRUCT = StructType(
+    [
+        StructField("modality", StringType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("item_id", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("media", MEDIA_STRUCT),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    modality: str = "image",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct.
+    Metadata-only predicates (e.g. ``media.modality = 'image'``) then
+    prune at scan time without deserializing payloads."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: derives pseudo
+    width/height/features from a sha256 of the bytes. Replace with a
+    real codec (PIL/opencv) in production — signature unchanged."""
+    h = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "feature": [float(b) / 255.0 for b in h[:8]],
+    }
+
+
+DECODE_RESULT_SCHEMA = (
+    "item_id string, width int, height int, feature array<double>"
+)
+
+
+def decode_features(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    decode_fn: Callable[[bytes], dict] = fake_decode,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``.
+
+    Scale notes: payloads are large → repartition first so a batch of
+    rows fits executor memory (``batch_partitions``); the UDF yields
+    one output frame per Arrow batch; only (id, payload) ship into
+    Python — select-pruned so metadata columns don't pay the hop.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload"))
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            decoded = [decode_fn(p if p is not None else b"") for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": batch["item_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return src.mapInPandas(run, schema=DECODE_RESULT_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    *,
+    every_ms: int = 1000,
+    id_col: str = "item_id",
+) -> DataFrame:
+    """Frame-sampling PLAN for video payloads: expand (item, duration)
+    into one row per sampled timestamp using ``sequence``+``explode``
+    (pure Catalyst — the fan-out happens before any decoding so the
+    expensive decode distributes over frames, not videos). The decode
+    of each frame is then `decode_features` over the exploded rows;
+    actual video slicing is stubbed with the payload passthrough.
+    """
+    return (
+        df.withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("media.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select(F.col(id_col), "frame_ts_ms", "payload", "media")
+    )

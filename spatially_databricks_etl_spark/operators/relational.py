@@ -1,0 +1,149 @@
+"""Relational operators beyond the reference's surface (SURVEY.md §2b
+gap table — the reference has no joins/aggs/windows/sorts at all).
+
+Everything is declarative DataFrame composition: Catalyst picks
+broadcast-hash vs sort-merge, AQE re-plans at runtime. The helpers
+encode the *scale decisions* (broadcast hints, salting, as-of via
+window instead of cross join) that a 100 TB deployment needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    big: DataFrame, small: DataFrame, on: Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Equi-join with an explicit broadcast hint on the small side —
+    dimension-table joins must never shuffle the fact table's 100 TB;
+    broadcasting a <few-hundred-MB dim makes the join map-side."""
+    return big.join(F.broadcast(small), on=on, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's hot keys into
+    ``salt_buckets`` sub-keys and explode the other side to match.
+    Use when AQE skew-join isn't enough (e.g. one key ≫ others).
+    Output columns = big ∪ skewed minus the helper salt columns.
+    """
+    big_s = big.withColumn("__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    skewed_s = skewed.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(skewed_s, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy(...).limit(k)``. Spark plans this as
+    TakeOrderedAndProject — per-partition heap + driver merge of k
+    rows, no global sort. Always pass a unique tiebreaker column for
+    determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via ``row_number() <= k`` — one shuffle on the
+    group key; AQE handles group-size skew. Keeps the rank column."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    equi: Sequence[tuple[str, str]] = (),
+    lower: tuple[str, str] | None = None,
+    upper: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Equi + range join: ``left.a = right.b AND right.lo <= left.x <
+    right.hi``. With at least one equi key this is a normal hash/SMJ
+    join with the range as a post-filter — scale-safe. Pure-range
+    joins (no equi key) become BroadcastNestedLoop: only allow when
+    one side is broadcastable."""
+    conds: list[Column] = [left[a] == right[b] for a, b in equi]
+    if lower is not None:
+        conds.append(left[lower[0]] >= right[lower[1]])
+    if upper is not None:
+        conds.append(left[upper[0]] < right[upper[1]])
+    if not conds:
+        raise ValueError("range_join needs at least one condition")
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return left.join(right, on=cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    the same key at-or-before (``backward``) / earliest at-or-after
+    (``forward``) its timestamp.
+
+    Implementation: union both sides tagged, single window sort per
+    key carrying the right side's values via ``last(ignorenulls)``
+    (backward) or first-over-following (forward), then keep left rows.
+    One shuffle on the key — no range explosion, no per-row lookup;
+    this is the scalable pattern (vs. a range join that would fan out
+    or a Python loop that would not distribute).
+    """
+    tag_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+    )
+    tag_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(tag_l.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = tag_l.unionByName(tag_r)
+    if direction == "backward":
+        # right rows sort before left rows at equal time → "at or before"
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(c) for c in right_values]
+    elif direction == "forward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(c) for c in right_values]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    out = unioned.select("__is_left", "__lrow", *picked).filter(F.col("__is_left") == 1)
+    return out.select("__lrow.*", *right_values)

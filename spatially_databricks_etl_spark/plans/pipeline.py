@@ -1,0 +1,136 @@
+"""Reference-pipeline replay: the full shape of the reference ETL
+(`Spatially ETL test.py:131 → 156-205 → 237-245`) over local fixture
+data — scan → derive (split/regex/trim/struct/cast/recode) → rename →
+project → temp view → filtered select (range + IN + NOT RLIKE).
+
+The reference ran this on a CDC BRFSS CSV; here the `events` fixture
+stands in: `props` (a JSON-ish string) plays the role of the
+string-encoded `geolocation`, `event_type` plays `datasource` (recode)
+and `stratification_category_1` (NOT-RLIKE filter), `ts` plays the
+year-range filter. Every operator from SURVEY.md §2a #5-#27 appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.functions.scalar import (
+    clean_split_part,
+    make_struct,
+    recode,
+    recode_when_contains,
+    rename_columns,
+    typed_null,
+)
+
+
+def transform_events(df: DataFrame) -> DataFrame:
+    """The reference transform chain re-expressed over `events`.
+
+    Mirrors `Spatially ETL test.py:156-202`: noisy-string parse
+    (regexp_replace+split+trim, `:156-157`), struct build with typed
+    null (`:160-163`), casts (`:170-173`), equality recode (`:174-175`),
+    contains recode (`:176-177`), snake-case renames (`:180-185`),
+    explicit 12→8 column projection (`:189-202`).
+
+    All pure Column expressions: Catalyst collapses the whole chain to
+    one Project over the scan, so at 100 TB this is a single pass.
+    """
+    # props arrives as '{"k": 87}' — strip {}" and quotes, split on ':',
+    # take the value token, trim, cast (the geolocation parse pattern).
+    k_value = clean_split_part(
+        "props", strip_pattern=r'[{}"]', delimiter=":", index=1, cast="integer"
+    )
+    df = df.withColumn("k_value", k_value)
+
+    # Struct build with a typed-null field (geolocation struct pattern).
+    df = df.withColumn(
+        "event_meta",
+        make_struct(
+            {
+                "note": typed_null("string"),
+                "k_value": F.col("k_value").cast("double"),
+                "magnitude": F.col("value").cast("double"),
+            }
+        ),
+    )
+
+    # Casts (:170-173).
+    df = (
+        df.withColumn("event_id", F.col("event_id").cast("long"))
+        .withColumn("user_id", F.col("user_id").cast("long"))
+        .withColumn("value", F.col("value").cast("double"))
+    )
+
+    # Equality recode (:174-175) + contains recode (:176-177).
+    df = df.withColumn(
+        "event_type",
+        recode("event_type", {"purchase": "PURCHASE", "signup": "SIGNUP"}),
+    )
+    df = df.withColumn(
+        "interaction_class",
+        recode_when_contains("event_type", "click", "Interaction", default=F.lit("Other")),
+    )
+
+    # Snake-case-style renames (:180-185).
+    df = rename_columns(
+        df,
+        {
+            "event_type": "event_category",
+            "value": "event_value",
+            "ts": "event_ts",
+        },
+    )
+
+    # Final explicit projection (:189-202).
+    return df.select(
+        "event_id",
+        "event_ts",
+        "user_id",
+        "event_category",
+        "interaction_class",
+        "event_value",
+        "k_value",
+        "event_meta",
+    )
+
+
+def filter_gold(df: DataFrame) -> DataFrame:
+    """The CTAS WHERE clause shape (`Spatially ETL test.py:240-245`):
+    range predicate + IN-list + negated case-insensitive RLIKE.
+
+    These are plain Catalyst predicates — at scale they push down to
+    the parquet scan (row-group skipping on `event_ts` statistics).
+    """
+    return df.filter(
+        (F.col("event_ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("event_ts") < F.lit("2024-01-25 00:00:00"))
+        & F.col("event_category").isin("click", "view", "PURCHASE", "SIGNUP")
+        & ~F.col("event_category").rlike("(?i)error")
+    )
+
+
+def reference_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    view_name: str = "cleaned_and_transformed_events",
+    gold_table: str | None = None,
+) -> DataFrame:
+    """End-to-end replay: scan → transform → register view → filtered
+    select (→ optional managed-table sink, the CTAS at `Spatially ETL
+    test.py:237-245`). Returns the gold DataFrame.
+    """
+    from spatially_databricks_etl_spark.session import load_table
+
+    raw = load_table(spark, sf_dir, "events")
+    transformed = transform_events(raw)
+    transformed.createOrReplaceTempView(view_name)
+    gold = filter_gold(spark.table(view_name))
+    if gold_table:
+        from spatially_databricks_etl_spark.sinks.writers import save_as_table
+
+        save_as_table(gold, gold_table, mode="overwrite")
+        return spark.table(gold_table)
+    return gold

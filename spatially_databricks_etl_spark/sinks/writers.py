@@ -1,0 +1,63 @@
+"""Sinks: managed-table writes and CTAS (SURVEY.md §2a #25-#27).
+
+The reference writes a Delta gold table via SQL CTAS (`Spatially ETL
+test.py:236-245`) and documents the DataFrame-writer equivalent
+(`:230-231`). Local CI has no delta-spark, so one writer interface
+tries Delta and falls back to parquet `saveAsTable` — identical
+semantics for our checks (overwrite-mode managed table, queryable by
+name). At scale add `partitionBy` on the natural read key so
+downstream scans partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.Class.forName("org.apache.spark.sql.delta.DeltaLog")  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def save_as_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
+) -> None:
+    """`df.write.format(delta|parquet).mode(...).saveAsTable(...)` —
+    the documented equivalent of the reference CTAS (`Spatially ETL
+    test.py:230-231`)."""
+    spark = df.sparkSession
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table_name)
+
+
+def ctas(
+    spark: SparkSession,
+    table_name: str,
+    select_sql: str,
+    *,
+    fmt: str | None = None,
+) -> DataFrame:
+    """`CREATE OR REPLACE TABLE ... USING <fmt> AS <select>` — the
+    reference's SQL entry point (`Spatially ETL test.py:237-245`)."""
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    spark.sql(f"CREATE OR REPLACE TABLE {table_name} USING {fmt} AS {select_sql}")
+    return spark.table(table_name)
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,17 @@
+from spatially_databricks_etl_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_parquet,
+)
+from spatially_databricks_etl_spark.sources.rest import (
+    fetch_paginated_to_df,
+    paginated_offsets_df,
+)
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "fetch_paginated_to_df",
+    "paginated_offsets_df",
+]

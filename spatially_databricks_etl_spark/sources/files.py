@@ -1,0 +1,53 @@
+"""File sources (SURVEY.md §2a #1): csv / json / parquet scans.
+
+The reference reads CSV header-only with no schema (`Spatially ETL
+test.py:131`) — every column lands as string. That is preserved as the
+default for parity, but at 100 TB an explicit ``StructType`` is
+mandatory (schema inference is a full extra pass over the data), so
+every reader takes ``schema=``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. No ``inferSchema`` ever: either explicit schema (scale
+    path) or all-string columns (reference parity path,
+    `Spatially ETL test.py:131`)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan. The reference infers schema from API payloads
+    (`Spatially ETL test.py:125`); here inference happens only when no
+    schema is given (fine for landed samples, not for 100 TB scans)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
+    """Parquet scan; optional projection so pruning is explicit at the
+    call site (ReadSchema shrinks to the requested columns)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df

@@ -1,0 +1,82 @@
+"""End-to-end pipeline replay + plan-shape regression tests.
+
+The plan tests are the scale contract: filters must reach the parquet
+scan (PushedFilters), projections must prune the ReadSchema, and the
+transform chain must collapse to a single Project (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from spatially_databricks_etl_spark.plans.explain import explain_str
+from spatially_databricks_etl_spark.plans.pipeline import (
+    filter_gold,
+    reference_pipeline,
+    transform_events,
+)
+from spatially_databricks_etl_spark.session import load_table
+from spatially_databricks_etl_spark.sinks.writers import save_as_table
+
+
+def test_reference_pipeline_end_to_end(spark):
+    gold = reference_pipeline(spark, SF_DIR)
+    rows = gold.count()
+    assert rows > 0
+    cats = {r["event_category"] for r in gold.select("event_category").distinct().collect()}
+    assert "error" not in cats and "ERROR" not in cats
+    assert cats <= {"click", "view", "PURCHASE", "SIGNUP"}
+
+
+def test_pipeline_writes_gold_table(spark):
+    gold = reference_pipeline(spark, SF_DIR, gold_table="gold_events_test")
+    assert gold.count() > 0
+    assert spark.catalog.tableExists("gold_events_test")
+    spark.sql("DROP TABLE gold_events_test")
+
+
+def test_transform_is_single_narrow_stage(spark):
+    raw = load_table(spark, SF_DIR, "events")
+    out = transform_events(raw)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # the withColumn/rename/select chain must stay a narrow scan→project
+    # pipeline: no shuffle, no extra stages. (Catalyst keeps ≤3 Projects
+    # because k_value is referenced twice — still one codegen stage.)
+    assert "Exchange" not in optimized
+    assert optimized.count("Project") <= 3, optimized
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("WholeStageCodegen") <= 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert read_schema.count(":") <= 3  # struct<a:...,b:...> → 2 fields + struct marker
+
+
+def test_gold_filter_semantics(spark):
+    raw = load_table(spark, SF_DIR, "events")
+    gold = filter_gold(transform_events(raw))
+    bad = gold.filter(
+        (F.col("event_ts") < "2024-01-05") | (F.col("event_ts") >= "2024-01-25")
+    ).count()
+    assert bad == 0
+
+
+def test_save_as_table_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    save_as_table(df, "roundtrip_test", mode="overwrite")
+    back = spark.table("roundtrip_test")
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+    spark.sql("DROP TABLE roundtrip_test")

@@ -1,0 +1,115 @@
+"""Sources (csv/json/REST-paginated) and Structured Streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from spatially_databricks_etl_spark.session import load_table
+from spatially_databricks_etl_spark.sources.files import read_csv, read_json
+from spatially_databricks_etl_spark.sources.rest import fetch_paginated_to_df
+from spatially_databricks_etl_spark.streaming.windows import (
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+def test_read_csv_all_string_parity(spark, tmp_path):
+    # reference parity: header-only read → every column string
+    p = tmp_path / "data.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    assert df.count() == 2
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "data2.csv"
+    p.write_text("a,b\n1,x\n~,y\n")  # '~' sentinel → null on typed read
+    df = read_csv(spark, str(p), schema="a int, b string")
+    rows = {r["b"]: r["a"] for r in df.collect()}
+    assert rows == {"x": 1, "y": None}
+
+
+def test_read_json_lines(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"k": 1, "geo": {"lat": 1.5}}\n{"k": 2, "geo": {"lat": 2.5}}\n')
+    df = read_json(spark, str(p), schema="k long, geo struct<lat:double>")
+    assert df.select(F.sum("geo.lat")).collect()[0][0] == 4.0
+
+
+def test_fetch_paginated_distributed(spark):
+    # fake Socrata API: 25 records in pages of 10
+    def fake_fetch(base_url, limit, offset):
+        n = min(limit, 25 - offset)
+        return [{"id": offset + i, "v": f"r{offset + i}"} for i in range(n)]
+
+    df = fetch_paginated_to_df(
+        spark,
+        "http://fake",
+        limit=10,
+        total_records=25,
+        schema="id long, v string",
+        fetch_page=fake_fetch,
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert {r["id"] for r in rows} == set(range(25))
+
+
+def test_fetch_paginated_failure_surfaces(spark):
+    def bad_fetch(base_url, limit, offset):
+        raise RuntimeError("boom")
+
+    df = fetch_paginated_to_df(
+        spark, "http://fake", limit=10, total_records=10,
+        schema="id long", fetch_page=bad_fetch,
+    )
+    with pytest.raises(Exception, match="boom"):
+        df.collect()
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    # batch-parity contract: the SAME builder over readStream must
+    # produce the same rows as over the batch frame
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+    batch_out = {tuple(r) for r in tumbling_window_agg(ev).collect()}
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    agg = tumbling_window_agg(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {tuple(r) for r in spark.sql("select * from tumbling_test").collect()}
+    assert stream_out == batch_out
+
+
+def test_session_window_batch(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = session_window_agg(ev, gap="30 minutes", key_col="user_id")
+    assert out.count() > 0
+    # sessions for one user must not overlap
+    rows = sorted(
+        out.filter(F.col("user_id") == 1).collect(), key=lambda r: r["session_start"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["session_end"] <= b["session_start"]
+
+
+def test_stream_dedup_batch_path(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], ["event_id", "v"]
+    ).withColumn("ts", F.current_timestamp())
+    out = stream_dedup(df, ["event_id"])
+    assert out.count() == 2
