@@ -869,26 +869,63 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs — approximate candidate
-    generation, exact Jaccard verification (no SQL oracle; property
-    tests re-verify every returned pair)."""
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verify.
+
+    Oracle-able despite LSH: fixed seeds make the pipeline fully
+    deterministic, and the fixtures' organic near-dup pairs all sit
+    at J≥0.92 — far above both the 0.7 threshold and the b=21/r=6
+    S-curve crossover (~0.60) — so recall is exactly 1.0 and the
+    result equals the exact-Jaccard pair set the DuckDB oracle
+    computes brute-force."""
     d = _t(spark, sf_dir, "documents")
-    out = minhash_near_dedup(d, threshold=0.5, shingle_size=5)
+    out = minhash_near_dedup(d, threshold=0.7, shingle_size=5)
     return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+SQL_MINHASH_NEARDUP = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                      i -> substr(lower(text), i, 5))) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard_sim
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh))
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+"""
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance near-dup pairs (rows-only check)."""
     d = _t(spark, sf_dir, "documents")
-    out = simhash_near_dedup(d, max_hamming=16)
+    out = simhash_near_dedup(d, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via LSH buckets.
+
+    The corpus is unioned with an id-shifted copy of itself, so every
+    vector has one exact duplicate: the expected pair set is exactly
+    {(i, i+1000000)} — identical vectors always share every LSH
+    bucket (deterministic hyperplanes), and the max organic cosine
+    (~0.51 at sf0.01) is far below the 0.85 threshold, so the result
+    is deterministic and the oracle can state it in closed form."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_self_join_pairs(emb, threshold=0.85, planes=6, dim=64)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    out = cosine_self_join_pairs(
+        emb.unionByName(shifted), threshold=0.85, planes=6, dim=64
+    )
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine_sim FROM embeddings
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1015,8 +1052,10 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "rlike_docs": SQL_RLIKE_DOCS,
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "session_window": SQL_SESSION_WINDOW,
-    # no oracle (approximate): ann_lsh_topk, minhash_neardup,
-    # simhash_neardup, embedding_neardup
+    # no oracle: ann_lsh_topk (approximate recall by design),
+    # simhash_neardup (xxhash64 not reproducible in DuckDB)
 }

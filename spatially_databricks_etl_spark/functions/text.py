@@ -100,13 +100,19 @@ def ngrams(col: Column | str, n: int = 3, *, character: bool = True) -> Column:
     string; token mode slides over whitespace tokens.
     """
     c = F.col(col) if isinstance(col, str) else col
+    empty = F.array().cast("array<string>")
     if character:
         s = F.lower(c)
-        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-        return F.transform(idx, lambda i: F.substring(s, i, n))
+        idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+        return F.when(
+            F.length(s) >= n, F.transform(idx, lambda i: F.substring(s, i, n))
+        ).otherwise(empty)
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(empty)
 
 
 def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 61) - 1, base: int = 257) -> Column:

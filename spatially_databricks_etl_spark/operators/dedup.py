@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spatially_databricks_etl_spark.functions.text import ngrams, tokens
+from spatially_databricks_etl_spark.operators.relational import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, subset: list[str], *, keep_by: str | None = None) -> DataFrame:
@@ -39,15 +40,49 @@ def exact_dedup(df: DataFrame, subset: list[str], *, keep_by: str | None = None)
 def minhash_signature(
     shingle_col: Column, *, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of seeded
-    xxhash64 over the (distinct) shingle set. One pass per row,
-    vectorized by codegen — no UDF."""
-    distinct = F.array_distinct(shingle_col)
-    sigs = [
-        F.array_min(F.transform(distinct, lambda s: F.xxhash64(F.lit(seed + i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """MinHash signature via universal hashing: ONE xxhash64 per
+    shingle (the expensive string hash), then ``num_hashes`` cheap
+    affine derivations h_i = (a_i·h + b_i) mod (2³¹−1) — ~100×
+    less string hashing than seeding xxhash64 per permutation.
+
+    Constants stay below 2³⁰ and h below 2³², so every product fits
+    in a signed 64-bit long — no overflow even under ANSI mode.
+    Deterministic for a given seed. Codegen'd end to end; no UDF.
+    """
+    return minhash_from_hashes(
+        shingle_hashes(shingle_col, seed=seed), num_hashes=num_hashes, seed=seed
+    )
+
+
+def shingle_hashes(shingle_col: Column, *, seed: int = 42) -> Column:
+    """One 32-bit-masked xxhash64 per distinct shingle — the only
+    string hashing in the MinHash pipeline. Materialize this as its
+    own column so the per-permutation derivations reuse it instead of
+    re-hashing strings num_hashes times (CollapseProject would
+    otherwise inline and duplicate it)."""
+    return F.transform(
+        F.array_distinct(shingle_col),
+        lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1)),
+    )
+
+
+def minhash_from_hashes(hash_col: Column, *, num_hashes: int = 64, seed: int = 42) -> Column:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 30, size=num_hashes)
+    b = rng.randint(0, 1 << 30, size=num_hashes)
+    mersenne = (1 << 31) - 1
+
+    def perm_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hash_col,
+                lambda h: F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(mersenne)),
+            )
+        )
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -63,58 +98,95 @@ def minhash_near_dedup(
     id_col: str = "doc_id",
     *,
     shingle_size: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.8,
+    num_hashes: int = 126,
+    bands: int = 21,
+    threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
-    Plan shape (scale analysis): per-row signature (narrow, codegen) →
-    explode to ``bands`` rows/doc → shuffle on (band, band_hash) — the
-    only shuffle, keyed by bucket so co-candidates co-locate →
-    self-join inside buckets → distinct pair → exact-Jaccard verify on
-    the shingle arrays. With b=16, r=4 the S-curve crosses ~0.72, so
-    threshold=0.8 pairs are found w.h.p. while the bucket join stays
-    sparse. Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    Plan shape (scale analysis):
+
+    1. per-row signature — narrow, codegen, one scan;
+    2. explode to ``bands`` (band, band_hash) rows per doc carrying
+       ONLY the doc id — shingle arrays never enter the LSH shuffle
+       (at corpus scale the arrays dominate row width; shipping them
+       through the bucket join is what kills throughput);
+    3. bucket-size cap: buckets larger than ``max_bucket_size`` are
+       dropped before the self-join — a degenerate bucket of k docs
+       contributes k² candidates and no precision (standard
+       posting-list cap); the drop is logged by the optimizer as a
+       cheap aggregate + semi-join on narrow rows;
+    4. self-join inside buckets → distinct (id_a, id_b);
+    5. join candidate ids BACK to the shingle table and verify with
+       exact Jaccard, so results are exact for every emitted pair.
+
+    Defaults b=21, r=6 put the S-curve crossover at (1/21)^(1/6)≈0.60:
+    pairs at J≥0.8 are found with P>0.999 while J≈0.2 background
+    produces ~1e-3 candidate rate. Deterministic (fixed seeds).
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
     rows = num_hashes // bands
-    sh = ngrams(F.col(text_col), shingle_size, character=True)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(sh).alias("__shingles"),
-    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes=num_hashes, seed=seed))
-
-    banded = base.select(
+    # Heavy per-row compute (shingling + hashing) must use every
+    # core: a small single-file input arrives as ONE partition, which
+    # would serialize the whole signature stage. Cheap narrow rows →
+    # repartition first.
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
+    )
+    sh = ngrams(F.col("__text"), shingle_size, character=True)
+    base = src.select("__id", F.array_distinct(sh).alias("__shingles"))
+    # two-step: string-hash once per shingle, then derive all
+    # permutation minima from the integer hashes
+    hashed = base.select(
+        "__id", shingle_hashes(F.col("__shingles"), seed=seed).alias("__h")
+    )
+    sig = hashed.select(
         "__id",
-        "__shingles",
+        minhash_from_hashes(F.col("__h"), num_hashes=num_hashes, seed=seed).alias("__sig"),
+    )
+
+    banded = sig.select(
+        "__id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)), b).alias(
-                        "band_hash"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)), F.lit(b)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__b"),
-    ).select("__id", "__shingles", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh"))
+    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh"))
 
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"), "__band", "__bh"
+    ok_buckets = (
+        banded.groupBy("__band", "__bh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("__band", "__bh")
     )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"), "__band", "__bh"
-    )
+    banded = banded.join(ok_buckets, on=["__band", "__bh"], how="left_semi")
+
+    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
+    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bh")
     cand = (
         left.join(right, on=["__band", "__bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -122,12 +194,12 @@ def minhash_near_dedup(
 
 def simhash(text_col: Column | str, *, bits: int = 64, seed: int = 42) -> Column:
     """64-bit SimHash fingerprint: per-token xxhash64; each bit votes
-    +1/-1; sign of the vote → bit. Pure higher-order-function
-    composition (sequence/transform/aggregate + bit ops)."""
+    +1/-1 per OCCURRENCE (term-frequency weighting — vital when the
+    vocabulary is small, where distinct-token sets collapse to near-
+    identical fingerprints); sign of the vote → bit. Pure higher-
+    order-function composition (transform/aggregate + bit ops)."""
     toks = tokens(text_col)
-    hashes = F.array_distinct(
-        F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t, F.lit(seed)))
-    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     def bit_vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -163,7 +235,10 @@ def simhash_near_dedup(
     """
     width = 64 // chunks
     mask = (1 << width) - 1
-    base = df.select(F.col(id_col).alias("__id"), simhash(text_col, seed=seed).alias("__sh"))
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
+    )
+    base = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
     chunk_structs = F.array(
         *[
             F.struct(

@@ -15,6 +15,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input arrives with fewer partitions (e.g. one small file → one
+    partition, serializing any expensive per-row compute that
+    follows). No-op when the input is already wide enough — at real
+    scale scans arrive with thousands of splits and this never fires.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
+    return df
+
+
 def broadcast_join(
     big: DataFrame, small: DataFrame, on: Sequence[str] | Column, how: str = "inner"
 ) -> DataFrame:

@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spatially_databricks_etl_spark.functions.vectors import cosine_similarity, dot
-from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+from spatially_databricks_etl_spark.operators.relational import (
+    ensure_parallelism,
+    top_k_per_group,
+)
 
 
 def brute_force_topk(
@@ -46,7 +49,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id",
+    )
     scored = c.join(F.broadcast(q)).withColumn(
         "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
     )
@@ -101,7 +107,10 @@ def lsh_bucketed_topk(
     ≈ 256 buckets is a reasonable sf0.1 default.
     """
     hp = _hyperplanes(dim, planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id",
+    )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     c = c.withColumn("__bucket", lsh_bucket("__cvec", hp))
     q = q.withColumn("__bucket", lsh_bucket("__qvec", hp))
@@ -128,7 +137,9 @@ def cosine_self_join_pairs(
     from LSH bucket equality (corpus-vs-corpus without the quadratic
     cross join). Returns (id_a, id_b, cosine_sim), id_a < id_b."""
     hp = _hyperplanes(dim, planes, seed)
-    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    base = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")), "__id"
+    )
     bucketed = base.withColumn("__bucket", lsh_bucket("__vec", hp))
     left = bucketed.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"), "__bucket")
     right = bucketed.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"), "__bucket")
