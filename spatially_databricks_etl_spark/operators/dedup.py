@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from spatially_databricks_etl_spark.functions.text import ngrams, tokens
 from spatially_databricks_etl_spark.operators.relational import ensure_parallelism
@@ -122,6 +123,13 @@ def minhash_near_dedup(
     5. join candidate ids BACK to the shingle table and verify with
        exact Jaccard, so results are exact for every emitted pair.
 
+    The shingle table and the banded rows are persisted
+    (MEMORY_AND_DISK, spills at scale): the DAG consumes each from
+    multiple branches (aggregate + semi-join probe + self-join sides +
+    verify joins), and without a persist each branch recomputes the
+    full shingle→hash→signature chain — the dominant cost — from the
+    source scan.
+
     Defaults b=21, r=6 put the S-curve crossover at (1/21)^(1/6)≈0.60:
     pairs at J≥0.8 are found with P>0.999 while J≈0.2 background
     produces ~1e-3 candidate rate. Deterministic (fixed seeds).
@@ -136,7 +144,9 @@ def minhash_near_dedup(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
     )
     sh = ngrams(F.col("__text"), shingle_size, character=True)
-    base = src.select("__id", F.array_distinct(sh).alias("__shingles"))
+    base = src.select("__id", F.array_distinct(sh).alias("__shingles")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # two-step: string-hash once per shingle, then derive all
     # permutation minima from the integer hashes
     hashed = base.select(
@@ -162,7 +172,9 @@ def minhash_near_dedup(
                 ]
             )
         ).alias("__b"),
-    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh"))
+    ).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ok_buckets = (
         banded.groupBy("__band", "__bh")
