@@ -977,6 +977,405 @@ FROM numbered GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# Advanced relational: grouping sets, pivot, percentiles, skew-safe join
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (flag,status), (flag), () — the general form
+    behind cube/rollup (§2b aggregations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list — at scale
+    always enumerate pivot values so Spark skips the discovery pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("f_qty"),
+            F.col("O").alias("o_qty"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (F.percentile,
+    not percentile_approx, so the oracle can match exactly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join ≡ plain join (the oracle proves the salt
+    round-trip changes nothing). At scale: use when one hot key
+    dwarfs AQE's skew-split thresholds."""
+    from spatially_databricks_etl_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    joined = salted_join(li, orders.select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_SALTED_JOIN_AGG = """
+SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: parse JSON props into map<string,bigint> and
+    explode to (key, value) rows (§2b map/json gap)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(m).alias("key", "val")
+    )
+
+
+SQL_MAP_EXPLODE = """
+WITH kx AS (
+  SELECT event_id, unnest(json_keys(props)) AS key, props FROM events
+)
+SELECT event_id, key,
+       CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS val
+FROM kx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python boundary: pandas UDF / UDAF / grouped-map / UDTF (§2b UDF gap)
+# ---------------------------------------------------------------------------
+
+
+def q_pandas_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF over lineitem (vectorized numpy
+    logistic); oracle recomputes the same closed form in SQL."""
+    from spatially_databricks_etl_spark.operators.udfs import sigmoid_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(sigmoid_udf(F.col("l_discount") * F.col("l_quantity") - F.lit(1.0)), 6).alias(
+            "score"
+        ),
+    )
+
+
+SQL_PANDAS_SIGMOID = """
+SELECT l_orderkey, l_linenumber,
+       round(1.0 / (1.0 + exp(-(l_discount * l_quantity - 1.0))), 6) AS score
+FROM lineitem
+"""
+
+
+def q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: quantity-weighted mean price per
+    returnflag."""
+    from spatially_databricks_etl_spark.operators.udfs import weighted_mean_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean_udaf("l_extendedprice", "l_quantity"), 4).alias("w_mean_price")
+    )
+
+
+SQL_UDAF_WEIGHTED_MEAN = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_mean_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: z-score o_totalprice within each
+    order priority (sample stddev)."""
+    from spatially_databricks_etl_spark.operators.udfs import zscore_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    out = zscore_per_group(orders, "o_orderpriority", "o_totalprice", "o_orderkey")
+    return out.select("o_orderkey", "o_orderpriority", F.round("zscore", 6).alias("zscore"))
+
+
+SQL_GROUPED_MAP_ZSCORE = """
+SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS zscore
+FROM orders
+"""
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral join: one row per (doc, position, token)."""
+    from spatially_databricks_etl_spark.operators.udfs import tokenize_lateral
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return tokenize_lateral(d, "text", "doc_id")
+
+
+SQL_UDTF_TOKENS = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents WHERE doc_id < 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text fingerprinting + n-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted index (explode
+    + equi-join on shingle). df-capped posting lists keep the shuffle
+    bounded; verification uses full shingle sets, so pairs are exact
+    — the brute-force DuckDB oracle must agree."""
+    from spatially_databricks_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, n=5, threshold=0.7, max_df_fraction=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+SQL_NGRAM_JACCARD = SQL_MINHASH_NEARDUP
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (codegen'd
+    F.aggregate — no UDF). Modulus 2^31-1 keeps every intermediate in
+    BIGINT range on both engines."""
+    from spatially_databricks_etl_spark.functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_fingerprint("text", modulus=(1 << 31) - 1).alias("fp")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         (acc, x) -> (acc * 257 + x) % 2147483647) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + mapInPandas decode)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column →
+    mapInPandas fake-decode (sha256-derived width/height/features).
+    The decode is a deterministic stub (no codec libs here), so the
+    oracle replicates it byte-for-byte in SQL — proving the Arrow
+    round-trip preserves the payload exactly."""
+    from spatially_databricks_etl_spark.operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = decode_features(src)
+    return out.select(
+        "item_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.round(F.element_at("feature", 3), 6).alias("f2"),
+        F.round(F.element_at("feature", 4), 6).alias("f3"),
+    )
+
+
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(h, {o1}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, {o2}, 1)) - 1)"
+)
+
+
+def _sql_media_features() -> str:
+    def byte(i: int) -> str:
+        return _HEXBYTE.format(o1=2 * i + 1, o2=2 * i + 2)
+
+    return f"""
+WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS h FROM documents)
+SELECT item_id,
+       CAST(64 + {byte(0)} % 192 AS INTEGER) AS width,
+       CAST(64 + {byte(1)} % 192 AS INTEGER) AS height,
+       round({byte(0)} / 255.0, 6) AS f0,
+       round({byte(1)} / 255.0, 6) AS f1,
+       round({byte(2)} / 255.0, 6) AS f2,
+       round({byte(3)} / 255.0, 6) AS f3
+FROM s
+"""
+
+
+SQL_MEDIA_FEATURES = _sql_media_features()
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: (item, duration) fans out to one row
+    per sampled timestamp BEFORE any decode, so the expensive work
+    distributes over frames. Duration is synthesized deterministically
+    from n_chars (no real media in fixtures)."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        attach_media_metadata,
+        frame_sample_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = attach_media_metadata(
+        d.select(
+            F.col("doc_id").cast("string").alias("item_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+            "n_chars",
+        ),
+        modality="video",
+    ).withColumn(
+        "media",
+        F.col("media").withField(
+            "duration_ms", ((F.col("n_chars") % 5 + 1) * 1000).cast("int")
+        ),
+    )
+    out = frame_sample_plan(src, every_ms=1000)
+    return out.select("item_id", "frame_ts_ms")
+
+
+SQL_FRAME_SAMPLE = """
+SELECT CAST(doc_id AS VARCHAR) AS item_id,
+       unnest(generate_series(0, CAST((n_chars % 5 + 1) * 1000 AS BIGINT) - 1, 1000)) AS frame_ts_ms
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming (continued): sliding windows, bounded-state dedup
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 15m slide — each event
+    lands in 4 windows); batch parity for the streaming operator."""
+    from spatially_databricks_etl_spark.streaming.windows import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev, window_duration="1 hour", slide="15 minutes", key_col="event_type"
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH x AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) - unnest([0, 1, 2, 3]) * INTERVAL '15 minutes'
+           AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark batch parity: the surviving key
+    set equals DISTINCT keys (which row survives is arbitrary, so the
+    query projects keys only — deterministic on both engines)."""
+    from spatially_databricks_etl_spark.streaming.windows import stream_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    return stream_dedup(ev, ["user_id", "event_type"]).select("user_id", "event_type")
+
+
+SQL_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells, probe the 4
+    nearest of 16 cells per query (~25% of the corpus scored). No SQL
+    oracle (approximate); unit tests check recall@10 vs brute force."""
+    from spatially_databricks_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1018,6 +1417,22 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "tumbling_window": q_tumbling_window,
     "session_window": q_session_window,
+    "grouping_sets": q_grouping_sets,
+    "pivot": q_pivot,
+    "percentiles": q_percentiles,
+    "salted_join_agg": q_salted_join_agg,
+    "map_explode": q_map_explode,
+    "pandas_sigmoid": q_pandas_sigmoid,
+    "udaf_weighted_mean": q_udaf_weighted_mean,
+    "grouped_map_zscore": q_grouped_map_zscore,
+    "udtf_tokens": q_udtf_tokens,
+    "ngram_jaccard": q_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
+    "sliding_window": q_sliding_window,
+    "stream_dedup_keys": q_stream_dedup_keys,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1056,6 +1471,21 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "session_window": SQL_SESSION_WINDOW,
-    # no oracle: ann_lsh_topk (approximate recall by design),
-    # simhash_neardup (xxhash64 not reproducible in DuckDB)
+    "grouping_sets": SQL_GROUPING_SETS,
+    "pivot": SQL_PIVOT,
+    "percentiles": SQL_PERCENTILES,
+    "salted_join_agg": SQL_SALTED_JOIN_AGG,
+    "map_explode": SQL_MAP_EXPLODE,
+    "pandas_sigmoid": SQL_PANDAS_SIGMOID,
+    "udaf_weighted_mean": SQL_UDAF_WEIGHTED_MEAN,
+    "grouped_map_zscore": SQL_GROUPED_MAP_ZSCORE,
+    "udtf_tokens": SQL_UDTF_TOKENS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "media_features": SQL_MEDIA_FEATURES,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
+    # no oracle: ann_lsh_topk + ann_ivf_topk (approximate recall by
+    # design), simhash_neardup (xxhash64 not reproducible in DuckDB)
 }

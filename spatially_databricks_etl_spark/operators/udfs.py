@@ -1,0 +1,116 @@
+"""Python-boundary operators: Arrow-batched pandas UDFs (scalar +
+grouped-agg), ``applyInPandas`` grouped transforms, and a Python UDTF.
+
+The reference has no UDF surface at all (its only Python functions are
+driver-side fetch helpers, `Spatially ETL test.py:102-128`); SURVEY.md
+§2b lists UDF/UDAF/UDTF as a gap the new engine must fill. UDFs are
+the slow path, so everything here demonstrates the *correct* way to
+cross the JVM↔Python boundary when built-ins genuinely can't express
+the logic:
+
+- Arrow batches only (``pandas_udf`` / ``applyInPandas`` /
+  ``mapInPandas``), never row-at-a-time Python UDFs;
+- inputs projected to the minimal column set before the hop, so wide
+  rows don't pay Arrow serialization;
+- vectorized numpy/pandas inside the batch;
+- deterministic, SQL-expressible contracts so the DuckDB oracle can
+  verify each operator exactly (the boundary must not change results).
+
+Scale notes: all three shapes distribute per-partition (scalar UDF,
+UDTF) or per-group (grouped agg / grouped map). Grouped map requires a
+shuffle on the group key and the whole group must fit in one executor
+— fine for bounded groups (here: order-priority buckets), wrong for
+unbounded ones; use window functions instead when the per-group
+computation is expressible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+# NOTE: pandas_udf/udtf with DDL-string return types resolve the type
+# against the ACTIVE session, so the decorators must run lazily inside
+# the call — not at module import (a bare `import` would then require
+# a running SparkContext).
+
+
+def sigmoid_udf(x: Column | str) -> Column:
+    """Arrow-batched scalar pandas UDF: logistic over a double column.
+    Vectorized numpy inside the batch — one Arrow hop per ~10k rows,
+    not per row."""
+
+    @pandas_udf("double")
+    def _sigmoid(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-s))
+
+    return _sigmoid(x)
+
+
+def weighted_mean_udaf(v: Column | str, w: Column | str) -> Column:
+    """Grouped-aggregate pandas UDF (UDAF): sum(v*w)/sum(w). Spark
+    feeds each group's columns as Series; returns one scalar per
+    group. Partial aggregation does NOT apply to pandas UDAFs (the
+    whole group ships to one executor) — acceptable for low-cardinality
+    keys, otherwise decompose into built-in sum()s."""
+
+    @pandas_udf("double")
+    def _wmean(vs: pd.Series, ws: pd.Series) -> float:
+        den = float(ws.sum())
+        return float((vs * ws).sum()) / den if den else float("nan")
+
+    return _wmean(v, w)
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Grouped-map ``applyInPandas``: z-score of ``value_col`` within
+    each group (sample stddev, ddof=1). The canonical shape for
+    per-group model-ish transforms that need the whole group in memory.
+    Input is projected to 3 columns before the shuffle+Arrow hop."""
+    out_schema = f"{id_col} long, {group_col} string, zscore double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[value_col].mean()
+        s = pdf[value_col].std(ddof=1)
+        z = (pdf[value_col] - m) / s if s and s > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "zscore": z}
+        )
+
+    return (
+        df.select(id_col, group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(fn, out_schema)
+    )
+
+
+class TokenizeUDTF:
+    """Python UDTF (Spark ≥3.5): one row per token with its 1-based
+    position. Splits on single spaces (exactly — no collapsing) so the
+    contract matches ANSI ``string_split(text, ' ')``. Lateral-joined
+    per input row; distributes with the scan."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, t in enumerate(text.split(" ")):
+            yield (i + 1, t)
+
+
+def tokenize_lateral(df: DataFrame, text_col: str, *carry: str) -> DataFrame:
+    """Lateral-join TokenizeUDTF against every row of ``df``, carrying
+    ``carry`` columns alongside the exploded (pos, tok) rows."""
+    spark = df.sparkSession
+    spark.udtf.register("tokenize_udtf", udtf(TokenizeUDTF, returnType="pos int, tok string"))
+    df.createOrReplaceTempView("__tokenize_src")
+    cols = ", ".join(f"s.{c}" for c in carry)
+    return spark.sql(
+        f"SELECT {cols}, t.pos, t.tok "
+        f"FROM __tokenize_src s, LATERAL tokenize_udtf(s.{text_col}) t"
+    )

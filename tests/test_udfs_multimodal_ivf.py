@@ -1,0 +1,126 @@
+"""Tests for the Python-boundary operators (pandas UDF/UDAF/grouped
+map/UDTF), multimodal plumbing, IVF ANN, and n-gram Jaccard dedup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.operators.dedup import ngram_jaccard_pairs
+from spatially_databricks_etl_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_features,
+    fake_decode,
+    frame_sample_plan,
+)
+from spatially_databricks_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+from spatially_databricks_etl_spark.operators.udfs import (
+    sigmoid_udf,
+    tokenize_lateral,
+    weighted_mean_udaf,
+    zscore_per_group,
+)
+from spatially_databricks_etl_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_sigmoid_udf_matches_closed_form(spark):
+    df = spark.createDataFrame([(0.0,), (2.0,), (-3.5,)], ["x"])
+    got = [r["s"] for r in df.select(sigmoid_udf("x").alias("s")).collect()]
+    want = [1 / (1 + math.exp(-x)) for x in (0.0, 2.0, -3.5)]
+    assert all(abs(g - w) < 1e-12 for g, w in zip(got, want))
+
+
+def test_weighted_mean_udaf(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)], ["k", "v", "w"]
+    )
+    rows = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(weighted_mean_udaf("v", "w").alias("m")).collect()
+    }
+    assert abs(rows["a"] - (10 * 1 + 20 * 3) / 4.0) < 1e-12
+    assert abs(rows["b"] - 5.0) < 1e-12
+
+
+def test_zscore_per_group_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 30.0)], ["id", "grp", "v"]
+    )
+    out = zscore_per_group(df, "grp", "v", "id").collect()
+    zs = sorted(r["zscore"] for r in out)
+    assert abs(zs[1]) < 1e-12  # middle value → z = 0
+    assert abs(zs[0] + 1.0) < 1e-12 and abs(zs[2] - 1.0) < 1e-12  # ddof=1 → ±1
+
+
+def test_udtf_tokenize_positions(spark):
+    df = spark.createDataFrame([(7, "a b  c")], ["doc_id", "text"])
+    rows = sorted(
+        (r["pos"], r["tok"]) for r in tokenize_lateral(df, "text", "doc_id").collect()
+    )
+    # split on single spaces, no collapsing: "a", "b", "", "c"
+    assert rows == [(1, "a"), (2, "b"), (3, ""), (4, "c")]
+
+
+def test_ngram_jaccard_pairs_exact_property(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.7, max_df_fraction=0.5).collect()
+    assert pairs, "fixtures contain organic near-dups"
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+
+    def shingles(t: str) -> set[str]:
+        t = t.lower()
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    for r in pairs:
+        a, b = shingles(texts[r["id_a"]]), shingles(texts[r["id_b"]])
+        j = len(a & b) / len(a | b)
+        assert abs(j - r["jaccard_sim"]) < 1e-6
+        assert j >= 0.7
+
+
+def test_ivf_recall_against_brute(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # self-match must always survive (query vector is in its own cell)
+    assert all((q, q) in a for q in range(5))
+    assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in brute.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert b == f  # probing every cell ≡ exact search
+
+
+def test_decode_features_matches_fake_decode(spark):
+    df = spark.createDataFrame([("1", b"hello"), ("2", None)], ["item_id", "payload"])
+    rows = {r["item_id"]: r for r in decode_features(df).collect()}
+    want1 = fake_decode(b"hello")
+    assert rows["1"]["width"] == want1["width"]
+    assert rows["1"]["height"] == want1["height"]
+    assert [round(x, 9) for x in rows["1"]["feature"]] == [
+        round(x, 9) for x in want1["feature"]
+    ]
+    assert rows["2"]["width"] == fake_decode(b"")["width"]  # null payload → empty bytes
+
+
+def test_frame_sample_fanout(spark):
+    df = attach_media_metadata(
+        spark.createDataFrame([("v1", b"x")], ["item_id", "payload"]), modality="video"
+    ).withColumn("media", F.col("media").withField("duration_ms", F.lit(3500)))
+    out = frame_sample_plan(df, every_ms=1000).collect()
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
