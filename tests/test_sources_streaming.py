@@ -113,3 +113,56 @@ def test_stream_dedup_batch_path(spark):
     ).withColumn("ts", F.current_timestamp())
     out = stream_dedup(df, ["event_id"])
     assert out.count() == 2
+
+
+def test_stateful_running_totals_stream_matches_batch(spark, tmp_path):
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "stateful_src")
+    ev.write.parquet(src)
+    batch_out = {tuple(r) for r in running_totals_stateful(ev).collect()}
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = running_totals_stateful(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per micro-batch; running
+    # totals are monotone, so the max-n_events row per key is the
+    # final state — must equal the batch agg (order-independent)
+    final = {}
+    for r in spark.sql("select * from stateful_totals").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            final[r["user_id"]] = (r["user_id"], r["n_events"], round(r["sum_value"], 4))
+    assert set(final.values()) == batch_out
+
+
+def test_foreach_batch_writer(spark, tmp_path):
+    from spatially_databricks_etl_spark.streaming.stateful import foreach_batch_writer
+
+    ev = load_table(spark, SF_DIR, "events").limit(50)
+    src = str(tmp_path / "fb_src")
+    sink = str(tmp_path / "fb_sink")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_writer(sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()
+    assert "__batch_id" in got.columns
