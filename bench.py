@@ -23,17 +23,30 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_star_join",
     "rollup",
+    "grouping_sets",
+    "pivot",
+    "percentiles",
     "count_distinct",
     "range_join",
     "asof_join",
+    "salted_join_agg",
     "window_topk",
     "json_fns",
+    "map_explode",
     "text_stats",
+    "doc_fingerprint",
+    "pandas_sigmoid",
+    "udaf_weighted_mean",
+    "grouped_map_zscore",
     "dedup_exact",
     "minhash_neardup",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "media_features",
     "tumbling_window",
+    "sliding_window",
     "session_window",
+    "stateful_running_totals",
 ]
 
 

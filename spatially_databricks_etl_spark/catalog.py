@@ -1186,7 +1186,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatially_databricks_etl_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, n=5, threshold=0.7, max_df_fraction=0.5)
+    out = ngram_jaccard_pairs(d, n=5, threshold=0.7)
     return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 

@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the optimizations the engine's scale
+story depends on must actually fire (broadcasts, pushdown, pruning,
+whole-stage codegen). A correctness-green query with the wrong plan is
+a 100 TB incident waiting — these tests pin the plan, not the rows."""
+
+from __future__ import annotations
+
+from spatially_databricks_etl_spark.catalog import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_star_join")
+    assert "BroadcastHashJoin" in plan
+    # dimension tables must never sort-merge against the fact table
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_filters_push_to_parquet_scan(spark):
+    plan = _plan(spark, "q3_top_revenue_orders")
+    assert "PushedFilters: [" in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "[]" not in line
+    ]
+    assert pushed, "no non-empty PushedFilters in scan nodes"
+
+
+def test_projection_prunes_scan_schema(spark):
+    # q1 touches 7 lineitem columns; the scan must not read all 11
+    plan = _plan(spark, "q1_pricing_summary")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_orderkey" not in line and "l_suppkey" not in line
+            return
+    raise AssertionError("no ReadSchema in plan")
+
+
+def test_whole_stage_codegen_covers_transform(spark):
+    # '*(n)' prefixes mark whole-stage-codegen spans in simple mode;
+    # the whole scan→filter→project chain must sit in one span
+    plan = _plan(spark, "ref_pipeline", "simple")
+    assert "*(1) Project" in plan and "*(1) Filter" in plan
+
+
+def test_minhash_shuffle_carries_no_shingles(spark):
+    # the LSH bucket exchange must ship only (id, band, hash) — the
+    # wide shingle arrays stay out of the shuffle
+    plan = _plan(spark, "minhash_neardup", "formatted")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(__band" in line:
+            assert "__shingles" not in line and "__sh" not in line.replace("__bh", "")
+            return
+    # AQE may have renamed the exchange; fall back to checking the
+    # banded projection exists without shingle columns
+    assert "__bh" in plan

@@ -65,7 +65,7 @@ def test_udtf_tokenize_positions(spark):
 
 def test_ngram_jaccard_pairs_exact_property(spark):
     d = load_table(spark, SF_DIR, "documents")
-    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.7, max_df_fraction=0.5).collect()
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.7).collect()
     assert pairs, "fixtures contain organic near-dups"
     texts = {r["doc_id"]: r["text"] for r in d.collect()}
 
