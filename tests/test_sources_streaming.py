@@ -166,3 +166,69 @@ def test_foreach_batch_writer(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == ev.count()
     assert "__batch_id" in got.columns
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late rows behind the watermark must be excluded from finalized
+    windows (append mode emits only watermark-closed windows)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [(1, base + dt.timedelta(hours=h), "a", 1.0) for h in range(6)]
+    more = [(2, base + dt.timedelta(hours=6), "a", 1.0)]
+    # hours late relative to the max event time seen two batches prior
+    late = [(99, base + dt.timedelta(minutes=30), "a", 100.0)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "late_src")
+    # one file per micro-batch; the watermark computed from a batch
+    # takes effect one batch later, so the late row goes in batch 3
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(more, schema).coalesce(1).write.parquet(src + "/b2")
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(src + "/b3")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    agg = tumbling_window_agg(stream, window_duration="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_test").collect()
+    first_window = [r for r in rows if r["window_start"] == base]
+    # the late value=100 row lands in the first window only if it was
+    # admitted; watermark (max_ts - 1h = 04:00) must have dropped it
+    assert all(r["sum_value"] == 1.0 for r in first_window)
+
+
+def test_stream_dedup_within_watermark_real_stream(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "a", 1.0),
+        (1, base + dt.timedelta(minutes=5), "a", 1.0),  # dup key, in-watermark
+        (2, base + dt.timedelta(minutes=10), "b", 2.0),
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select * from dd_test").collect())
+    assert got == [1, 2]
