@@ -1351,6 +1351,70 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (minute→hour→day): each level
+    aggregates the previous level's output — raw rows are scanned
+    once. The oracle recomputes every level directly from raw rows,
+    proving the cascade is lossless for decomposable aggregates."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        hierarchical_time_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = hierarchical_time_rollup(ev, "ts", "event_type", "value")
+    return out.select(
+        "level",
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_TIME_ROLLUP_CASCADE = """
+SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), event_type,
+       count(*), round(sum(value), 4), round(max(value), 6)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       count(*), round(sum(value), 4), round(max(value), 6)
+FROM events GROUP BY 2, 3
+"""
+
+
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over grouped data: deterministic collect
+    (array_sort ∘ collect_list), size, slice, membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
+        .select(
+            "l_orderkey",
+            "lines",
+            F.size("lines").alias("n_lines"),
+            F.slice("lines", 1, 2).alias("first_two"),
+            F.array_contains("lines", F.lit(7)).alias("has_line_7"),
+        )
+    )
+
+
+SQL_ARRAY_FNS = """
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS lines,
+       len(list(l_linenumber)) AS n_lines,
+       list_sort(list(l_linenumber))[1:2] AS first_two,
+       list_contains(list(l_linenumber), 7) AS has_line_7
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-parity contract of the applyInPandasWithState running-
     totals operator: a batch frame is one micro-batch, so running
@@ -1451,6 +1515,8 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
     "stream_dedup_keys": q_stream_dedup_keys,
+    "time_rollup_cascade": q_time_rollup_cascade,
+    "array_fns": q_array_fns,
     "stateful_running_totals": q_stateful_running_totals,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1506,6 +1572,8 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
+    "time_rollup_cascade": SQL_TIME_ROLLUP_CASCADE,
+    "array_fns": SQL_ARRAY_FNS,
     "stateful_running_totals": SQL_STATEFUL_RUNNING_TOTALS,
     # no oracle: ann_lsh_topk + ann_ivf_topk (approximate recall by
     # design), simhash_neardup (xxhash64 not reproducible in DuckDB)

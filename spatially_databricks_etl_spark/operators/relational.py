@@ -160,3 +160,45 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction}")
     out = unioned.select("__is_left", "__lrow", *picked).filter(F.col("__is_left") == 1)
     return out.select("__lrow.*", *right_values)
+
+
+def hierarchical_time_rollup(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    levels: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style cascading time rollup: minute → hour → day,
+    where each coarser level aggregates the FINER LEVEL'S OUTPUT, not
+    the raw rows.
+
+    Scale rationale: raw data is touched exactly once (the finest
+    bucket); every coarser level re-aggregates rows already reduced by
+    orders of magnitude — at 100 TB the hour/day passes are ~1/60 and
+    ~1/1440 of the base cost and can be materialized incrementally
+    (the continuous-aggregate pattern). Only decomposable aggregates
+    cascade (sum/count/min/max here; avg = sum/count at read time —
+    never cascade avg directly).
+
+    Returns (level, bucket_start, <key>, n_events, sum_value,
+    max_value), one row-set per level, unioned.
+    """
+    cur = df.groupBy(
+        F.date_trunc(levels[0], F.col(time_col)).alias("bucket_start"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    out = cur.withColumn("level", F.lit(levels[0]))
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start"), F.col(key_col)
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
+    return out.select("level", "bucket_start", key_col, "n_events", "sum_value", "max_value")

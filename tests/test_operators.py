@@ -159,3 +159,26 @@ def test_cosine_similarity_orthogonal(spark):
     out = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
     assert abs(out[0]["c"]) < 1e-9
     assert abs(out[1]["c"] - 1.0) < 1e-9
+
+
+def test_hierarchical_rollup_cascade_equals_direct(spark):
+    from spatially_databricks_etl_spark.operators.relational import (
+        hierarchical_time_rollup,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = hierarchical_time_rollup(ev, "ts", "event_type", "value")
+    # the cascaded day level must equal a direct day aggregation of raw rows
+    day = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in out.filter(F.col("level") == "day").collect()
+    }
+    direct = {
+        (r["b"], r["event_type"]): (r["n"], round(r["s"], 4))
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("b"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert day == direct

@@ -32,15 +32,30 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     from spatially_databricks_etl_spark.catalog import ORACLES, QUERIES
-    from spatially_databricks_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="diffcheck")
+    if vanilla:
+        # simulate the DRIVER's session exactly: ANSI defaults, no
+        # tuned confs — catches bare-cast / nanos-ts regressions that
+        # only bite outside our own get_spark()
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from spatially_databricks_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="diffcheck")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
