@@ -154,3 +154,59 @@ def frame_sample_plan(
         )
         .select(F.col(id_col), "frame_ts_ms", "payload", "media")
     )
+
+
+RESIZE_RESULT_SCHEMA = (
+    "item_id string, payload binary, media struct<modality:string, mime:string, "
+    "width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    *,
+    id_col: str = "item_id",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize payloads via ``mapInPandas`` keeping the (payload,
+    metadata) convention: bytes transform in Python, metadata updated
+    Spark-side so downstream metadata predicates stay prunable.
+
+    The codec call is stubbed deterministically (no image libs in this
+    container): the fake "resize" truncates the payload proportionally
+    to the pixel-count ratio — byte-level plumbing, batching and
+    schema are real; swap ``resize_fn`` for PIL's ``Image.resize`` per
+    executor in production.
+    """
+    import pandas as pd
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        src = payload or b""
+        keep = max(1, int(len(src) * min(1.0, (w * h) / float(640 * 480))))
+        return src[:keep]
+
+    fn = resize_fn or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": batch["item_id"],
+                    "payload": [
+                        fn(p if p is not None else b"", target_width, target_height)
+                        for p in batch["payload"]
+                    ],
+                }
+            )
+
+    resized = df.select(F.col(id_col).alias("item_id"), "payload").mapInPandas(
+        run, schema="item_id string, payload binary"
+    )
+    return attach_media_metadata(resized).withColumn(
+        "media",
+        F.col("media")
+        .withField("width", F.lit(target_width))
+        .withField("height", F.lit(target_height)),
+    )

@@ -61,3 +61,28 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols)
+    at WRITE time, so every later equi-join/aggregation on those
+    columns skips its shuffle entirely (plan shows SortMergeJoin with
+    NO Exchange under either side).
+
+    This is the 100 TB lever for fact-fact joins: pay the shuffle once
+    at ingest, never again. ``sort_cols`` additionally pre-sorts
+    within buckets, removing the Sort from later SMJs. Bucketing
+    requires ``saveAsTable`` (bucket metadata lives in the catalog,
+    not the files)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -80,3 +80,55 @@ def test_save_as_table_roundtrip(spark):
     back = spark.table("roundtrip_test")
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
     spark.sql("DROP TABLE roundtrip_test")
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Bucketing is the pay-once shuffle lever: a join of two tables
+    bucketed on the join key must contain NO Exchange."""
+    from spatially_databricks_etl_spark.sinks.writers import save_bucketed_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    save_bucketed_table(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    save_bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_bkt",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (scan reads only matching directories), not a data filter."""
+    from spatially_databricks_etl_spark.sinks.writers import write_parquet
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+    got = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan or (
+        "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    )
+    assert got.count() == ev.filter(F.col("event_type") == "click").count()

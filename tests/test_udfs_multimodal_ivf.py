@@ -124,3 +124,16 @@ def test_frame_sample_fanout(spark):
     ).withColumn("media", F.col("media").withField("duration_ms", F.lit(3500)))
     out = frame_sample_plan(df, every_ms=1000).collect()
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
+
+
+def test_resize_media_updates_payload_and_metadata(spark):
+    from spatially_databricks_etl_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [("1", b"x" * 1000), ("2", None)], ["item_id", "payload"]
+    )
+    out = {r["item_id"]: r for r in resize_media(df, 320, 240).collect()}
+    # fake resize keeps pixel-ratio fraction of bytes: (320*240)/(640*480)=0.25
+    assert len(out["1"]["payload"]) == 250
+    assert out["1"]["media"]["width"] == 320 and out["1"]["media"]["height"] == 240
+    assert len(out["2"]["payload"]) == 0  # null payload → empty bytes
