@@ -702,7 +702,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_STATS = r"""
 SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
-       round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_ws_tokens,
+       round(avg(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 4) AS avg_ws_tokens,
        round(avg(len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]'))), 4) AS avg_re_tokens,
        round(avg(CASE WHEN length(text) > 0
                  THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)

@@ -42,7 +42,10 @@ def token_count(col: Column | str, *, whitespace: bool = False) -> Column:
     regex-tokenizer mode."""
     c = F.col(col) if isinstance(col, str) else col
     if whitespace:
-        return F.size(F.split(F.trim(c), r"\s+"))
+        # split("", pat) yields [""] — an empty/blank string has 0 tokens
+        return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(c), r"\s+"))
+        )
     return F.size(tokens(c))
 
 
