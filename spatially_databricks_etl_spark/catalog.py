@@ -1416,6 +1416,74 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate → exact dedup
+    (min-id survivor) → near-dup clustering (MinHash pairs →
+    connected components → one representative per cluster). The
+    oracle replays the whole chain in SQL, resolving components with
+    a recursive CTE — deterministic because the survivor rule is
+    min-id everywhere and the fixture regime makes LSH recall exact."""
+    from spatially_databricks_etl_spark.operators.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_corpus(d, min_quality=0.6, near_threshold=0.7)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SQL_CURATE_CORPUS = (
+    r"""
+WITH RECURSIVE
+m AS (
+  SELECT doc_id, text, lang, n_chars,
+         length(text) AS n_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t IN """
+    + _SW_SQL
+    + r""")) / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+              ELSE 0.0 END AS sw_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, lang, n_chars FROM m
+  WHERE ((CASE WHEN n_len >= 50 AND n_len <= 20000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN sw_ratio > 0.05 AND sw_ratio < 0.6 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.6
+),
+e AS (
+  SELECT q.* FROM q
+  JOIN (SELECT text, min(doc_id) AS keep_id FROM q GROUP BY text) k
+    ON q.text = k.text AND q.doc_id = k.keep_id
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                      i -> substr(lower(text), i, 5))) AS sh
+  FROM e
+),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+),
+edges AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+SELECT e.doc_id, e.lang, e.n_chars
+FROM e LEFT JOIN comp ON e.doc_id = comp.id
+WHERE comp.id IS NULL OR comp.component = e.doc_id
+"""
+)
+
+
 def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-parity contract of the applyInPandasWithState running-
     totals operator: a batch frame is one micro-batch, so running
@@ -1518,6 +1586,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_keys": q_stream_dedup_keys,
     "time_rollup_cascade": q_time_rollup_cascade,
     "array_fns": q_array_fns,
+    "curate_corpus": q_curate_corpus,
     "stateful_running_totals": q_stateful_running_totals,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1575,6 +1644,7 @@ ORACLES: dict[str, str] = {
     "stream_dedup_keys": SQL_STREAM_DEDUP_KEYS,
     "time_rollup_cascade": SQL_TIME_ROLLUP_CASCADE,
     "array_fns": SQL_ARRAY_FNS,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "stateful_running_totals": SQL_STATEFUL_RUNNING_TOTALS,
     # no oracle: ann_lsh_topk + ann_ivf_topk (approximate recall by
     # design), simhash_neardup (xxhash64 not reproducible in DuckDB)

@@ -1,0 +1,116 @@
+"""Corpus curation: the end-to-end training-data pipeline that the
+dedup/text operators exist to serve (north-star extension; the
+reference has no analog — its pipeline ends at a filtered CTAS,
+`Spatially ETL test.py:236-245`).
+
+``curate_corpus`` composes: quality gate → language gate → exact
+dedup (deterministic survivor) → near-dup CLUSTERING (MinHash-LSH
+pairs → connected components → keep one representative per cluster).
+
+Connected components is the piece pair-generation alone can't do:
+near-dup pairs form chains (A~B, B~C but A≁C); dropping "the second
+doc of each pair" either over-drops or under-drops. Label propagation
+converges in diameter(cluster) iterations — near-dup clusters are
+shallow (docs similar to a common template), so 3-5 iterations
+suffice in practice; ``max_iterations`` bounds the worst case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.functions.text import quality_score
+from spatially_databricks_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation. Returns (id, component) for every vertex that appears
+    in an edge; component = smallest vertex id in the component.
+
+    Scale notes: each iteration is one shuffle (join on neighbor +
+    groupBy min); ``localCheckpoint`` truncates lineage so the plan
+    doesn't grow with iterations (use reliable ``checkpoint`` with a
+    cluster checkpoint dir in production). Early-stops as soon as an
+    iteration changes no label. For near-dup graphs the iteration
+    count is the cluster diameter, not corpus size.
+    """
+    sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.6,
+    langs: list[str] | None = None,
+    near_threshold: float = 0.7,
+) -> DataFrame:
+    """Training-data curation pipeline. Returns the KEPT rows of
+    ``docs`` (original columns), after:
+
+    1. quality gate: ``quality_score >= min_quality``;
+    2. optional language allow-list;
+    3. exact dedup on text, deterministic survivor (min id);
+    4. near-dup clustering at ``near_threshold`` Jaccard: MinHash-LSH
+       pairs → connected components → keep the min-id representative
+       of every cluster.
+
+    Each stage only shrinks the frame, so the expensive near-dup stage
+    runs on the smallest candidate set. The survivor rule (min id) is
+    deterministic end to end — required for the differential oracle.
+    """
+    d = docs.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    if langs:
+        d = d.filter(F.col("lang").isin(langs))
+    d = exact_dedup(d, [text_col], keep_by=id_col)
+    pairs = minhash_near_dedup(
+        d, text_col=text_col, id_col=id_col, threshold=near_threshold
+    )
+    comp = connected_components(pairs)
+    non_reps = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return d.join(non_reps, on=id_col, how="left_anti")

@@ -137,3 +137,32 @@ def test_resize_media_updates_payload_and_metadata(spark):
     assert len(out["1"]["payload"]) == 250
     assert out["1"]["media"]["width"] == 320 and out["1"]["media"]["height"] == 240
     assert len(out["2"]["payload"]) == 0  # null payload → empty bytes
+
+
+def test_connected_components_chain_and_islands(spark):
+    from spatially_databricks_etl_spark.operators.curate import connected_components
+
+    # chain 1-2-3 + island pair 10-11 (+ 99 absent from any edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_curate_corpus_invariants(spark):
+    from spatially_databricks_etl_spark.operators.curate import curate_corpus
+    from spatially_databricks_etl_spark.operators.dedup import minhash_near_dedup
+
+    d = load_table(spark, SF_DIR, "documents")
+    kept = curate_corpus(d, min_quality=0.0, near_threshold=0.7)
+    # no exact text duplicates survive
+    assert kept.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+    # no near-dup pair survives within the kept set
+    assert minhash_near_dedup(kept, threshold=0.7).count() == 0
+    # survivors are cluster minima: every dropped doc has a kept doc
+    # with a smaller id in its near-dup cluster (spot-check via pairs)
+    pairs = minhash_near_dedup(d, threshold=0.7)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r["id_a"] in kept_ids and r["id_b"] in kept_ids)
