@@ -1416,6 +1416,17 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 50% Bernoulli downsample (seeded sampleBy). No SQL
+    oracle — the sample set depends on Spark's per-partition RNG
+    stream; rates + determinism are property-tested in tests/."""
+    from spatially_databricks_etl_spark.operators.relational import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    fractions = {r["lang"]: 0.5 for r in d.select("lang").distinct().collect()}
+    return stratified_sample(d, "lang", fractions).select("doc_id", "lang")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: quality gate → exact dedup
     (min-id survivor) → near-dup clustering (MinHash pairs →
@@ -1587,6 +1598,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_rollup_cascade": q_time_rollup_cascade,
     "array_fns": q_array_fns,
     "curate_corpus": q_curate_corpus,
+    "stratified_sample": q_stratified_sample,
     "stateful_running_totals": q_stateful_running_totals,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

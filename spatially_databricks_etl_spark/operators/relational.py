@@ -202,3 +202,19 @@ def hierarchical_time_rollup(
         )
         out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
     return out.select("level", "bucket_start", key_col, "n_events", "sum_value", "max_value")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the standard
+    training-data rebalancing op (e.g. downsample the dominant
+    language). One narrow pass, no shuffle: each row flips a seeded
+    coin keyed by its stratum. Exact output is seed- and
+    partitioning-dependent, so correctness is checked by property
+    (per-stratum rates within tolerance), not by oracle."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

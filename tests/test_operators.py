@@ -182,3 +182,26 @@ def test_hierarchical_rollup_cascade_equals_direct(spark):
         .collect()
     }
     assert day == direct
+
+
+def test_stratified_sample_rates(spark):
+    from spatially_databricks_etl_spark.operators.relational import stratified_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    out = stratified_sample(d, "lang", fractions)
+    base = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got.get("fr", 0) == 0
+    assert got.get("de", 0) == base.get("de", 0)  # fraction 1.0 keeps all
+    if base.get("en", 0) >= 20:
+        rate = got.get("en", 0) / base["en"]
+        assert 0.25 <= rate <= 0.75, rate
+    # strata not in the fractions dict are dropped entirely
+    extra = set(got) - set(fractions)
+    assert not extra
+    # determinism: same seed → same sample
+    again = stratified_sample(d, "lang", fractions)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+        r["doc_id"] for r in again.select("doc_id").collect()
+    }
