@@ -1416,6 +1416,21 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based table profile per returnflag: HLL++ distinct
+    partkeys + t-digest-style approximate price quantiles — the
+    fixed-state answers a 100 TB profiler would use. No SQL oracle
+    (DuckDB's sketch implementations differ); accuracy contracts are
+    asserted against exact recomputation in tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_distinct_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language 50% Bernoulli downsample (seeded sampleBy). No SQL
     oracle — the sample set depends on Spark's per-partition RNG
@@ -1598,6 +1613,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_rollup_cascade": q_time_rollup_cascade,
     "array_fns": q_array_fns,
     "curate_corpus": q_curate_corpus,
+    "sketch_profile": q_sketch_profile,
     "stratified_sample": q_stratified_sample,
     "stateful_running_totals": q_stateful_running_totals,
     "ann_ivf_topk": q_ann_ivf_topk,
