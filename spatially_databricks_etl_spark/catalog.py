@@ -874,8 +874,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-able despite LSH: fixed seeds make the pipeline fully
     deterministic, and the fixtures' organic near-dup pairs all sit
-    at J≥0.92 — far above both the 0.7 threshold and the b=21/r=6
-    S-curve crossover (~0.60) — so recall is exactly 1.0 and the
+    at J≥0.92 — far above both the 0.7 threshold and the b=16/r=6
+    S-curve crossover (~0.63; per-pair miss P=(1-0.92^6)^16≈3e-7) —
+    so recall is exactly 1.0 and the
     result equals the exact-Jaccard pair set the DuckDB oracle
     computes brute-force."""
     d = _t(spark, sf_dir, "documents")

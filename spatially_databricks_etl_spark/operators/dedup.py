@@ -99,8 +99,8 @@ def minhash_near_dedup(
     id_col: str = "doc_id",
     *,
     shingle_size: int = 5,
-    num_hashes: int = 126,
-    bands: int = 21,
+    num_hashes: int = 96,
+    bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int = 200,
@@ -130,7 +130,7 @@ def minhash_near_dedup(
     full shingle→hash→signature chain — the dominant cost — from the
     source scan.
 
-    Defaults b=21, r=6 put the S-curve crossover at (1/21)^(1/6)≈0.60:
+    Defaults b=16, r=6 put the S-curve crossover at (1/16)^(1/6)≈0.63:
     pairs at J≥0.8 are found with P>0.999 while J≈0.2 background
     produces ~1e-3 candidate rate. Deterministic (fixed seeds).
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.

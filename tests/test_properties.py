@@ -21,6 +21,7 @@ TEXT = st.text(
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # CI-stable: no fresh random examples per run
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
