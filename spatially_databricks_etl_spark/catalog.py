@@ -1062,7 +1062,7 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     orders = _t(spark, sf_dir, "orders")
-    joined = salted_join(li, orders.select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    joined = salted_join(li, orders.select("o_orderkey", "o_orderpriority"), "o_orderkey", salt_buckets=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
