@@ -197,19 +197,19 @@ def ivf_topk(
     cents = [[float(x) for x in r["__v"]] for r in sample]
     inv_norms = [1.0 / float(np.linalg.norm(c) or 1.0) for c in cents]
 
+    # one nested literal (centroids pre-scaled by 1/|c_j|) + an
+    # indexed transform keeps the expression tree O(1) in n_centroids
+    # (vs n_centroids separate dot expressions — compile time grows
+    # with tree size, and this path is re-planned per query batch)
+    scaled = [[x * inv_norms[j] for x in c] for j, c in enumerate(cents)]
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in scaled])
+
     def cell_sims(vec: Column) -> Column:
         # |v| is constant across centroids, so argmax over
         # dot(v, c_j)/|c_j| == argmax over cosine — skip |v|.
-        return F.array(
-            *[
-                F.struct(
-                    (dot(vec, F.array(*[F.lit(x) for x in c])) * F.lit(inv_norms[j])).alias(
-                        "sim"
-                    ),
-                    F.lit(j).alias("cell"),
-                )
-                for j, c in enumerate(cents)
-            ]
+        return F.transform(
+            cents_lit,
+            lambda c, j: F.struct(dot(vec, c).alias("sim"), j.alias("cell")),
         )
 
     c = ensure_parallelism(
