@@ -978,6 +978,73 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose
+    entire cost is IO, so pushdown + pruning decide everything. The
+    scan must show PushedFilters on date/discount/quantity and a
+    4-column ReadSchema."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact⋈dim⋈dim star with a selective fact
+    filter, grouped revenue, top-20 by revenue (tiebreak on custkey
+    for a deterministic oracle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    out = top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+    return out.select("c_custkey", "c_name", "n_name", "revenue")
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Advanced relational: grouping sets, pivot, percentiles, skew-safe join
 # ---------------------------------------------------------------------------
@@ -1562,6 +1629,8 @@ QUERIES: dict[str, QueryFn] = {
     "ref_pipeline": q_ref_pipeline,
     "filter_range_in_rlike": q_filter_range_in_rlike,
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "rollup": q_rollup,
     "cube": q_cube,
     "count_distinct": q_count_distinct,
@@ -1624,6 +1693,8 @@ ORACLES: dict[str, str] = {
     "ref_pipeline": SQL_REF_PIPELINE,
     "filter_range_in_rlike": SQL_FILTER_RANGE_IN_RLIKE,
     "q1_pricing_summary": SQL_Q1,
+    "q6_forecast_revenue": SQL_Q6,
+    "q10_returned_items": SQL_Q10,
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
     "count_distinct": SQL_COUNT_DISTINCT,

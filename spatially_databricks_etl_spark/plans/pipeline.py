@@ -134,3 +134,22 @@ def reference_pipeline(
         save_as_table(gold, gold_table, mode="overwrite")
         return spark.table(gold_table)
     return gold
+
+
+def observed(df, name: str, *metrics):
+    """Attach Spark Observation metrics to a pipeline stage: row
+    counts / invariant aggregates computed DURING the action (no extra
+    pass, no extra job — unlike calling ``.count()`` for telemetry,
+    which re-executes the plan). Returns (df, observation); read
+    ``observation.get`` after the action completes.
+
+    The production use: every curation stage reports rows-in/rows-out
+    and sanity aggregates to the pipeline log at zero additional scan
+    cost — at 100 TB a telemetry ``count()`` is a second full pass.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if not metrics:
+        metrics = (F.count(F.lit(1)).alias("rows"),)
+    return df.observe(obs, *metrics), obs

@@ -132,3 +132,20 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
     )
     assert got.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_observed_metrics_no_extra_job(spark):
+    from spatially_databricks_etl_spark.plans.pipeline import observed
+
+    ev = load_table(spark, SF_DIR, "events")
+    df, obs = observed(
+        ev.filter(F.col("value") > 0),
+        "gate",
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    n = df.count()  # the one action; metrics ride along
+    got = obs.get
+    assert got["rows"] == n
+    exact = ev.filter(F.col("value") > 0).agg(F.round(F.sum("value"), 4)).collect()[0][0]
+    assert abs(got["sum_value"] - exact) < 1e-6
