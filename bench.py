@@ -20,6 +20,8 @@ import time
 HEADLINE = [
     "ref_pipeline",
     "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q3_top_revenue_orders",
     "q5_star_join",
     "rollup",
