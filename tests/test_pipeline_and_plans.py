@@ -149,3 +149,57 @@ def test_observed_metrics_no_extra_job(spark):
     assert got["rows"] == n
     exact = ev.filter(F.col("value") > 0).agg(F.round(F.sum("value"), 4)).collect()[0][0]
     assert abs(got["sum_value"] - exact) < 1e-6
+
+
+def test_run_pipeline_blob_and_api_dispatch(spark, tmp_path):
+    from spatially_databricks_etl_spark.plans.pipeline import run_pipeline
+    import pytest as _pytest
+
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    got = run_pipeline(
+        spark,
+        {
+            "data_source": "BLOB",
+            "path": str(p),
+            "schema": "a int, b string",
+            "transform": lambda df: df.filter(F.col("a") > 1),
+            "gold_table": "gold_dispatch_test",
+        },
+    )
+    assert [r["b"] for r in got.collect()] == ["y"]
+
+    def fake_fetch(base_url, limit, offset):
+        return [{"id": offset + i} for i in range(min(limit, 7 - offset))]
+
+    api = run_pipeline(
+        spark,
+        {
+            "data_source": "API",
+            "base_url": "http://fake",
+            "limit": 3,
+            "total_records": 7,
+            "schema": "id long",
+            "fetch_page": fake_fetch,
+        },
+    )
+    assert api.count() == 7
+
+    with _pytest.raises(ValueError, match="unsupported data_source"):
+        run_pipeline(spark, {"data_source": "KAFKA"})
+
+
+def test_configure_object_store_env_secrets(spark, monkeypatch):
+    from spatially_databricks_etl_spark.plans.pipeline import configure_object_store
+    import pytest as _pytest
+
+    monkeypatch.setenv("SPARK_SECRET_CLIENT_ID", "abc-123")
+    configure_object_store(
+        spark, {"fs.azure.account.oauth2.client.id.x.dfs.core.windows.net": "env:CLIENT_ID"}
+    )
+    assert (
+        spark.conf.get("fs.azure.account.oauth2.client.id.x.dfs.core.windows.net")
+        == "abc-123"
+    )
+    with _pytest.raises(KeyError):
+        configure_object_store(spark, {"k": "env:MISSING_SECRET_XYZ"})
