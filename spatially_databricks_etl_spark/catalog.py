@@ -821,6 +821,155 @@ GROUP BY lang
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents. Each doc is laced
+    with a deterministic synthetic contact line (email/phone/IP built
+    from doc_id) so the detectors and the redactor are exercised on
+    every row regardless of corpus content; per-source counts plus the
+    redacted length verify both the match counts and the rewrite."""
+    from spatially_databricks_etl_spark.functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    laced = d.withColumn(
+        "laced",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    per_doc = laced.select(
+        "source",
+        pii_count("laced", "email").alias("n_email"),
+        pii_count("laced", "phone").alias("n_phone"),
+        pii_count("laced", "ip").alias("n_ip"),
+        F.length(redact_pii("laced")).alias("red_len"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_found"),
+        F.sum("n_phone").cast("long").alias("phones_found"),
+        F.sum("n_ip").cast("long").alias("ips_found"),
+        F.round(F.avg("red_len"), 4).alias("avg_redacted_len"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH laced AS (
+  SELECT source,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS laced
+  FROM documents
+), c AS (
+  SELECT source,
+         len(regexp_extract_all(laced, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(laced, '\b\d{3}[-.]\d{4}\b')) AS n_phone,
+         len(regexp_extract_all(laced, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         length(regexp_replace(regexp_replace(regexp_replace(laced,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS red_len
+  FROM laced
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_found,
+       CAST(sum(n_phone) AS BIGINT) AS phones_found,
+       CAST(sum(n_ip) AS BIGINT) AS ips_found,
+       round(avg(red_len), 4) AS avg_redacted_len
+FROM c GROUP BY source
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-token fraction,
+    top-bigram fraction) aggregated per source — the quality gate a
+    pretraining pipeline runs before dedup."""
+    from spatially_databricks_etl_spark.operators.curate import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = repetition_metrics(d)
+    joined = d.select("doc_id", "source").join(per_doc, on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_token_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+), perdoc AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE [] END AS bigrams
+  FROM base
+), bgc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS bg FROM perdoc)
+  GROUP BY doc_id, bg
+), topf AS (
+  SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT p.source, count(*) AS n_docs,
+       round(avg(p.dup_token_frac), 6) AS avg_dup_token_frac,
+       round(avg(coalesce(t.top_bigram_frac, 0.0)), 6) AS avg_top_bigram_frac
+FROM perdoc p LEFT JOIN topf t USING (doc_id)
+GROUP BY p.source
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing any exact word
+    5-gram with the benchmark subset (doc_id % 97 == 0). The planted
+    near-duplicates guarantee organic hits at every SF."""
+    from spatially_databricks_etl_spark.operators.curate import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(corpus, bench, n=5)
+    return out.select("doc_id", F.col("n_shared_ngrams").cast("long").alias("n_shared_ngrams"))
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5
+                      THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+                      ELSE [] END) AS gram
+        FROM toks)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north star)
 # ---------------------------------------------------------------------------
@@ -1676,6 +1825,9 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_tokens": q_udtf_tokens,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
@@ -1738,6 +1890,9 @@ ORACLES: dict[str, str] = {
     "udtf_tokens": SQL_UDTF_TOKENS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "pii_redact": SQL_PII_REDACT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
     "media_features": SQL_MEDIA_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,

@@ -97,6 +97,37 @@ def lang_id(col: Column | str, markers: dict[str, tuple[str, ...]] | None = None
     return best_lang
 
 
+# PII detection/redaction patterns (north-star training-data op; no
+# reference analog — its only regex is the paren-strip at `Spatially
+# ETL test.py:156-157`). Same regex flavor accepted by Java regex
+# (Spark) and RE2 (DuckDB oracle): char classes, \b, bounded repeats.
+# Redaction order matters: emails first (their local parts may contain
+# digit runs), then phones, then IPs; replacement tokens are
+# letter-only so later patterns can't match inside them.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (``email``/``phone``/``ip``) —
+    JVM-side ``regexp_count``, codegen'd, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind][0]))
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ip")) -> Column:
+    """Replace every PII match with its typed token, in the fixed
+    email→phone→ip order (see ``PII_PATTERNS`` ordering note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def ngrams(col: Column | str, n: int = 3, *, character: bool = True) -> Column:
     """Array of n-grams (character shingles by default) — the input to
     MinHash/Jaccard dedup. Character mode slides over the lowercased

@@ -27,6 +27,113 @@ from spatially_databricks_etl_spark.operators.dedup import (
 )
 
 
+def _token_ngrams(toks, n: int):
+    """Word n-grams over an already-split token array (space-joined),
+    empty array below n tokens — same output as
+    ``functions.text.ngrams(col, n, character=False)`` without the
+    join-then-resplit round trip."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ws_tokens(text_col: str):
+    """Lowercased whitespace tokens; empty array for blank text (split
+    of '' would yield [''] — one phantom token)."""
+    c = F.col(text_col)
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(c)), r"\s+")
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_token_frac``: 1 − distinct/total whitespace tokens (0.0
+      for empty docs) — pure array functions, codegen'd per row;
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigrams (0.0 when fewer than 2 tokens).
+
+    The bigram mode is computed distributed (explode → two-level
+    groupBy), not with an O(tokens²) per-row array scan: at 100 TB a
+    long document would make the quadratic variant a straggler, while
+    explode+partial-agg shuffles only (doc_id, bigram, count) rows.
+    No reference analog (its quality story is a manual SELECT *,
+    `Spatially ETL test.py:249-250`).
+    """
+    toks = docs.select(F.col(id_col), _ws_tokens(text_col).alias("toks"))
+    per_doc = toks.select(
+        id_col,
+        F.when(
+            F.size("toks") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        _token_ngrams(F.col("toks"), 2).alias("bigrams"),
+    )
+    bigram_counts = (
+        per_doc.select(id_col, F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_frac = bigram_counts.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return (
+        per_doc.drop("bigrams")
+        .join(top_frac, on=id_col, how="left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train/test contamination check: corpus documents sharing at
+    least one exact word ``n``-gram with any benchmark document.
+    Returns (id_col, n_shared_ngrams) — distinct shared n-grams per
+    contaminated document; clean documents are absent.
+
+    Scale shape: the benchmark n-gram set is DISTINCT-ed then
+    broadcast (benchmark suites are MBs, the corpus is the 100 TB
+    side), so the probe is a map-side hash join over the exploded
+    corpus grams — no shuffle of the big side. For corpora where even
+    per-executor gram sets strain memory, swap the broadcast for a
+    bucketed join on ``xxhash64(gram)`` longs (string equality is
+    preserved modulo negligible 64-bit collisions).
+    No reference analog.
+    """
+    def gram_rows(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col), _ws_tokens(text_col).alias("toks"))
+        return (
+            toks.select(
+                id_col, F.explode(_token_ngrams(F.col("toks"), n)).alias("gram")
+            )
+            .distinct()
+        )
+
+    bench_grams = gram_rows(benchmark).select("gram").distinct()
+    corpus_grams = gram_rows(docs)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -1,0 +1,103 @@
+"""Tests for the PII / repetition / decontamination curation ops.
+
+Tiny hand-built frames with known-by-construction answers, plus a
+plan-shape check that the decontamination probe broadcasts the
+benchmark side (the 100 TB-corpus design in curate.decontaminate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.functions.text import pii_count, redact_pii
+from spatially_databricks_etl_spark.operators.curate import (
+    decontaminate,
+    repetition_metrics,
+)
+
+
+def test_pii_count_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co and c@y.io, call 555-1234, host 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "phone").alias("p"),
+            pii_count("text", "ip").alias("i"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (2, 1, 1)
+    assert rows[1]["red"] == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>"
+    assert (rows[2]["e"], rows[2]["p"], rows[2]["i"]) == (0, 0, 0)
+    assert rows[2]["red"] == "no pii here at all"
+    assert rows[3]["red"] == ""
+
+
+def test_redact_order_email_before_phone(spark):
+    # the digits inside an email local part must not survive as a
+    # phone match after email redaction (letter-only tokens guarantee
+    # later patterns can't fire inside them)
+    df = spark.createDataFrame([("x 555-1234@ex.com y",)], ["text"])
+    assert df.select(redact_pii("text").alias("r")).first()["r"] == "x <EMAIL> y"
+
+
+def test_repetition_metrics_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # 1 distinct / 4 toks; bigrams: "a a" x3 -> top 1.0
+            (2, "w x y z"),  # all distinct; 3 distinct bigrams -> top 1/3
+            (3, "solo"),  # one token: no bigrams -> 0.0
+            (4, ""),  # empty: both 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 1 / 3) < 1e-12
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_decontaminate_exact_5gram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown fox jumps" and "quick brown fox
+            # jumps over" (2 distinct shared 5-grams)
+            (1, "see the quick brown fox jumps over fences"),
+            (2, "completely unrelated text with many different words"),
+            (3, "quick brown fox"),  # <5 tokens of overlap, no 5-gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(corpus, bench, n=5)
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in out.collect()}
+    assert rows == {1: 2}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    bench = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(2, "a b c d e g")], ["doc_id", "text"])
+    plan = (
+        decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
