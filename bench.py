@@ -42,6 +42,11 @@ HEADLINE = [
     "grouped_map_zscore",
     "dedup_exact",
     "minhash_neardup",
+    "hash_split",
+    "merge_upsert",
+    "pack_sequences",
+    "pii_redact",
+    "decontaminate",
     "ann_brute_topk",
     "ann_ivf_topk",
     "media_features",

@@ -970,6 +970,124 @@ GROUP BY c.doc_id
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of documents by
+    md5(doc_id||salt) prefix — leakage-safe (same doc always lands in
+    the same split) and engine-portable (hex-prefix thresholds compare
+    identically in DuckDB)."""
+    from spatially_databricks_etl_spark.operators.curate import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, salt="r1", method="md5")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# edges from operators.curate.hash_split_edges({'train':.8,'val':.1,'test':.1}):
+# train < 'cccc' (52428/65536), val < 'e666' (58982/65536), else test
+SQL_HASH_SPLIT = r"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style incremental upsert on orders: a synthetic delta
+    batch updates every 7th order's totalprice and inserts a shifted
+    copy of every 101st order; aggregating the merged relation by
+    status verifies both the replacement and the append."""
+    from spatially_databricks_etl_spark.operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1_000_000_000
+    )
+    merged = merge_upsert(
+        o, updates.unionByName(inserts), key_cols=["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SQL_MERGE_UPSERT = r"""
+WITH source AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+), merged AS (
+  SELECT * FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM source s WHERE s.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat tokens per shard, cut every
+    512): per-shard doc count, total tokens, number of sequences
+    produced, boundary-straddling docs, and mean fill ratio."""
+    from spatially_databricks_etl_spark.operators.curate import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, capacity=512, n_shards=8)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("last_seq") + 1).cast("long").alias("n_seqs"),
+        F.sum((F.col("last_seq") > F.col("first_seq")).cast("int"))
+        .cast("long")
+        .alias("straddlers"),
+        F.round(
+            F.sum("n_tokens") / ((F.max("last_seq") + 1) * 512), 6
+        ).alias("fill_ratio"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM toks
+), per AS (
+  SELECT shard, n_tokens,
+         CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq,
+         greatest(CAST(floor(start_tok / 512.0) AS BIGINT),
+                  CAST(floor((start_tok + n_tokens - 1) / 512.0) AS BIGINT)) AS last_seq
+  FROM cum
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS straddlers,
+       round(sum(n_tokens) / ((max(last_seq) + 1) * 512.0), 6) AS fill_ratio
+FROM per GROUP BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north star)
 # ---------------------------------------------------------------------------
@@ -1828,6 +1946,9 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "hash_split": q_hash_split,
+    "merge_upsert": q_merge_upsert,
+    "pack_sequences": q_pack_sequences,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
@@ -1893,6 +2014,9 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "repetition_stats": SQL_REPETITION_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "hash_split": SQL_HASH_SPLIT,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "media_features": SQL_MEDIA_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,

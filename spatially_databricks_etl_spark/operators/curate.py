@@ -134,6 +134,108 @@ def decontaminate(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing a stable
+    key — the standard leakage-safe way to split a corpus (same key →
+    same split forever, regardless of row order, partitioning, or
+    cluster size; no reference analog).
+
+    ``method="md5"``: bucket = first 4 hex chars of
+    ``md5(key || salt)`` compared against precomputed hex thresholds —
+    fixed-width lowercase hex compares identically as a string in any
+    engine, so the exact assignment is reproducible outside Spark
+    (the DuckDB oracle uses the same expression).
+    ``method="xxhash64"``: cheaper 64-bit path for production.
+    Both are JVM-codegen'd per row: no shuffle, no UDF — the split
+    of a 100 TB corpus is a map-only pass.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {splits}")
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    if method == "md5":
+        bucket = F.substring(F.md5(key), 1, 4)  # uniform over 16^4
+        space = 16**4
+        to_edge = lambda c: format(min(int(c * space), space - 1), "04x")  # noqa: E731
+    elif method == "xxhash64":
+        bucket, space = F.pmod(F.xxhash64(key), F.lit(1_000_000)), 1_000_000
+        to_edge = lambda c: min(int(c * space), space - 1)  # noqa: E731
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    expr, cum = None, 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < F.lit(to_edge(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr if expr is not None else F.when(F.lit(False), "")).otherwise(
+        names[-1]
+    )
+    return docs.withColumn("split", expr)
+
+
+def hash_split_edges(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, exclusive upper hex edge) pairs for the md5 method —
+    exported so oracle SQL can be built from the same arithmetic."""
+    out, cum = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        out.append((name, format(min(int(cum * 16**4), 16**4 - 1), "04x")))
+    out.append((names[-1], "ffff"))
+    return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in a deterministic order and cut every ``capacity`` tokens, so a
+    document may straddle a sequence boundary (exactly the pretraining
+    data layout; no reference analog). Emits per document its token
+    count, shard, and the first/last sequence index it lands in —
+    closed-form from a window cumsum, so the whole operator is one
+    shuffle (hash-partition by shard + sort by id) with zero UDFs.
+
+    Sharding (``id % n_shards``) bounds each window partition: packing
+    is embarrassingly parallel across shards, so at 100 TB n_shards
+    scales with the cluster rather than forcing one global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(_ws_tokens(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    with_cum = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return with_cum.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_tok") / capacity).alias("first_seq"),
+        F.greatest(
+            F.floor(F.col("start_tok") / capacity),
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / capacity),
+        ).alias("last_seq"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

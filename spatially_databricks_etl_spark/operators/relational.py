@@ -37,6 +37,38 @@ def broadcast_join(
     return big.join(F.broadcast(small), on=on, how=how)
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """MERGE-style upsert as a batch relation: every source row wins
+    over a target row with the same key (WHEN MATCHED THEN UPDATE SET
+    *), unmatched source rows are appended (WHEN NOT MATCHED THEN
+    INSERT *). Returns the merged DataFrame; pair with a sink writer
+    for the reference's overwrite-table pattern (`Spatially ETL
+    test.py:230-231` — its only write mode is full overwrite; this is
+    the incremental version a daily 100 TB pipeline actually needs).
+
+    Shape: LEFT ANTI join of target against the source KEYS, then
+    unionByName with the source. Versus the full-outer-join +
+    coalesce-every-column alternative this touches each target column
+    once, and the anti-join probe side is just the source's key
+    columns — broadcastable whenever the delta batch is small
+    (the common case: a day's updates vs years of accumulated fact),
+    making the whole merge a map-side pass over the target plus an
+    append. Set ``broadcast_source=False`` when the delta itself is
+    huge; Catalyst then falls back to a shuffled join on the keys.
+    """
+    keys = source.select(*key_cols).dropDuplicates(list(key_cols))
+    if broadcast_source:
+        keys = F.broadcast(keys)
+    untouched = target.join(keys, on=list(key_cols), how="left_anti")
+    return untouched.unionByName(source)
+
+
 def salted_join(
     big: DataFrame,
     skewed: DataFrame,

@@ -91,6 +91,67 @@ def test_decontaminate_exact_5gram_overlap(spark):
     assert rows == {1: 2}
 
 
+def test_hash_split_deterministic_and_proportional(spark):
+    from spatially_databricks_etl_spark.operators.curate import hash_split
+
+    docs = spark.range(20000).toDF("doc_id")
+    out = hash_split(docs, salt="s1").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+    # same key + salt => identical assignment across calls and methods
+    a = hash_split(docs, salt="s1").collect()
+    b = hash_split(docs, salt="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # different salt reshuffles a nontrivial fraction
+    c = dict(
+        hash_split(docs, salt="s2").select("doc_id", "split").collect()
+    )
+    a_map = dict(docs.sparkSession.createDataFrame(a, ["doc_id", "split"]).collect())
+    moved = sum(1 for k, v in a_map.items() if c[k] != v)
+    assert moved > 1000
+
+
+def test_merge_upsert_semantics(spark):
+    from spatially_databricks_etl_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    rows = {r["k"]: r for r in merge_upsert(target, source, key_cols=["k"]).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[2]["name"], rows[2]["v"]) == ("b2", 99.0)  # updated
+    assert rows[4]["name"] == "d"  # inserted
+    assert rows[1]["v"] == 10.0  # untouched
+
+
+def test_pack_sequences_invariants(spark):
+    from spatially_databricks_etl_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + (i * 13) % 50))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, capacity=64, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 200
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            # replay the concat-and-chunk layout sequentially
+            assert r["first_seq"] == pos // 64
+            end = pos + r["n_tokens"] - 1
+            assert r["last_seq"] == max(pos // 64, end // 64)
+            pos += r["n_tokens"]
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     corpus = spark.createDataFrame([(2, "a b c d e g")], ["doc_id", "text"])
