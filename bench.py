@@ -47,6 +47,9 @@ HEADLINE = [
     "pack_sequences",
     "pii_redact",
     "decontaminate",
+    "resample_ffill",
+    "scd2",
+    "fuzzy_join",
     "ann_brute_topk",
     "ann_ivf_topk",
     "media_features",

@@ -1088,6 +1088,116 @@ FROM per GROUP BY shard
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample of event values with forward fill
+    across gap days — full grid from each user's first to last
+    active day."""
+    from spatially_databricks_etl_spark.operators.relational import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_ffill(ev, ts_col="ts", key_col="user_id", value_col="value")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("filled_value", 4).alias("filled_value"),
+        "is_gap",
+    )
+
+
+SQL_RESAMPLE_FFILL = r"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+), j AS (
+  SELECT g.user_id, g.bucket, d.v
+  FROM grid g LEFT JOIN daily d USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING), 4) AS filled_value,
+       (v IS NULL) AS is_gap
+FROM j
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension from the event change log: per user, how
+    many event_type versions (consecutive-duplicate collapsed) and
+    which version is currently open."""
+    from spatially_databricks_etl_spark.operators.relational import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_from_changelog(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(F.when(F.col("is_current"), F.col("event_type"))).alias(
+            "current_type"
+        ),
+    )
+
+
+SQL_SCD2 = r"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+), iv AS (
+  SELECT user_id, event_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changes
+)
+SELECT user_id, count(*) AS n_versions,
+       max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type
+FROM iv GROUP BY user_id
+"""
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-≤1 join: probe strings are part names with
+    the last character dropped; every probe must recover its source
+    part (plus any other within-distance names). Length-band blocking
+    keeps the candidate step an equi-join."""
+    from spatially_databricks_etl_spark.operators.similarity import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    probe = part.filter(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("q"),
+    )
+    out = fuzzy_join(
+        part, probe, corpus_col="p_name", probe_col="q", max_distance=1
+    )
+    return out.groupBy("probe_key").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("distance").cast("long").alias("min_distance"),
+    )
+
+
+SQL_FUZZY_JOIN = r"""
+WITH probe AS (
+  SELECT p_partkey AS probe_key, substr(p_name, 1, length(p_name) - 1) AS q
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT probe_key, count(*) AS n_matches,
+       CAST(min(levenshtein(q, p_name)) AS BIGINT) AS min_distance
+FROM probe JOIN part
+  ON abs(length(q) - length(p_name)) <= 1 AND levenshtein(q, p_name) <= 1
+GROUP BY probe_key
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north star)
 # ---------------------------------------------------------------------------
@@ -1949,6 +2059,9 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "resample_ffill": q_resample_ffill,
+    "scd2": q_scd2,
+    "fuzzy_join": q_fuzzy_join,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
@@ -2017,6 +2130,9 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "resample_ffill": SQL_RESAMPLE_FFILL,
+    "scd2": SQL_SCD2,
+    "fuzzy_join": SQL_FUZZY_JOIN,
     "media_features": SQL_MEDIA_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,

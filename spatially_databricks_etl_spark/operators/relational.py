@@ -236,6 +236,93 @@ def hierarchical_time_rollup(
     return out.select("level", "bucket_start", key_col, "n_events", "sum_value", "max_value")
 
 
+def resample_ffill(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    unit: str = "day",
+) -> DataFrame:
+    """Time-series resample + forward fill: bucket each key's values
+    to a regular ``unit`` grid (mean per bucket), materialize every
+    bucket between the key's first and last observation, and carry the
+    last observed value across gaps. Emits (key, bucket, filled_value,
+    is_gap). The standard conforming step before any equi-spaced
+    time-series model; no reference analog (it keeps years as ints,
+    `Spatially ETL test.py:170-171`).
+
+    Scale shape: the grid is built per key with ``sequence`` + explode
+    (rows generated ∝ key's own span — no global calendar cross
+    join), and the fill is one ``last(ignorenulls)`` running window
+    per key. Grids of high-cardinality key sets parallelize across
+    the key hash; a single key's multi-year daily grid is only ~10³
+    rows, so no straggler risk.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    step = F.expr(f"interval 1 {unit}")
+    per_bucket = (
+        df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(F.avg(value_col).alias("v"))
+    )
+    grid = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            key_col,
+            F.explode(F.sequence("mn", "mx", step)).alias("bucket"),
+        )
+    )
+    joined = grid.join(per_bucket, on=[key_col, "bucket"], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: collapse
+    consecutive rows with the same ``attr_col`` value, then build
+    versioned validity intervals — (key, attr, valid_from, valid_to,
+    is_current) with ``valid_to`` null on the open current version.
+    The incremental-dimension pattern the reference's full-overwrite
+    write (`Spatially ETL test.py:230-231`) cannot express.
+
+    Pure window algebra over one hash partition by key: change
+    detection is ``lag``, interval close is ``lead`` — two passes over
+    the same sort order, so Catalyst plans a single Exchange + Sort.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    changes = (
+        df.select(key_col, attr_col, *order)
+        .withColumn("prev", F.lag(attr_col).over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

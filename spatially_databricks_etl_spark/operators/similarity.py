@@ -236,3 +236,42 @@ def ivf_topk(
         scored, ["query_id"], [F.col("cosine_sim").desc(), F.col("neighbor_id")], k, rank_col="rank"
     )
     return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def fuzzy_join(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    corpus_col: str,
+    probe_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """EXACT bounded-edit-distance join: every (probe, corpus) pair
+    with ``levenshtein ≤ max_distance``. No reference analog — its
+    only string normalization is a regex strip, `Spatially ETL
+    test.py:156-157`.
+
+    Scale shape: an edit of ≤ k changes length by ≤ k, so each probe
+    row is exploded into the 2k+1 candidate lengths and the candidate
+    step is an EQUI-join on exact string length — a hash shuffle,
+    never a cross or theta join — followed by the levenshtein verify
+    on the (small) banded candidate set. Both sides scan once; the
+    blocking is lossless, so the result is exact.
+    """
+    k = max_distance
+    c = corpus.withColumn("__len", F.length(corpus_col))
+    p = probe.withColumn(
+        "__len",
+        F.explode(
+            F.sequence(
+                F.greatest(F.length(probe_col) - k, F.lit(0)),
+                F.length(probe_col) + k,
+            )
+        ),
+    )
+    cand = p.join(c, on="__len")
+    return (
+        cand.withColumn("distance", F.levenshtein(probe_col, corpus_col))
+        .filter(F.col("distance") <= k)
+        .drop("__len")
+    )

@@ -205,3 +205,89 @@ def test_stratified_sample_rates(spark):
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
         r["doc_id"] for r in again.select("doc_id").collect()
     }
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from datetime import datetime
+
+    from spatially_databricks_etl_spark.operators.relational import resample_ffill
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 5), 10.0),
+            (1, datetime(2024, 1, 1, 9), 20.0),  # same day -> avg 15
+            (1, datetime(2024, 1, 4, 1), 40.0),  # two-day gap
+            (2, datetime(2024, 1, 2, 0), 7.0),  # single-day key
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = resample_ffill(ev, ts_col="ts", key_col="user_id", value_col="value")
+    rows = {(r["user_id"], r["bucket"].day): r for r in out.collect()}
+    assert len(rows) == 5  # user1: days 1-4; user2: day 2
+    assert rows[(1, 1)]["filled_value"] == 15.0 and not rows[(1, 1)]["is_gap"]
+    assert rows[(1, 2)]["filled_value"] == 15.0 and rows[(1, 2)]["is_gap"]
+    assert rows[(1, 3)]["filled_value"] == 15.0 and rows[(1, 3)]["is_gap"]
+    assert rows[(1, 4)]["filled_value"] == 40.0 and not rows[(1, 4)]["is_gap"]
+    assert rows[(2, 2)]["filled_value"] == 7.0
+
+
+def test_scd2_intervals(spark):
+    from datetime import datetime
+
+    from spatially_databricks_etl_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "A", datetime(2024, 1, 1), 1),
+            (1, "A", datetime(2024, 1, 2), 2),  # consecutive dup: collapsed
+            (1, "B", datetime(2024, 1, 3), 3),
+            (1, "A", datetime(2024, 1, 5), 4),  # back to A: NEW version
+        ],
+        ["k", "attr", "ts", "seq"],
+    )
+    iv = scd2_from_changelog(
+        log, key_col="k", attr_col="attr", ts_col="ts", tiebreak_col="seq"
+    ).collect()
+    iv.sort(key=lambda r: r["valid_from"])
+    assert [r["attr"] for r in iv] == ["A", "B", "A"]
+    assert iv[0]["valid_to"] == iv[1]["valid_from"]
+    assert iv[1]["valid_to"] == iv[2]["valid_from"]
+    assert iv[2]["valid_to"] is None and iv[2]["is_current"]
+
+
+def test_fuzzy_join_exact_vs_bruteforce(spark):
+    from spatially_databricks_etl_spark.operators.similarity import fuzzy_join
+
+    corpus = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(
+            ["apple", "apply", "ample", "banana", "bananas", "cherry", "x"]
+        )],
+        ["cid", "name"],
+    )
+    probe = spark.createDataFrame(
+        [(100, "apple"), (101, "banana"), (102, "")], ["pid", "q"]
+    )
+    got = {
+        (r["pid"], r["cid"])
+        for r in fuzzy_join(
+            corpus, probe, corpus_col="name", probe_col="q", max_distance=1
+        ).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (p["pid"], c["cid"])
+        for p, c in itertools.product(probe.collect(), corpus.collect())
+        if lev(p["q"], c["name"]) <= 1
+    }
+    assert got == want  # blocking is lossless: x matches '' at distance 1 too
