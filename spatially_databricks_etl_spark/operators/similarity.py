@@ -247,31 +247,83 @@ def fuzzy_join(
     max_distance: int = 2,
 ) -> DataFrame:
     """EXACT bounded-edit-distance join: every (probe, corpus) pair
-    with ``levenshtein ≤ max_distance``. No reference analog — its
+    with ``levenshtein <= max_distance``. No reference analog - its
     only string normalization is a regex strip, `Spatially ETL
     test.py:156-157`.
 
-    Scale shape: an edit of ≤ k changes length by ≤ k, so each probe
-    row is exploded into the 2k+1 candidate lengths and the candidate
-    step is an EQUI-join on exact string length — a hash shuffle,
-    never a cross or theta join — followed by the levenshtein verify
-    on the (small) banded candidate set. Both sides scan once; the
-    blocking is lossless, so the result is exact.
+    Blocking is PassJoin-style segment partitioning (Li, Deng, Feng,
+    "PASS-JOIN: a partition-based method for similarity joins",
+    VLDB 2011 - public algorithm, reimplemented on DataFrames): each
+    corpus string of length L splits into k+1 contiguous segments; by
+    pigeonhole, any string within edit distance k contains at least
+    one segment EXACTLY, shifted by at most k. The probe side emits,
+    for each candidate length L in [len-k, len+k] and each segment
+    index, the substrings at the <= 2k+1 allowed shifts. The candidate
+    step is therefore a hash EQUI-join on (L, segment_idx, segment) -
+    never a cross/theta join, and orders of magnitude more selective
+    than length-only banding (segments are exact-match keys).
+    ``levenshtein <= k`` then verifies only the surviving pairs, whose
+    multiplicity is first collapsed with a distinct on the pair key.
+    Lossless by the pigeonhole argument, so the result is exact.
+
+    At 100 TB both sides scan once, the shuffle carries only
+    (key, short segment) rows, and the per-key candidate lists stay
+    small even on skewed length distributions - the segment content,
+    not the length, does the discriminating.
     """
     k = max_distance
-    c = corpus.withColumn("__len", F.length(corpus_col))
-    p = probe.withColumn(
-        "__len",
+    seg_idx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("__i")
+
+    def seg_bounds(lc, i):
+        # equal split of lc into k+1 parts: first (lc % (k+1)) parts
+        # get the extra char; returns (start(1-based), seg_len)
+        base, extra = lc / (k + 1), lc % (k + 1)
+        base = F.floor(base)
+        seg_len = base + F.when(i < extra, 1).otherwise(0)
+        start = 1 + i * base + F.least(i, extra)
+        return start, seg_len
+
+    c = corpus.withColumn("__lc", F.length(corpus_col)).select(
+        "*", seg_idx
+    )
+    c_start, c_len = seg_bounds(F.col("__lc"), F.col("__i"))
+    c = c.withColumn("__start", c_start).withColumn("__slen", c_len)
+    c = c.withColumn(
+        "__seg", F.substring(F.col(corpus_col), F.col("__start"), F.col("__slen"))
+    ).drop("__start")
+
+    p = probe.withColumn("__lp", F.length(probe_col)).withColumn(
+        "__lc",
         F.explode(
             F.sequence(
-                F.greatest(F.length(probe_col) - k, F.lit(0)),
-                F.length(probe_col) + k,
+                F.greatest(F.col("__lp") - k, F.lit(0)), F.col("__lp") + k
             )
         ),
+    ).select("*", seg_idx)
+    p_start, p_len = seg_bounds(F.col("__lc"), F.col("__i"))
+    p = (
+        p.withColumn("__pstart", p_start)
+        .withColumn("__slen", p_len)
+        .withColumn(
+            "__shift",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))),
+        )
+        .withColumn("__start", F.col("__pstart") + F.col("__shift"))
+        # valid substring windows only: 1 <= start <= lp - slen + 1
+        .filter(
+            (F.col("__start") >= 1)
+            & (F.col("__start") <= F.col("__lp") - F.col("__slen") + 1)
+        )
+        .withColumn(
+            "__seg", F.substring(F.col(probe_col), F.col("__start"), F.col("__slen"))
+        )
+        .drop("__pstart", "__shift", "__start")
     )
-    cand = p.join(c, on="__len")
-    return (
-        cand.withColumn("distance", F.levenshtein(probe_col, corpus_col))
-        .filter(F.col("distance") <= k)
-        .drop("__len")
+    cand = (
+        p.join(c, on=["__lc", "__i", "__slen", "__seg"])
+        .drop("__lc", "__i", "__slen", "__seg", "__lp")
+        .dropDuplicates()
     )
+    return cand.withColumn(
+        "distance", F.levenshtein(probe_col, corpus_col)
+    ).filter(F.col("distance") <= k)
