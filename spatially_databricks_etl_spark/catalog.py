@@ -237,6 +237,32 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface in one pass: conditional counts
+    (count_if), boolean folds (bool_and/bool_or), exact median, and
+    bitwise reduction — all map-side-partial-able, so the shuffle
+    carries one fixed-size state row per (group, agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("line_bits"),
+    )
+
+
+SQL_MISC_AGGS = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big_qty,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       round(median(l_extendedprice), 4) AS median_price,
+       bit_or(CAST(l_linenumber AS BIGINT)) AS line_bits
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -1085,6 +1111,26 @@ SELECT shard, count(*) AS n_docs,
        CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS straddlers,
        round(sum(n_tokens) / ((max(last_seq) + 1) * 512.0), 6) AS fill_ratio
 FROM per GROUP BY shard
+"""
+
+
+def q_user_feature_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature state (count/sum/max/min) — batch face of the
+    ``transformWithStateInPandas`` operator (streaming parity is the
+    env-gated test; all accumulators are commutative, so batch ==
+    streaming final state)."""
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        user_features_stateful,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return user_features_stateful(ev)
+
+
+SQL_USER_FEATURE_STATE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value, round(min(value), 4) AS min_value
+FROM events GROUP BY user_id
 """
 
 
@@ -2011,6 +2057,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup": q_rollup,
     "cube": q_cube,
     "count_distinct": q_count_distinct,
+    "misc_aggs": q_misc_aggs,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_star_join": q5_star_join,
     "semi_join": q_semi_join,
@@ -2062,6 +2109,7 @@ QUERIES: dict[str, QueryFn] = {
     "resample_ffill": q_resample_ffill,
     "scd2": q_scd2,
     "fuzzy_join": q_fuzzy_join,
+    "user_feature_state": q_user_feature_state,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "sliding_window": q_sliding_window,
@@ -2084,6 +2132,7 @@ ORACLES: dict[str, str] = {
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
     "count_distinct": SQL_COUNT_DISTINCT,
+    "misc_aggs": SQL_MISC_AGGS,
     "q3_top_revenue_orders": SQL_Q3,
     "q5_star_join": SQL_Q5,
     "semi_join": SQL_SEMI_JOIN,
@@ -2133,6 +2182,7 @@ ORACLES: dict[str, str] = {
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "scd2": SQL_SCD2,
     "fuzzy_join": SQL_FUZZY_JOIN,
+    "user_feature_state": SQL_USER_FEATURE_STATE,
     "media_features": SQL_MEDIA_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,

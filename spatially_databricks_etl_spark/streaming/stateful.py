@@ -88,3 +88,96 @@ def foreach_batch_writer(path: str, fmt: str = "parquet"):
         )
 
     return write
+
+
+USER_FEATURES_OUTPUT = (
+    "user_id bigint, n_events bigint, sum_value double, "
+    "max_value double, min_value double"
+)
+
+
+class _UserFeaturesProcessor:
+    """StatefulProcessor maintaining per-user feature state (count,
+    sum, max, min) with a single ValueState row — the Spark 4
+    ``transformWithStateInPandas`` successor to the
+    ``applyInPandasWithState`` pattern above (typed state handles,
+    optional TTL, timers). Imported lazily so the module stays
+    importable on Spark < 4."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "features",
+                    "n bigint, total double, mx double, mn double",
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                if self._state.exists():
+                    n, total, mx, mn = self._state.get()
+                else:
+                    n, total, mx, mn = 0, 0.0, float("-inf"), float("inf")
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                    mx = max(mx, float(pdf["value"].max()))
+                    mn = min(mn, float(pdf["value"].min()))
+                self._state.update((n, total, mx, mn))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value": [total],
+                        "max_value": [mx],
+                        "min_value": [mn],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return Impl()
+
+
+def user_features_stateful(events: DataFrame) -> DataFrame:
+    """Per-user feature state (count, sum, max, min of ``value``) via
+    ``transformWithStateInPandas`` (Spark ≥4 arbitrary-stateful v2
+    API) when the input streams; the semantically identical
+    ``groupBy().agg()`` on a batch frame. All four accumulators are
+    commutative/associative, so the streaming final state must equal
+    the batch aggregate regardless of micro-batch slicing — that
+    equivalence is the test oracle.
+
+    Scale notes as for ``running_totals_stateful``: one shuffle per
+    micro-batch to the key's state partition; fixed-size state per
+    key (RocksDB-backed in production); TTL available via
+    ``getValueState(ttlDurationMs=...)`` to bound a 100 TB keyspace.
+
+    Runtime requirements for the streaming path: the RocksDB state
+    store provider AND the ``protobuf`` Python package (the
+    transformWithState driver worker speaks protobuf to the JVM) —
+    absent in this container, so the stream-vs-batch parity test is
+    env-gated (``pytest.importorskip``); the API usage follows the
+    published Spark 4 interface.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserFeaturesProcessor(),
+            outputStructType=USER_FEATURES_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -232,3 +232,81 @@ def test_stream_dedup_within_watermark_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.sql("select * from dd_test").collect())
     assert got == [1, 2]
+
+
+def test_user_features_tws_stream_matches_batch(spark, tmp_path):
+    # the transformWithState driver worker speaks protobuf to the JVM;
+    # without the protobuf package only the batch path is runnable
+    pytest.importorskip("google.protobuf")
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        user_features_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "tws_src")
+    ev.write.parquet(src)
+    batch_out = {tuple(r) for r in user_features_stateful(ev).collect()}
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        out = user_features_stateful(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_features")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    final = {}
+    for r in spark.sql("select * from tws_features").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            final[r["user_id"]] = (
+                r["user_id"],
+                r["n_events"],
+                round(r["sum_value"], 4),
+                round(r["max_value"], 4),
+                round(r["min_value"], 4),
+            )
+    assert set(final.values()) == batch_out
+
+
+def test_user_features_batch_path(spark):
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        user_features_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = {r["user_id"]: r for r in user_features_stateful(ev).collect()}
+    exact = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+            F.round(F.max("value"), 4).alias("mx"),
+            F.round(F.min("value"), 4).alias("mn"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for k, r in out.items():
+        e = exact[k]
+        assert (r["n_events"], r["sum_value"], r["max_value"], r["min_value"]) == (
+            e["n"], e["s"], e["mx"], e["mn"]
+        )
