@@ -84,3 +84,74 @@ def test_whitespace_token_count_matches_python(spark, texts):
         stripped = t.strip(" ")
         want = len(re.split(r"[ \t\n\x0b\f\r]+", stripped)) if stripped else 0
         assert n == want, (repr(t), n, want)
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+WORD = st.text(
+    alphabet=st.sampled_from("abcX"), max_size=8  # tiny alphabet → dense collisions
+)
+
+
+@given(
+    corpus=st.lists(WORD, min_size=1, max_size=10),
+    probes=st.lists(WORD, min_size=1, max_size=6),
+    k=st.integers(min_value=1, max_value=2),
+)
+@SETTINGS
+def test_fuzzy_join_matches_bruteforce(spark, corpus, probes, k):
+    """PassJoin segment blocking must be lossless for any strings,
+    any k — including empties and length-k deltas at the pigeonhole
+    boundary."""
+    from spatially_databricks_etl_spark.operators.similarity import fuzzy_join
+
+    c = spark.createDataFrame([(i, w) for i, w in enumerate(corpus)], ["cid", "name"])
+    p = spark.createDataFrame([(i, w) for i, w in enumerate(probes)], ["pid", "q"])
+    got = {
+        (r["pid"], r["cid"], r["distance"])
+        for r in fuzzy_join(
+            c, p, corpus_col="name", probe_col="q", max_distance=k
+        ).collect()
+    }
+    want = {
+        (pi, ci, _lev(q, w))
+        for pi, q in enumerate(probes)
+        for ci, w in enumerate(corpus)
+        if _lev(q, w) <= k
+    }
+    assert got == want
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    capacity=st.integers(min_value=1, max_value=16),
+)
+@SETTINGS
+def test_pack_sequences_matches_replay(spark, n_toks, capacity):
+    """Closed-form window packing must equal a sequential replay of
+    concat-and-chunk for any token counts, including zero-token docs
+    and docs longer than the capacity."""
+    from spatially_databricks_etl_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(n_toks)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, capacity=capacity, n_shards=1).collect()
+    }
+    pos = 0
+    for i, n in enumerate(n_toks):
+        r = out[i]
+        assert r["n_tokens"] == n, (i, n, r)
+        assert r["first_seq"] == pos // capacity
+        assert r["last_seq"] == max(pos // capacity, (pos + n - 1) // capacity)
+        pos += n
