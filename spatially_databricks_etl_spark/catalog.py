@@ -237,6 +237,66 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (`DataFrame.unpivot`, Spark's melt): three
+    per-flag measure columns become (measure, value) rows — the
+    inverse of q_pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(sum(l_discount), 4) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+"""
+
+
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, sample covariance/
+    stddev/variance, higher moments, and OLS slope — all single-pass
+    mergeable states, so map-side partials hold at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
+    )
+
+
+SQL_STATS_AGGS = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(skewness(l_extendedprice), 6) AS price_skew,
+       round(kurtosis(l_extendedprice), 4) AS price_kurt,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate surface in one pass: conditional counts
     (count_if), boolean folds (bool_and/bool_or), exact median, and
@@ -2058,6 +2118,8 @@ QUERIES: dict[str, QueryFn] = {
     "cube": q_cube,
     "count_distinct": q_count_distinct,
     "misc_aggs": q_misc_aggs,
+    "unpivot": q_unpivot,
+    "stats_aggs": q_stats_aggs,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_star_join": q5_star_join,
     "semi_join": q_semi_join,
@@ -2133,6 +2195,8 @@ ORACLES: dict[str, str] = {
     "cube": SQL_CUBE,
     "count_distinct": SQL_COUNT_DISTINCT,
     "misc_aggs": SQL_MISC_AGGS,
+    "unpivot": SQL_UNPIVOT,
+    "stats_aggs": SQL_STATS_AGGS,
     "q3_top_revenue_orders": SQL_Q3,
     "q5_star_join": SQL_Q5,
     "semi_join": SQL_SEMI_JOIN,
