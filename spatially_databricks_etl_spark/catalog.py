@@ -563,6 +563,31 @@ FROM orders
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucket (ntile),
+    percent_rank, cume_dist per order within its priority class.
+    Deterministic total order via the (unique) orderkey tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per customer (rows-frame cumulative sum)."""
     orders = _t(spark, sf_dir, "orders")
@@ -2129,6 +2154,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join": q_asof_join,
     "window_topk": q_window_topk,
     "window_lag": q_window_lag,
+    "window_distribution": q_window_distribution,
     "window_running_sum": q_window_running_sum,
     "rank_dense_rank": q_rank_dense_rank,
     "set_except": q_set_except,
@@ -2206,6 +2232,7 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "window_topk": SQL_WINDOW_TOPK,
     "window_lag": SQL_WINDOW_LAG,
+    "window_distribution": SQL_WINDOW_DISTRIBUTION,
     "window_running_sum": SQL_WINDOW_RUNNING_SUM,
     "rank_dense_rank": SQL_RANK_DENSE_RANK,
     "set_except": SQL_SET_EXCEPT,

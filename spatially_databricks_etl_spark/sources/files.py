@@ -51,3 +51,58 @@ def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
     call site (ReadSchema shrinks to the requested columns)."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning contract as
+    parquet (both columnar with stripe/rowgroup stats); included so a
+    warehouse already on ORC can be read without conversion."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text scan → one ``value`` string column (per line, or per
+    file with ``whole_text`` — the ingest shape for document corpora
+    before parsing). Splittable per line at 100 TB; whole-file mode
+    parallelizes per file."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # NB: wholetext must go through the text() kwarg — the
+    # .option("wholetext", ...) spelling is silently ignored
+    return reader.text(path, wholetext=whole_text)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+) -> DataFrame:
+    """Binary-file scan (``binaryFile`` format): one row per file with
+    (path, modificationTime, length, content binary) — the ingest
+    entry point for the multimodal column pipeline
+    (operators/multimodal.py), which treats payloads as opaque binary
+    plus typed metadata. Each file is one row/task; at 100 TB of
+    small media files, pack them into parquet binary columns early
+    (this reader is the packer's input) rather than scanning millions
+    of tiny objects repeatedly."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -310,3 +310,45 @@ def test_user_features_batch_path(spark):
         assert (r["n_events"], r["sum_value"], r["max_value"], r["min_value"]) == (
             e["n"], e["s"], e["mx"], e["mn"]
         )
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    from spatially_databricks_etl_spark.sources.files import read_orc
+
+    src = load_table(spark, SF_DIR, "nation")
+    p = str(tmp_path / "nation_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    # pruning contract: explicit schema narrows the scan
+    two = read_orc(spark, p, schema="n_nationkey bigint, n_name string")
+    assert two.columns == ["n_nationkey", "n_name"]
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from spatially_databricks_etl_spark.sources.files import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line1\nline2\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r["value"] for r in lines.collect()) == ["line1", "line2", "solo"]
+    whole = read_text(spark, str(p), whole_text=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["line1\nline2\n", "solo\n"]
+
+
+def test_read_binary_files(spark, tmp_path):
+    from spatially_databricks_etl_spark.sources.files import read_binary_files
+
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02")
+    (p / "y.txt").write_bytes(b"hello")
+    df = read_binary_files(spark, str(p))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.txt"}
+    assert bytes(rows["x.bin"]["content"]) == b"\x00\x01\x02"
+    assert rows["y.txt"]["length"] == 5
+    only_bin = read_binary_files(spark, str(p), glob="*.bin")
+    assert only_bin.count() == 1
