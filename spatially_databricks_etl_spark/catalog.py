@@ -297,6 +297,38 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over documents: per-rule
+    violation counts from one tagged scan (min length, known
+    language, text/char-count consistency)."""
+    from spatially_databricks_etl_spark.operators.quality import (
+        expectation_summary,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules = {
+        "min_length": F.col("n_chars") >= 50,
+        "known_lang": F.col("lang").isin("en", "de", "fr", "es"),
+        "chars_match": F.length("text") == F.col("n_chars"),
+    }
+    return expectation_summary(d, rules)
+
+
+SQL_EXPECTATIONS = """
+WITH tagged AS (
+  SELECT (CASE WHEN n_chars >= 50 THEN NULL ELSE 'min_length' END) AS r1,
+         (CASE WHEN lang IN ('en','de','fr','es') THEN NULL ELSE 'known_lang' END) AS r2,
+         (CASE WHEN length(text) = n_chars THEN NULL ELSE 'chars_match' END) AS r3
+  FROM documents
+), exploded AS (
+  SELECT unnest([r1, r2, r3]) AS rule FROM tagged
+)
+SELECT rule, count(*) AS n_violations,
+       (SELECT count(*) FROM documents) AS n_rows
+FROM exploded WHERE rule IS NOT NULL GROUP BY rule
+"""
+
+
 def q_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate surface in one pass: conditional counts
     (count_if), boolean folds (bool_and/bool_or), exact median, and
@@ -2143,6 +2175,7 @@ QUERIES: dict[str, QueryFn] = {
     "cube": q_cube,
     "count_distinct": q_count_distinct,
     "misc_aggs": q_misc_aggs,
+    "expectations": q_expectations,
     "unpivot": q_unpivot,
     "stats_aggs": q_stats_aggs,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -2221,6 +2254,7 @@ ORACLES: dict[str, str] = {
     "cube": SQL_CUBE,
     "count_distinct": SQL_COUNT_DISTINCT,
     "misc_aggs": SQL_MISC_AGGS,
+    "expectations": SQL_EXPECTATIONS,
     "unpivot": SQL_UNPIVOT,
     "stats_aggs": SQL_STATS_AGGS,
     "q3_top_revenue_orders": SQL_Q3,

@@ -162,3 +162,32 @@ def test_decontaminate_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_expectations_split_and_summary(spark):
+    from pyspark.sql import functions as F
+
+    from spatially_databricks_etl_spark.operators.quality import (
+        expectation_summary,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 100, "en"), (3, 100, "xx"), (4, 5, None)],
+        ["id", "n", "lang"],
+    )
+    rules = {
+        "big_enough": F.col("n") >= 50,
+        "known_lang": F.col("lang").isin("en", "de"),
+    }
+    clean, bad = split_quarantine(df, rules)
+    assert {r["id"] for r in clean.collect()} == {2}
+    bad_rows = {r["id"]: set(r["_violations"]) for r in bad.collect()}
+    assert bad_rows == {
+        1: {"big_enough"},
+        3: {"known_lang"},
+        4: {"big_enough", "known_lang"},  # null lang counts as failure
+    }
+    summary = {r["rule"]: (r["n_violations"], r["n_rows"])
+               for r in expectation_summary(df, rules).collect()}
+    assert summary == {"big_enough": (2, 4), "known_lang": (2, 4)}
