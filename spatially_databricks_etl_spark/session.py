@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDTFs evaluate Arrow-batched (ArrowEvalPythonUDTF) instead of
+        # row-at-a-time BatchEvalPython — same 10-100x Arrow win as
+        # pandas UDFs; correctness unchanged (diffcheck-verified)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Spark has no nanosecond TimestampType; read parquet

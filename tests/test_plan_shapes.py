@@ -63,3 +63,26 @@ def test_minhash_shuffle_carries_no_shingles(spark):
     # AQE may have renamed the exchange; fall back to checking the
     # banded projection exists without shingle columns
     assert "__bh" in plan
+
+
+def test_no_catalog_query_plans_a_smell(spark):
+    """Every catalog query must avoid (a) CartesianProduct, (b)
+    row-at-a-time Python eval (BatchEvalPython — Arrow-batched
+    ArrowEvalPython is the allowed Python boundary), and (c)
+    unintended BroadcastNestedLoopJoin. Intended BNLJ uses are
+    allow-listed: ann_brute_topk broadcasts the query set against the
+    corpus scan by design; expectations joins a single-row total."""
+    from spatially_databricks_etl_spark.catalog import QUERIES
+
+    BNLJ_OK = {"ann_brute_topk", "expectations"}
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
