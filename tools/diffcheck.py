@@ -4,12 +4,21 @@ query in Spark AND its DuckDB oracle at a given sf dir, compare
 row-count + column names + order-insensitive values.
 
 Usage: python tools/diffcheck.py [sf_dir] [query ...]
+
+NB: full-catalog runs are feasible at sf0.001/sf0.01 only — the
+minhash_neardup/ngram_jaccard oracle is a deliberately brute-force
+O(docs^2) pairwise self-join (the point is an independent exact
+check, not speed) and takes hours at sf0.1's 5000 docs. At sf0.1,
+verify selected queries by name instead.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
+
+print = functools.partial(print, flush=True)
 
 
 def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
