@@ -1259,17 +1259,16 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = resample_ffill(ev, ts_col="ts", key_col="user_id", value_col="value")
-    return out.select(
-        "user_id",
-        "bucket",
-        F.round("filled_value", 4).alias("filled_value"),
-        "is_gap",
-    )
+    # no rounding: the bucket mean is bit-reproducible (exact decimal
+    # sum + one double division), and rounding would only reintroduce
+    # cross-engine half-up-vs-half-even flips on exact decimal ties
+    return out.select("user_id", "bucket", "filled_value", "is_gap")
 
 
 SQL_RESAMPLE_FFILL = r"""
 WITH daily AS (
-  SELECT user_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value) AS v
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM daily GROUP BY 1
@@ -1281,9 +1280,9 @@ WITH daily AS (
   FROM grid g LEFT JOIN daily d USING (user_id, bucket)
 )
 SELECT user_id, bucket,
-       round(last_value(v IGNORE NULLS) OVER (
+       last_value(v IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY bucket
-           ROWS UNBOUNDED PRECEDING), 4) AS filled_value,
+           ROWS UNBOUNDED PRECEDING) AS filled_value,
        (v IS NULL) AS is_gap
 FROM j
 """

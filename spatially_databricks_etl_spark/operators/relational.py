@@ -264,7 +264,16 @@ def resample_ffill(
     per_bucket = (
         df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
         .groupBy(key_col, "bucket")
-        .agg(F.avg(value_col).alias("v"))
+        # mean via exact decimal sum + one double division: fp sums are
+        # order-dependent across engines/partitionings, and a 2-ulp
+        # drift flips downstream rounding; the decimal sum is exact and
+        # associative, so the mean is bit-reproducible anywhere
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(24,6)")).cast("double")
+                / F.count(value_col)
+            ).alias("v")
+        )
     )
     grid = (
         per_bucket.groupBy(key_col)
