@@ -31,6 +31,7 @@ HEADLINE = [
     "count_distinct",
     "range_join",
     "asof_join",
+    "interval_join",
     "salted_join_agg",
     "window_topk",
     "json_fns",

@@ -1251,6 +1251,32 @@ FROM events GROUP BY user_id
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: purchases by the same user within
+    one hour after a click (batch face of the stream-stream interval
+    join; stream parity is tested with watermarks on both sides)."""
+    from spatially_databricks_etl_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+    )
+    out = interval_join(clicks, purchases, key="user_id", within="1 hour")
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resample of event values with forward fill
     across gap days — full grid from each user's first to last
@@ -2226,6 +2252,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "interval_join": q_interval_join,
     "resample_ffill": q_resample_ffill,
     "scd2": q_scd2,
     "fuzzy_join": q_fuzzy_join,
@@ -2303,6 +2330,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "interval_join": SQL_INTERVAL_JOIN,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "scd2": SQL_SCD2,
     "fuzzy_join": SQL_FUZZY_JOIN,

@@ -352,3 +352,46 @@ def test_read_binary_files(spark, tmp_path):
     assert rows["y.txt"]["length"] == 5
     only_bin = read_binary_files(spark, str(p), glob="*.bin")
     assert only_bin.count() == 1
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join with watermarks on both sides must
+    emit exactly the batch join's pairs once all files are processed
+    (availableNow drains the source; append mode emits joined rows as
+    the watermark passes)."""
+    from spatially_databricks_etl_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+    )
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in interval_join(
+            clicks, purchases, key="user_id", within="1 hour"
+        ).collect()
+    }
+
+    lsrc, rsrc = str(tmp_path / "ij_left"), str(tmp_path / "ij_right")
+    clicks.write.parquet(lsrc)
+    purchases.write.parquet(rsrc)
+    ls = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 2).parquet(lsrc)
+    rs = spark.readStream.schema(purchases.schema).option("maxFilesPerTrigger", 2).parquet(rsrc)
+    out = interval_join(ls, rs, key="user_id", within="1 hour", watermark="2 hours")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("select user_id, click_id, purchase_id from ij_test").collect()
+    }
+    assert got == batch
