@@ -1251,6 +1251,34 @@ FROM events GROUP BY user_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 128-token windows every 96 tokens
+    (32 overlap) — full chunk text and sizes, map-only."""
+    from spatially_databricks_etl_spark.operators.curate import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=128, overlap=32)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(generate_series(0, greatest(len(toks) - 1, 0), 96),
+                            s -> s < len(toks))) AS s
+  FROM toks
+)
+SELECT doc_id, CAST(s / 96 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s + 1 : s + 128], ' ') AS chunk_text,
+       CAST(least(128, len(toks) - s) AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution: purchases by the same user within
     one hour after a click (batch face of the stream-stream interval
@@ -2252,6 +2280,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "interval_join": q_interval_join,
     "resample_ffill": q_resample_ffill,
     "scd2": q_scd2,
@@ -2330,6 +2359,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "interval_join": SQL_INTERVAL_JOIN,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "scd2": SQL_SCD2,

@@ -236,6 +236,49 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding prep op):
+    overlapping windows of ``chunk_tokens`` whitespace tokens starting
+    every ``chunk_tokens - overlap`` tokens; the tail chunk may be
+    short; empty docs produce no chunks. Emits (id, chunk_idx,
+    chunk_text, n_chunk_tokens). No reference analog.
+
+    Entirely array higher-order functions (sequence/filter/transform/
+    slice) + inline — per-row compute, no shuffle at all; a 100 TB
+    corpus chunks in one map-only pass and chunk_idx is deterministic
+    (no zipWithIndex / no global ordering dependency).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = docs.select(F.col(id_col), _ws_tokens(text_col).alias("toks"))
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: s < n,
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks", s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - s).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return t.select(id_col, F.inline(chunks))
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -191,3 +191,27 @@ def test_expectations_split_and_summary(spark):
     summary = {r["rule"]: (r["n_violations"], r["n_rows"])
                for r in expectation_summary(df, rules).collect()}
     assert summary == {"big_enough": (2, 4), "known_lang": (2, 4)}
+
+
+def test_chunk_documents_windows(spark):
+    from spatially_databricks_etl_spark.operators.curate import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+         for r in out.collect())
+    )
+    # doc1: starts 0,2,4,6,8 -> windows of 4 (tail short)
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t2 t3 t4 t5", 4),
+        (1, 2, "t4 t5 t6 t7", 4),
+        (1, 3, "t6 t7 t8 t9", 4),
+        (1, 4, "t8 t9", 2),
+        (2, 0, "a b", 2),
+        # doc3 (empty): no chunks
+    ]
