@@ -1251,6 +1251,39 @@ FROM events GROUP BY user_id
 """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, smoothed idf, term-asc
+    tiebreak."""
+    from spatially_databricks_etl_spark.operators.curate import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+                 ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * (ln(((SELECT count(*) FROM documents) + 1) / (d.df + 1.0)) + 1) AS score
+  FROM tf t JOIN df d USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 128-token windows every 96 tokens
     (32 overlap) — full chunk text and sizes, map-only."""
@@ -2280,6 +2313,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "tfidf": q_tfidf,
     "chunk_documents": q_chunk_documents,
     "interval_join": q_interval_join,
     "resample_ffill": q_resample_ffill,
@@ -2359,6 +2393,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "tfidf": SQL_TFIDF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "interval_join": SQL_INTERVAL_JOIN,
     "resample_ffill": SQL_RESAMPLE_FFILL,

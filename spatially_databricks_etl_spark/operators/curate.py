@@ -236,6 +236,48 @@ def pack_sequences(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1). Deterministic across engines: ties broken
+    by term ascending, and equal (tf, df) pairs produce bit-identical
+    scores so the ranking is stable. No reference analog.
+
+    Shape: explode → (doc, term) counts (one shuffle, map-side
+    partial); document frequencies aggregate from the same counts and
+    come back as a broadcastable term dimension (vocabulary ≪
+    corpus); N is a scalar literal join. The per-doc top-k is a
+    window over the doc hash — no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(_ws_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; one job, embedded as a literal
+    scored = tf.join(F.broadcast(df_), on="term").withColumn(
+        "score",
+        F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     *,

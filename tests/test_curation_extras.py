@@ -215,3 +215,37 @@ def test_chunk_documents_windows(spark):
         (2, 0, "a b", 2),
         # doc3 (empty): no chunks
     ]
+
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from spatially_databricks_etl_spark.operators.curate import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+
+    def idf(df):
+        return math.log((3 + 1) / (df + 1)) + 1
+
+    # doc1: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2
+    assert by_doc[1][0]["term"] == "apple"
+    assert abs(by_doc[1][0]["score"] - round(2 * idf(1), 4)) < 1e-9
+    assert by_doc[1][1]["term"] == "banana"
+    # doc3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert [r["term"] for r in by_doc[3]] == ["cherry", "durian"]
+    # every doc emits at most k rows with ranks 1..k
+    assert all(len(v) <= 2 and [r["rank"] for r in v] == list(range(1, len(v) + 1))
+               for v in by_doc.values())
