@@ -329,6 +329,29 @@ FROM exploded WHERE rule IS NOT NULL GROUP BY rule
 """
 
 
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation per group — collect_list is unordered by
+    contract (partition arrival order), so the deterministic form is
+    sort_array(collect_list(...)); also collect_set distinct-ness."""
+    o = _t(spark, sf_dir, "orders")
+    top = o.filter(F.col("o_totalprice") > 400000)
+    return top.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT o_orderpriority,
+       list_sort(list(o_orderkey)) AS order_keys,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 400000
+GROUP BY o_orderpriority
+"""
+
+
 def q_misc_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate surface in one pass: conditional counts
     (count_if), boolean folds (bool_and/bool_or), exact median, and
@@ -2260,6 +2283,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup": q_rollup,
     "cube": q_cube,
     "count_distinct": q_count_distinct,
+    "array_agg": q_array_agg,
     "misc_aggs": q_misc_aggs,
     "expectations": q_expectations,
     "unpivot": q_unpivot,
@@ -2342,6 +2366,7 @@ ORACLES: dict[str, str] = {
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
     "count_distinct": SQL_COUNT_DISTINCT,
+    "array_agg": SQL_ARRAY_AGG,
     "misc_aggs": SQL_MISC_AGGS,
     "expectations": SQL_EXPECTATIONS,
     "unpivot": SQL_UNPIVOT,

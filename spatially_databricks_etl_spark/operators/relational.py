@@ -61,6 +61,11 @@ def merge_upsert(
     making the whole merge a map-side pass over the target plus an
     append. Set ``broadcast_source=False`` when the delta itself is
     huge; Catalyst then falls back to a shuffled join on the keys.
+
+    Contract (as SQL MERGE): ``source`` must be key-unique — duplicate
+    source keys all survive into the output verbatim (the anti-join
+    drops the target row either way); dedupe upstream if the delta
+    can carry multiple versions of one key.
     """
     keys = source.select(*key_cols).dropDuplicates(list(key_cols))
     if broadcast_source:
