@@ -155,3 +155,67 @@ def test_pack_sequences_matches_replay(spark, n_toks, capacity):
         assert r["first_seq"] == pos // capacity
         assert r["last_seq"] == max(pos // capacity, (pos + n - 1) // capacity)
         pos += n
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30, unique=True),
+    salt=st.text(alphabet=st.sampled_from("abc123"), max_size=5),
+)
+@SETTINGS
+def test_hash_split_matches_hashlib(spark, ids, salt):
+    """The md5-prefix assignment must be reproducible OUTSIDE Spark
+    from the documented construction (hashlib + the exported edges) —
+    that's the engine-portability contract."""
+    import hashlib
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        hash_split,
+        hash_split_edges,
+    )
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = dict(
+        hash_split(docs, salt=salt, splits=splits, method="md5")
+        .select("doc_id", "split")
+        .collect()
+    )
+    edges = hash_split_edges(splits)
+    for i in ids:
+        h = hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:4]
+        want = next(
+            (name for name, edge in edges[:-1] if h < edge), edges[-1][0]
+        )
+        assert got[i] == want, (i, h, got[i], want)
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    chunk=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+@SETTINGS
+def test_chunk_documents_matches_replay(spark, n_toks, chunk, overlap):
+    from hypothesis import assume
+
+    from spatially_databricks_etl_spark.operators.curate import chunk_documents
+
+    assume(overlap < chunk)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(n_toks)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    want = {}
+    step = chunk - overlap
+    for i, n in enumerate(n_toks):
+        toks = [f"w{j}" for j in range(n)]
+        for idx, s in enumerate(range(0, max(n, 1), step)):
+            if s >= n:
+                continue
+            window = toks[s : s + chunk]
+            want[(i, idx)] = (" ".join(window), len(window))
+    assert got == want
