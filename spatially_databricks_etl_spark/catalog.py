@@ -1274,6 +1274,49 @@ FROM events GROUP BY user_id
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel: users per furthest step reached in
+    order (event-time order, event_id tiebreak)."""
+    from spatially_databricks_etl_spark.operators.relational import funnel_reached
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = funnel_reached(ev, ["view", "click", "purchase"])
+    return per_user.groupBy("reached").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# greedy earliest-match cascade == the Spark fold: taking the
+# earliest step-1 event maximizes what can still match after it, so
+# "first A, then first B after that A, then first C after that B" is
+# exactly the in-order fold's result
+SQL_FUNNEL = """
+WITH e AS (
+  SELECT user_id, {'ts': ts, 'tb': event_id} AS k, event_type AS et
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), t1 AS (
+  SELECT user_id, min(k) AS k1 FROM e WHERE et = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(k) AS k2 FROM e JOIN t1 USING (user_id)
+  WHERE et = 'click' AND k > k1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(k) AS k3 FROM e JOIN t2 USING (user_id)
+  WHERE et = 'purchase' AND k > k2 GROUP BY e.user_id
+), per_user AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS reached
+  FROM (SELECT DISTINCT user_id FROM e) u
+  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+  LEFT JOIN t3 USING (user_id)
+)
+SELECT CAST(reached AS BIGINT) AS reached, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY reached
+"""
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, smoothed idf, term-asc
     tiebreak."""
@@ -2337,6 +2380,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "funnel": q_funnel,
     "tfidf": q_tfidf,
     "chunk_documents": q_chunk_documents,
     "interval_join": q_interval_join,
@@ -2418,6 +2462,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "funnel": SQL_FUNNEL,
     "tfidf": SQL_TFIDF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "interval_join": SQL_INTERVAL_JOIN,

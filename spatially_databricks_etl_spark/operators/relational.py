@@ -337,6 +337,54 @@ def scd2_from_changelog(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def funnel_reached(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Funnel / ordered-sequence analysis: per key, how many of
+    ``steps`` were completed IN ORDER over the key's event-time
+    history (the MATCH_RECOGNIZE-style workload; no reference
+    analog). Returns (key, reached) with reached in [0, len(steps)].
+
+    Shape: one shuffle groups each key's events; the in-order scan is
+    a codegen'd ``aggregate`` fold over the sorted struct array — no
+    UDF, no self-join cascade (a k-step funnel as k self-joins would
+    be k shuffles and blow up on hot keys). Per-key sequences must fit
+    in a task (events-per-user, not corpus size); for multi-million-
+    event keys, pre-filter to the funnel's event types first — the
+    fold only needs those.
+    """
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    seq = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(type_col).alias("et"),
+            ).alias("e"),
+        )
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list("e")).alias("seq"))
+    )
+    reached = F.aggregate(
+        "seq",
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < F.size(step_arr))
+            & (x["et"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return seq.select(key_col, reached.cast("long").alias("reached"))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

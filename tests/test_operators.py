@@ -291,3 +291,28 @@ def test_fuzzy_join_exact_vs_bruteforce(spark):
         if lev(p["q"], c["name"]) <= 1
     }
     assert got == want  # blocking is lossless: x matches '' at distance 1 too
+
+
+def test_funnel_reached_ordering_semantics(spark):
+    from datetime import datetime
+
+    from spatially_databricks_etl_spark.operators.relational import funnel_reached
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full funnel in order
+        (1, t(1), "view", 1), (1, t(2), "click", 2), (1, t(3), "purchase", 3),
+        # user 2: purchase BEFORE click -> only view+click matched in order
+        (2, t(1), "view", 4), (2, t(2), "purchase", 5), (2, t(3), "click", 6),
+        # user 3: starts at click (no view) -> 0 steps (funnel is ordered)
+        (3, t(1), "click", 7), (3, t(2), "purchase", 8),
+        # user 4: duplicate views then click -> 2
+        (4, t(1), "view", 9), (4, t(2), "view", 10), (4, t(3), "click", 11),
+        # user 5: same-ts tie broken by event_id: view(id 12) then click(id 13)
+        (5, t(1), "view", 12), (5, t(1), "click", 13),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    got = dict(
+        funnel_reached(ev, ["view", "click", "purchase"]).collect()
+    )
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2, 5: 2}
