@@ -1274,6 +1274,56 @@ FROM events GROUP BY user_id
 """
 
 
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo distance surface: deterministic synthetic lat/lon per
+    customer (key-derived, so every engine sees identical points),
+    top-10 nearest to a fixed probe point by haversine, with a
+    bounding-box containment flag."""
+    from spatially_databricks_etl_spark.functions.geo import haversine_km, in_bbox
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.pmod(F.col("c_custkey") * 37, F.lit(17000)) / 100.0 - 85.0).alias("lat"),
+        (F.pmod(F.col("c_custkey") * 73, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+    )
+    probe_lat, probe_lon = 40.7, -74.0
+    scored = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.lit(probe_lat), F.lit(probe_lon)
+            ),
+            4,
+        ).alias("dist_km"),
+        in_bbox(
+            F.col("lat"), F.col("lon"), south=30.0, west=-90.0, north=50.0, east=-60.0
+        ).alias("in_box"),
+    )
+    return scored.orderBy("dist_km", "c_custkey").limit(10)
+
+
+SQL_GEO_NEAREST = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 37) % 17000 / 100.0 - 85.0 AS lat,
+         (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+  FROM customer
+), scored AS (
+  SELECT c_custkey, lat, lon,
+         round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(40.7 - lat) / 2) ^ 2
+             + cos(radians(lat)) * cos(radians(40.7))
+               * sin(radians(-74.0 - lon) / 2) ^ 2)), 4) AS dist_km,
+         (lat BETWEEN 30.0 AND 50.0 AND lon BETWEEN -90.0 AND -60.0) AS in_box
+  FROM pts
+)
+SELECT * FROM scored ORDER BY dist_km, c_custkey LIMIT 10
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel: users per furthest step reached in
     order (event-time order, event_id tiebreak)."""
@@ -2380,6 +2430,7 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split": q_hash_split,
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
+    "geo_nearest": q_geo_nearest,
     "funnel": q_funnel,
     "tfidf": q_tfidf,
     "chunk_documents": q_chunk_documents,
@@ -2462,6 +2513,7 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "geo_nearest": SQL_GEO_NEAREST,
     "funnel": SQL_FUNNEL,
     "tfidf": SQL_TFIDF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -95,3 +95,29 @@ def test_rename_and_snake_case(spark):
     assert "year_start" in out.columns
     out2 = snake_case_columns(df)
     assert out2.columns == ["yearstart", "location_desc"]
+
+
+def test_haversine_known_distance(spark):
+    from pyspark.sql import functions as F
+
+    from spatially_databricks_etl_spark.functions.geo import haversine_km, in_bbox
+
+    # NYC (40.7128, -74.0060) to LA (34.0522, -118.2437): ~3936 km
+    df = spark.createDataFrame([(40.7128, -74.0060, 34.0522, -118.2437)],
+                               ["lat1", "lon1", "lat2", "lon2"])
+    d = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).first()["d"]
+    assert abs(d - 3936) < 5
+    # zero distance to self; symmetry
+    z = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")).alias("z"),
+        (haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+         - haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1"))).alias("s"),
+    ).first()
+    assert z["z"] == 0.0 and abs(z["s"]) < 1e-9
+    box = df.select(
+        in_bbox(F.col("lat1"), F.col("lon1"), south=40, west=-75, north=41, east=-73).alias("a"),
+        in_bbox(F.col("lat2"), F.col("lon2"), south=40, west=-75, north=41, east=-73).alias("b"),
+    ).first()
+    assert box["a"] is True and box["b"] is False
