@@ -51,6 +51,10 @@ HEADLINE = [
     "resample_ffill",
     "scd2",
     "fuzzy_join",
+    "tfidf",
+    "chunk_documents",
+    "funnel",
+    "geo_nearest",
     "ann_brute_topk",
     "ann_ivf_topk",
     "media_features",
