@@ -1324,6 +1324,55 @@ SELECT * FROM scored ORDER BY dist_km, c_custkey LIMIT 10
 """
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked radius join: for 40 probe points (every 50th
+    customer's location), count customers within 500 km and the
+    nearest distance — candidates from a 3x3 cell neighborhood
+    equi-join, exact haversine verify."""
+    from spatially_databricks_etl_spark.operators.spatial import radius_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.pmod(F.col("c_custkey") * 37, F.lit(12000)) / 100.0 - 60.0).alias("lat"),
+        (F.pmod(F.col("c_custkey") * 73, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+    )
+    probes = pts.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+    )
+    pairs = radius_join(pts, probes, radius_km=500.0)
+    return pairs.groupBy("probe_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.round(F.min("dist_km"), 4).alias("nearest_km"),
+    )
+
+
+SQL_RADIUS_JOIN = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 37) % 12000 / 100.0 - 60.0 AS lat,
+         (c_custkey * 73) % 36000 / 100.0 - 180.0 AS lon
+  FROM customer
+), probes AS (
+  SELECT c_custkey AS probe_key, lat AS q_lat, lon AS q_lon
+  FROM pts WHERE c_custkey % 50 = 0
+), pairs AS (
+  SELECT probe_key,
+         2 * 6371.0088 * asin(sqrt(
+             sin(radians(lat - q_lat) / 2) ^ 2
+             + cos(radians(q_lat)) * cos(radians(lat))
+               * sin(radians(lon - q_lon) / 2) ^ 2)) AS dist_km
+  FROM probes, pts
+)
+SELECT probe_key, CAST(count(*) AS BIGINT) AS n_within,
+       round(min(dist_km), 4) AS nearest_km
+FROM pairs WHERE dist_km <= 500.0
+GROUP BY probe_key
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel: users per furthest step reached in
     order (event-time order, event_id tiebreak)."""
@@ -2431,6 +2480,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
     "geo_nearest": q_geo_nearest,
+    "radius_join": q_radius_join,
     "funnel": q_funnel,
     "tfidf": q_tfidf,
     "chunk_documents": q_chunk_documents,
@@ -2514,6 +2564,7 @@ ORACLES: dict[str, str] = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "geo_nearest": SQL_GEO_NEAREST,
+    "radius_join": SQL_RADIUS_JOIN,
     "funnel": SQL_FUNNEL,
     "tfidf": SQL_TFIDF,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -316,3 +316,40 @@ def test_funnel_reached_ordering_semantics(spark):
         funnel_reached(ev, ["view", "click", "purchase"]).collect()
     )
     assert got == {1: 3, 2: 2, 3: 0, 4: 2, 5: 2}
+
+
+def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
+    import math as m
+
+    from spatially_databricks_etl_spark.operators.spatial import radius_join
+
+    pts = [
+        (1, 0.0, 179.5), (2, 0.0, -179.5),   # 111 km apart ACROSS the antimeridian
+        (3, 10.0, 10.0), (4, 10.5, 10.5),    # ~78 km apart
+        (5, -50.0, 100.0), (6, 60.0, -120.0),
+        (7, 0.04, 179.9),
+    ]
+    points = spark.createDataFrame(pts, ["pid", "lat", "lon"])
+    probes = spark.createDataFrame(
+        [(100, 0.0, 179.8), (101, 10.2, 10.2), (102, -49.0, 101.0)],
+        ["probe_key", "q_lat", "q_lon"],
+    )
+    got = {
+        (r["probe_key"], r["pid"])
+        for r in radius_join(points, probes, radius_km=300.0).collect()
+    }
+
+    def hav(a, b, c, d):
+        p1, p2 = m.radians(a), m.radians(c)
+        dp, dl = m.radians(c - a) / 2, m.radians(d - b) / 2
+        x = m.sin(dp) ** 2 + m.cos(p1) * m.cos(p2) * m.sin(dl) ** 2
+        return 2 * 6371.0088 * m.asin(m.sqrt(x))
+
+    want = {
+        (qk, pid)
+        for qk, qla, qlo in [(100, 0.0, 179.8), (101, 10.2, 10.2), (102, -49.0, 101.0)]
+        for pid, pla, plo in pts
+        if hav(qla, qlo, pla, plo) <= 300.0
+    }
+    assert (100, 2) in want  # the wrap pair must be present to test anything
+    assert got == want
