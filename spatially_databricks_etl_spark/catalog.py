@@ -1324,6 +1324,46 @@ SELECT * FROM scored ORDER BY dist_km, c_custkey LIMIT 10
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-signup week,
+    distinct active users per (cohort_week, week_offset). Weeks are
+    date_trunc('week') (Monday) so offsets divide exactly by 7."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = activity.join(cohort, on="user_id").withColumn(
+        "week_offset",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("long"),
+    )
+    return (
+        joined.filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+WHERE date_diff('day', c.cohort_week, a.wk) >= 0
+GROUP BY 1, 2
+"""
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked radius join: for 40 probe points (every 50th
     customer's location), count customers within 500 km and the
@@ -2480,6 +2520,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
     "geo_nearest": q_geo_nearest,
+    "cohort_retention": q_cohort_retention,
     "radius_join": q_radius_join,
     "funnel": q_funnel,
     "tfidf": q_tfidf,
@@ -2564,6 +2605,7 @@ ORACLES: dict[str, str] = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "geo_nearest": SQL_GEO_NEAREST,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "radius_join": SQL_RADIUS_JOIN,
     "funnel": SQL_FUNNEL,
     "tfidf": SQL_TFIDF,
