@@ -1324,6 +1324,73 @@ SELECT * FROM scored ORDER BY dist_km, c_custkey LIMIT 10
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z statistic per segment for a hash-assigned
+    A/B split over order totals. Moments come from EXACT decimal sums
+    (S1, S2) so both engines feed identical doubles into the closed
+    form — the same determinism discipline as resample_ffill."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,4)")
+    grp = o.withColumn("grp", F.pmod(F.col("o_orderkey"), F.lit(2)))
+    m = grp.groupBy("o_orderpriority", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    a = m.filter(F.col("grp") == 0).select(
+        "o_orderpriority",
+        F.col("n").alias("n_a"),
+        F.col("s1").cast("double").alias("s1a"),
+        F.col("s2").cast("double").alias("s2a"),
+    )
+    b = m.filter(F.col("grp") == 1).select(
+        "o_orderpriority",
+        F.col("n").alias("n_b"),
+        F.col("s1").cast("double").alias("s1b"),
+        F.col("s2").cast("double").alias("s2b"),
+    )
+    j = a.join(b, on="o_orderpriority")
+    mean_a, mean_b = F.col("s1a") / F.col("n_a"), F.col("s1b") / F.col("n_b")
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "o_orderpriority",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a - mean_b, 4).alias("mean_diff"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+SQL_AB_TEST = """
+WITH m AS (
+  SELECT o_orderpriority, o_orderkey % 2 AS grp, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s1,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(28,4))
+             * CAST(o_totalprice AS DECIMAL(18,4))) AS s2
+  FROM orders GROUP BY 1, 2
+), a AS (
+  SELECT o_orderpriority, n AS n_a, CAST(s1 AS DOUBLE) AS s1a, CAST(s2 AS DOUBLE) AS s2a
+  FROM m WHERE grp = 0
+), b AS (
+  SELECT o_orderpriority, n AS n_b, CAST(s1 AS DOUBLE) AS s1b, CAST(s2 AS DOUBLE) AS s2b
+  FROM m WHERE grp = 1
+)
+SELECT o_orderpriority,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(s1a / n_a - s1b / n_b, 4) AS mean_diff,
+       round((s1a / n_a - s1b / n_b)
+             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b), 4) AS z_stat
+FROM a JOIN b USING (o_orderpriority)
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-signup week,
     distinct active users per (cohort_week, week_offset). Weeks are
@@ -2520,6 +2587,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     "pack_sequences": q_pack_sequences,
     "geo_nearest": q_geo_nearest,
+    "ab_test": q_ab_test,
     "cohort_retention": q_cohort_retention,
     "radius_join": q_radius_join,
     "funnel": q_funnel,
@@ -2605,6 +2673,7 @@ ORACLES: dict[str, str] = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "geo_nearest": SQL_GEO_NEAREST,
+    "ab_test": SQL_AB_TEST,
     "cohort_retention": SQL_COHORT_RETENTION,
     "radius_join": SQL_RADIUS_JOIN,
     "funnel": SQL_FUNNEL,
