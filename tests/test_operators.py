@@ -353,3 +353,56 @@ def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
     }
     assert (100, 2) in want  # the wrap pair must be present to test anything
     assert got == want
+
+
+def test_cohort_retention_known_matrix(spark):
+    from datetime import datetime
+
+    from spatially_databricks_etl_spark.catalog import q_cohort_retention  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # replicate the query's logic on a controlled frame via the same
+    # expressions: signup in week of Jan 1 (Mon), activity weeks 0/1/2
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2), "signup"),   # week of Jan 1
+            (1, datetime(2024, 1, 9), "view"),     # week offset 1
+            (1, datetime(2024, 1, 16), "view"),    # offset 2
+            (2, datetime(2024, 1, 3), "signup"),
+            (2, datetime(2024, 1, 4), "view"),     # offset 0 (same week)
+            (3, datetime(2024, 1, 10), "signup"),  # next cohort
+            (3, datetime(2024, 1, 1), "view"),     # PRE-signup activity: excluded
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cw"))
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    j = act.join(cohort, "user_id").withColumn(
+        "off", (F.datediff("wk", "cw") / 7).cast("long")
+    ).filter(F.col("off") >= 0)
+    got = {
+        (r["cw"].date().isoformat(), r["off"]): r["n"]
+        for r in j.groupBy("cw", "off").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1,2 active in signup week
+        ("2024-01-01", 1): 1,  # user 1
+        ("2024-01-01", 2): 1,  # user 1
+        ("2024-01-08", 0): 1,  # user 3 (pre-signup week excluded)
+    }
+
+
+def test_ab_test_z_statistic_sanity(spark):
+    from spatially_databricks_etl_spark.catalog import QUERIES
+
+    rows = QUERIES["ab_test"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        # hash split is ~50/50 and the metric is identically distributed
+        # across groups, so z must be finite and modest
+        assert abs(r["n_a"] - r["n_b"]) < 0.5 * (r["n_a"] + r["n_b"])
+        assert r["z_stat"] is not None and abs(r["z_stat"]) < 5.0
