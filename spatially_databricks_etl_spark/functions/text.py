@@ -149,11 +149,24 @@ def ngrams(col: Column | str, n: int = 3, *, character: bool = True) -> Column:
     ).otherwise(empty)
 
 
-def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 61) - 1, base: int = 257) -> Column:
+def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
     """Deterministic polynomial rolling hash of a string (document
     fingerprint). h = sum(byte_i * base^(n-i)) mod m via F.aggregate —
     codegen'd, no UDF. Collision-resistant enough for dedup triage.
+
+    ``modulus`` must satisfy ``modulus * base + 255 <= 2^63 - 1`` —
+    the accumulator reaches ``(modulus-1) * base + byte`` before each
+    pmod, and Spark's signed-64 arithmetic raises under ANSI mode (or
+    silently wraps with ANSI off) past that. The Mersenne prime 2^31-1
+    default keeps the product comfortably inside int64.
     """
+    if modulus <= 1:
+        raise ValueError("modulus must be > 1")
+    if modulus > ((1 << 63) - 1 - 255) // base:
+        raise ValueError(
+            f"modulus {modulus} overflows int64: need modulus <= "
+            f"(2^63 - 1 - 255) // base = {((1 << 63) - 1 - 255) // base}"
+        )
     c = F.col(col) if isinstance(col, str) else col
     codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
     return F.aggregate(

@@ -23,10 +23,13 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spatially_databricks_etl_spark.functions.geo import haversine_km
+from spatially_databricks_etl_spark.functions.geo import EARTH_RADIUS_KM, haversine_km
 
-_KM_PER_DEG_LAT = 110.574
-_KM_PER_DEG_LON_EQ = 111.320
+# Width of one degree of latitude on the SAME sphere haversine_km uses
+# (R = 6371.0088). Using a WGS84 ellipsoid constant here while verifying
+# on a sphere would make the grid ~0.1% narrower than the verify metric
+# and could drop true pairs sitting at ~99.9% of the radius.
+_KM_PER_DEG_LAT = math.pi * EARTH_RADIUS_KM / 180.0
 
 
 def radius_join(
@@ -51,8 +54,21 @@ def radius_join(
     # makes every cell AT LEAST the needed width, preserving the
     # same-or-adjacent-cell guarantee that a trailing narrow cell
     # would break
-    lon_span_deg = radius_km / (
-        _KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat))
+    # Exact haversine-consistent longitude span: solve the haversine
+    # formula for dlon at fixed latitude max_abs_lat (worst case — where
+    # degrees of longitude are narrowest within the allowed band) and
+    # distance = radius_km. This inverts the same R-sphere formula the
+    # verify step evaluates, so the 3x3 neighborhood provably contains
+    # every true pair (losslessness holds exactly, not just to ~0.1%).
+    lon_span_deg = math.degrees(
+        2.0
+        * math.asin(
+            min(
+                1.0,
+                math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+                / math.cos(math.radians(max_abs_lat)),
+            )
+        )
     )
     n_x = max(1, int(360.0 // lon_span_deg))
 

@@ -75,14 +75,24 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
 def foreach_batch_writer(path: str, fmt: str = "parquet"):
     """``foreachBatch`` sink: apply an arbitrary BATCH writer to each
     micro-batch (the escape hatch for sinks without native streaming
-    support — JDBC, MERGE INTO, multi-table fan-out). Idempotence
-    contract: (batch_id) keys the write so replays after failure
-    don't duplicate."""
+    support — JDBC, MERGE INTO, multi-table fan-out).
+
+    Idempotence contract, made real: the output is partitioned by
+    ``__batch_id`` and written with dynamic-partition OVERWRITE, so a
+    replayed micro-batch (same batch_id after a failure/restart)
+    replaces its own partition instead of appending a duplicate copy.
+    Partitions of other batch_ids are untouched (dynamic mode
+    overwrites only partitions present in this write). This is the
+    parquet-sink equivalent of a Delta ``MERGE`` keyed on batch_id;
+    on Delta, prefer ``txnAppId``/``txnVersion`` or MERGE.
+    """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
             .format(fmt)
             .save(path)
         )

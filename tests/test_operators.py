@@ -355,6 +355,28 @@ def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
     assert got == want
 
 
+def test_radius_join_lossless_at_max_lat_boundary(spark):
+    """A pair at ~99.95% of the radius sitting AT max_abs_lat must be
+    found. Guards the lon-cell-width derivation: the grid span and the
+    haversine verify must use the same sphere, else near-radius pairs
+    at the worst-case latitude silently drop when floor slack is small
+    (small radius -> large n_x -> near-zero slack)."""
+    import math as m
+
+    from spatially_databricks_etl_spark.functions.geo import EARTH_RADIUS_KM
+    from spatially_databricks_etl_spark.operators.spatial import radius_join
+
+    radius, lat = 10.0, 66.0
+    # exact dlon so haversine(lat,0 -> lat,dlon) = 0.9995 * radius
+    dlon = m.degrees(
+        2 * m.asin(m.sin(0.9995 * radius / (2 * EARTH_RADIUS_KM)) / m.cos(m.radians(lat)))
+    )
+    points = spark.createDataFrame([(1, lat, dlon)], ["pid", "lat", "lon"])
+    probes = spark.createDataFrame([(100, lat, 0.0)], ["probe_key", "q_lat", "q_lon"])
+    got = radius_join(points, probes, radius_km=radius, max_abs_lat=lat).collect()
+    assert [(r["probe_key"], r["pid"]) for r in got] == [(100, 1)]
+
+
 def test_cohort_retention_known_matrix(spark):
     from datetime import datetime
 

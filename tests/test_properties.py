@@ -53,6 +53,22 @@ def test_rolling_fingerprint_matches_python(spark, texts):
         assert fp == acc, (t, fp, acc)
 
 
+def test_rolling_fingerprint_default_modulus_safe_and_validated(spark):
+    """The DEFAULT modulus must run clean under ANSI (no int64
+    overflow: acc*base stays < 2^63) and an overflowing modulus must
+    be rejected at call time instead of failing on the cluster."""
+    import pytest
+
+    df = spark.createDataFrame([("hello world " * 50,)], "t string")
+    fp = df.select(rolling_fingerprint("t").alias("fp")).collect()[0]["fp"]
+    mod, base, acc = (1 << 31) - 1, 257, 0
+    for ch in "hello world " * 50:
+        acc = (acc * base + ord(ch)) % mod
+    assert fp == acc
+    with pytest.raises(ValueError, match="overflows int64"):
+        rolling_fingerprint("t", modulus=(1 << 61) - 1)
+
+
 @given(
     a=st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), max_size=8),
     b=st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), max_size=8),

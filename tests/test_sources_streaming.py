@@ -168,6 +168,23 @@ def test_foreach_batch_writer(spark, tmp_path):
     assert "__batch_id" in got.columns
 
 
+def test_foreach_batch_writer_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same batch_id (a post-failure replay) must
+    REPLACE that batch's partition, not append a duplicate copy."""
+    from spatially_databricks_etl_spark.streaming.stateful import foreach_batch_writer
+
+    sink = str(tmp_path / "fb_idem")
+    write = foreach_batch_writer(sink)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write(b0, 0)
+    write(b1, 1)
+    write(b0, 0)  # replay of batch 0
+    got = spark.read.parquet(sink)
+    assert got.count() == 3
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late rows behind the watermark must be excluded from finalized
     windows (append mode emits only watermark-closed windows)."""
