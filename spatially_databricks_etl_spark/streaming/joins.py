@@ -46,6 +46,8 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}"))
     )
     if left.isStreaming or right.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
-        right = right.withWatermark(right_ts, watermark)
+        from spatially_databricks_etl_spark.streaming.windows import ensure_event_time
+
+        left = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+        right = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     return left.join(right, on=key, how="inner").filter(cond)

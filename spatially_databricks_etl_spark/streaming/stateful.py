@@ -72,6 +72,15 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+# Dynamic-partition overwrite (`partitionOverwriteMode=dynamic`) is a
+# built-in *file-source* feature. A format that silently ignores the
+# per-write option (older Delta, JDBC, arbitrary V2 sinks) would turn
+# every micro-batch into a FULL-SINK truncate under mode("overwrite") —
+# strictly worse than the duplicate-on-replay bug this writer exists to
+# fix — so unsupported formats are rejected loudly instead.
+_DYNAMIC_OVERWRITE_SAFE_FORMATS = frozenset({"parquet", "orc", "csv", "json", "text"})
+
+
 def foreach_batch_writer(path: str, fmt: str = "parquet"):
     """``foreachBatch`` sink: apply an arbitrary BATCH writer to each
     micro-batch (the escape hatch for sinks without native streaming
@@ -83,9 +92,20 @@ def foreach_batch_writer(path: str, fmt: str = "parquet"):
     replaces its own partition instead of appending a duplicate copy.
     Partitions of other batch_ids are untouched (dynamic mode
     overwrites only partitions present in this write). This is the
-    parquet-sink equivalent of a Delta ``MERGE`` keyed on batch_id;
-    on Delta, prefer ``txnAppId``/``txnVersion`` or MERGE.
+    parquet-sink equivalent of a Delta ``MERGE`` keyed on batch_id.
+
+    ``fmt`` is restricted to built-in file sources, the only writers
+    that honor per-write ``partitionOverwriteMode``. For Delta use
+    ``txnAppId``/``txnVersion`` or ``replaceWhere``; JDBC and other V2
+    sinks need their own keyed-upsert writer.
     """
+    if fmt not in _DYNAMIC_OVERWRITE_SAFE_FORMATS:
+        raise ValueError(
+            f"foreach_batch_writer: format {fmt!r} does not honor dynamic "
+            f"partition overwrite (safe: {sorted(_DYNAMIC_OVERWRITE_SAFE_FORMATS)}); "
+            "a replay would truncate the whole sink. Use a keyed-upsert "
+            "writer (Delta txnAppId/txnVersion, replaceWhere, or MERGE) instead."
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (

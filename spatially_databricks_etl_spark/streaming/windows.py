@@ -27,6 +27,20 @@ EVENTS_SCHEMA = (
 )
 
 
+def ensure_event_time(df: DataFrame, time_col: str) -> DataFrame:
+    """Watermarks require TimestampType (LTZ); a TIMESTAMP_NTZ event
+    column (e.g. parquet ``timestamp[us]`` without UTC adjustment under
+    Spark's NTZ inference) hard-fails ``withWatermark`` with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Under the UTC session timezone
+    the cast is a pure re-labeling (bit-identical micros), so apply it
+    defensively before every watermark."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        return df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
@@ -54,7 +68,11 @@ def tumbling_window_agg(
     """Non-overlapping event-time windows: count + sum(value) per
     (window, key). Watermark bounds both late-data admission and
     state retention."""
-    df = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    df = (
+        ensure_event_time(events, time_col).withWatermark(time_col, watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         df.groupBy(F.window(time_col, window_duration).alias("w"), F.col(key_col))
         .agg(
@@ -82,7 +100,11 @@ def sliding_window_agg(
 ) -> DataFrame:
     """Overlapping windows (each event lands in duration/slide
     windows); same state-bounding watermark contract."""
-    df = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    df = (
+        ensure_event_time(events, time_col).withWatermark(time_col, watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         df.groupBy(
             F.window(time_col, window_duration, slide).alias("w"), F.col(key_col)
@@ -107,7 +129,11 @@ def session_window_agg(
 ) -> DataFrame:
     """Session windows: per-key sessions closed after ``gap`` of
     inactivity (dynamic, state-merging windows)."""
-    df = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    df = (
+        ensure_event_time(events, time_col).withWatermark(time_col, watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         df.groupBy(F.session_window(time_col, gap).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -131,7 +157,11 @@ def stream_dedup(
     """Streaming exact dedup with bounded state: only keys newer than
     the watermark are retained."""
     if events.isStreaming:
-        return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(subset)
+        return (
+            ensure_event_time(events, time_col)
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(subset)
+        )
     return events.dropDuplicates(subset)
 
 

@@ -428,3 +428,42 @@ def test_ab_test_z_statistic_sanity(spark):
         # across groups, so z must be finite and modest
         assert abs(r["n_a"] - r["n_b"]) < 0.5 * (r["n_a"] + r["n_b"])
         assert r["z_stat"] is not None and abs(r["z_stat"]) < 5.0
+
+
+def test_minhash_vectorized_signature_bit_exact(spark):
+    """The Arrow/numpy signature kernel must be BIT-EXACT with the
+    Column-expression (HOF) kernel — same constants, same int64
+    arithmetic — including the all-null signature for shingle-less
+    docs (empty array → array_min null)."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_from_hashes,
+        minhash_signatures_df,
+        shingle_hashes,
+    )
+    from spatially_databricks_etl_spark.functions.text import ngrams
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),
+        (3, "completely different text about spark execution"),
+        (4, "ab"),  # shorter than shingle size → empty shingles
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = df.select(
+        "doc_id",
+        shingle_hashes(
+            F.array_distinct(ngrams(F.col("text"), 5, character=True)), seed=42
+        ).alias("__h"),
+    )
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in hashed.select(
+            "doc_id", minhash_from_hashes(F.col("__h"), num_hashes=96, seed=42).alias("s")
+        ).collect()
+    }
+    vec = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_signatures_df(hashed, num_hashes=96, seed=42).collect()
+    }
+    assert hof == vec

@@ -235,3 +235,31 @@ def test_chunk_documents_matches_replay(spark, n_toks, chunk, overlap):
             window = toks[s : s + chunk]
             want[(i, idx)] = (" ".join(window), len(window))
     assert got == want
+
+
+def test_rolling_fingerprint_codepoint_bound_and_dual(spark):
+    """F.ascii yields full Unicode codepoints (max U+10FFFF), not
+    bytes: a modulus legal under a byte bound but illegal under the
+    codepoint bound must be rejected, the dual fingerprint must match
+    the packed two-residue Python value, and non-ASCII input must run
+    clean under the default modulus."""
+    import pytest
+    from spatially_databricks_etl_spark.functions.text import (
+        rolling_fingerprint_dual,
+    )
+
+    base = 257
+    max_ok = ((1 << 63) - 1 - 0x10FFFF) // base + 1
+    with pytest.raises(ValueError, match="overflows int64"):
+        rolling_fingerprint("t", modulus=max_ok + 1)
+    rolling_fingerprint("t", modulus=max_ok)  # boundary accepted
+
+    text = "héllo wörld \U0010FFFF snowman ☃"
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(rolling_fingerprint_dual("t").alias("fp")).collect()[0]["fp"]
+    m0, m1 = (1 << 31) - 1, (1 << 31) - 19
+    a0 = a1 = 0
+    for ch in text:
+        a0 = (a0 * base + ord(ch)) % m0
+        a1 = (a1 * base + ord(ch)) % m1
+    assert got == a0 * (1 << 31) + a1

@@ -412,3 +412,32 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select user_id, click_id, purchase_id from ij_test").collect()
     }
     assert got == batch
+
+
+def test_load_table_normalizes_events_ts_to_ltz(spark):
+    """events.ts must come back as TimestampType regardless of the
+    fixture's physical encoding (nanos-long or TIMESTAMP_NTZ) — a
+    watermark on an NTZ column hard-fails, and the failure only shows
+    up in streaming paths, so pin the batch contract here."""
+    from pyspark.sql.types import TimestampType
+
+    ev = load_table(spark, SF_DIR, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    # and the streaming builders accept an NTZ frame anyway
+    from spatially_databricks_etl_spark.streaming.windows import ensure_event_time
+
+    ntz = ev.select(F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value")
+    fixed = ensure_event_time(ntz, "ts")
+    assert isinstance(fixed.schema["ts"].dataType, TimestampType)
+
+
+def test_foreach_batch_writer_rejects_non_file_formats():
+    """Formats that ignore per-write partitionOverwriteMode would turn
+    every replay into a full-sink truncate — reject them loudly."""
+    import pytest
+    from spatially_databricks_etl_spark.streaming.stateful import foreach_batch_writer
+
+    with pytest.raises(ValueError, match="dynamic partition overwrite"):
+        foreach_batch_writer("/tmp/x", fmt="jdbc")
+    with pytest.raises(ValueError, match="keyed-upsert"):
+        foreach_batch_writer("/tmp/x", fmt="delta")
