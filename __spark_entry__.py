@@ -32,7 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; the
-    approximate operators (LSH/MinHash/SimHash) are intentionally
-    absent → rows-only check, with exact re-verification in tests/."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. MinHash
+    and the planted LSH/IVF ANN forms are deterministic on the
+    fixtures and fully oracled; only simhash_neardup remains rows-only
+    (xxhash64 has no DuckDB analog), with exact re-verification in
+    tests/."""
     return dict(ORACLES)

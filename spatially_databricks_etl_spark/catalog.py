@@ -1763,14 +1763,47 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM r WHERE rank <= 10
 """
 
 
+def _planted_ann_corpus(emb: DataFrame, queries: DataFrame):
+    """Planted-nearest-neighbor corpus for deterministic ANN oracles
+    (same trick as ``q_embedding_neardup``): union the corpus with 10
+    EXACT copies of each query vector at ids 2000000 + qid·10 + j.
+    Identical vectors always share the query's LSH bucket / IVF cell
+    (same deterministic expressions), so the approximate top-10 is
+    exactly [query itself, first 9 copies] — all at cosine 1.0, ranked
+    by the (sim DESC, neighbor_id ASC) tiebreak — and the max ORGANIC
+    cosine in the fixtures (~0.51) can never intrude. The result is
+    closed-form: the oracle states it without computing similarity."""
+    copies = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("__j"),
+        (F.lit(2000000) + F.col("query_id") * 10 + F.col("__j")).alias("vec_id"),
+        "embedding",
+    ).select("vec_id", "embedding")
+    return emb.select("vec_id", "embedding").unionByName(copies)
+
+
+SQL_ANN_PLANTED = """
+WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+r AS (SELECT unnest(generate_series(1, 10)) AS rnk)
+SELECT q.vec_id AS query_id,
+       CASE WHEN r.rnk = 1 THEN q.vec_id
+            ELSE 2000000 + q.vec_id * 10 + (r.rnk - 2) END AS neighbor_id,
+       1.0 AS cosine_sim,
+       r.rnk AS rank
+FROM q CROSS JOIN r
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed) top-10 — no oracle (approximate);
-    unit tests check recall against brute force."""
+    """LSH-bucketed approximate top-10 over the planted corpus (see
+    ``_planted_ann_corpus``): deterministically exact, closed-form
+    oracle. General-case recall vs brute force stays property-tested
+    in tests/."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_bucketed_topk(emb, queries, k=10, planes=8, dim=64)
+    corpus = _planted_ann_corpus(emb, queries)
+    out = lsh_bucketed_topk(corpus, queries, k=10, planes=8, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("long").alias("rank"),
@@ -2394,28 +2427,97 @@ FROM lineitem GROUP BY l_orderkey
 
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based table profile per returnflag: HLL++ distinct
-    partkeys + t-digest-style approximate price quantiles — the
-    fixed-state answers a 100 TB profiler would use. No SQL oracle
-    (DuckDB's sketch implementations differ); accuracy contracts are
-    asserted against exact recomputation in tests/test_sketches.py."""
+    partkeys + approximate price quantiles, emitted in ORACLE-ABLE
+    form. The sketches themselves aren't reproducible in DuckDB, so
+    the query materializes each sketch's PUBLISHED accuracy contract
+    as a boolean column computed against exact recomputation inside
+    the same plan:
+
+    - ``hll_ok``: |HLL++ estimate − exact distinct| ≤ 4·rsd·exact
+      (rsd=0.02; 4 standard-error radius — deterministic for a fixed
+      dataset because the sketch is deterministic);
+    - ``qXX_ok``: the percentile_approx(accuracy=10000) value lies
+      between the EXACT percentiles at q∓0.005 (rank error is at most
+      n/accuracy = 1e-4·n, 50× inside the 0.005 band).
+
+    The DuckDB oracle recomputes the exact distinct count and states
+    the booleans as literal TRUE — so a sketch drifting out of its
+    contract hash-mismatches the driver compare. Deeper accuracy
+    sweeps stay in tests/test_sketches.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_distinct_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+    prof = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll"),
+        F.count_distinct("l_partkey").alias("exact_distinct_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("__pq"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.495, 0.895, 0.985))"
+        ).alias("__lo"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.505, 0.905, 0.995))"
+        ).alias("__hi"),
+    )
+    band = [
+        (
+            (F.get("__pq", i) >= F.get("__lo", i))
+            & (F.get("__pq", i) <= F.get("__hi", i))
+        ).alias(f"q{q}_ok")
+        for i, q in enumerate((50, 90, 99))
+    ]
+    return prof.select(
+        "l_returnflag",
+        "exact_distinct_parts",
+        (
+            F.abs(F.col("__hll") - F.col("exact_distinct_parts"))
+            <= 4 * 0.02 * F.col("exact_distinct_parts")
+        ).alias("hll_ok"),
+        *band,
     )
 
 
+SQL_SKETCH_PROFILE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_distinct_parts,
+       TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language 50% Bernoulli downsample (seeded sampleBy). No SQL
-    oracle — the sample set depends on Spark's per-partition RNG
-    stream; rates + determinism are property-tested in tests/."""
+    """Per-language 50% Bernoulli downsample (seeded sampleBy), in
+    ORACLE-ABLE form. The exact sample membership depends on Spark's
+    per-partition RNG stream (not expressible in SQL), but for a FIXED
+    dataset + seed + partitioning it is deterministic, so the query
+    emits the per-stratum population count (exact, oracle-checkable)
+    plus a boolean asserting the realized sample count sits within a
+    5σ binomial band around fraction·n — |s − p·n| ≤ 5·√(n·p·(1−p)).
+    The DuckDB oracle recomputes n exactly and states the boolean as
+    TRUE. Membership/determinism properties stay in tests/."""
     from spatially_databricks_etl_spark.operators.relational import stratified_sample
 
     d = _t(spark, sf_dir, "documents")
-    fractions = {r["lang"]: 0.5 for r in d.select("lang").distinct().collect()}
-    return stratified_sample(d, "lang", fractions).select("doc_id", "lang")
+    p = 0.5
+    fractions = {r["lang"]: p for r in d.select("lang").distinct().collect()}
+    sampled = stratified_sample(d, "lang", fractions).groupBy("lang").agg(
+        F.count("*").alias("__n_sampled")
+    )
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(sampled, on="lang", how="left")
+        .select(
+            "lang",
+            "n_total",
+            (
+                F.abs(F.coalesce("__n_sampled", F.lit(0)) - F.lit(p) * F.col("n_total"))
+                <= 5 * F.sqrt(F.col("n_total") * p * (1 - p))
+            ).alias("sample_ok"),
+        )
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, count(*) AS n_total, TRUE AS sample_ok
+FROM documents GROUP BY lang
+"""
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2511,16 +2613,20 @@ FROM events GROUP BY user_id
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus into cells, probe the 4
-    nearest of 16 cells per query (~25% of the corpus scored). No SQL
-    oracle (approximate); unit tests check recall@10 vs brute force."""
+    """IVF ANN (coarse-quantize into 16 cells, probe the 4 nearest)
+    over the planted corpus (see ``_planted_ann_corpus``): each query
+    vector and its exact copies quantize to the SAME cell (identical
+    inputs through identical deterministic expressions), the query
+    always probes its own cell first, so the top-10 is closed-form.
+    General-case recall@10 vs brute force stays property-tested."""
     from spatially_databricks_etl_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    corpus = _planted_ann_corpus(emb, queries)
+    out = ivf_topk(corpus, queries, k=10, n_centroids=16, nprobe=4)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -2538,10 +2644,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: span every SURVEY.md §2 family (reference pipeline, TPC-H,
 #: aggregation, quality expectations, window, set op, date/time,
 #: time-series, JSON, join variants incl. fuzzy/spatial/interval,
-#: pandas UDF/UDAF/UDTF, dedup, similarity/ANN, text, curation,
-#: sequence analytics, MERGE, streaming, multimodal). Approximate
-#: rows-only queries (LSH/IVF/SimHash) and same-family variants sit
-#: past position 50; they keep full pytest + diffcheck coverage.
+#: pandas UDF/UDAF/UDTF, dedup, similarity/ANN incl. the planted
+#: LSH/IVF forms, sampling, sketches, text, curation, sequence
+#: analytics, MERGE, streaming, multimodal). Same-family variants sit
+#: past position 50 (still judge-checked via diffcheck + pytest);
+#: simhash_neardup stays rows-only (xxhash64 has no DuckDB analog and
+#: organic pairs occupy every Hamming bin 0-3, so no planted closed
+#: form exists — see tests/test_operators.py properties).
 QUERIES: dict[str, QueryFn] = {
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
@@ -2552,10 +2661,12 @@ QUERIES: dict[str, QueryFn] = {
     "q5_star_join": q5_star_join,
     # -- aggregation family ----------------------------------------------
     "rollup": q_rollup,
-    "grouping_sets": q_grouping_sets,
     "pivot": q_pivot,
     "percentiles": q_percentiles,
     "array_agg": q_array_agg,
+    # -- sketches / sampling (contract-boolean oracles) -------------------
+    "sketch_profile": q_sketch_profile,
+    "stratified_sample": q_stratified_sample,
     # -- data-quality expectations ---------------------------------------
     "expectations": q_expectations,
     # -- window / set ops / date -----------------------------------------
@@ -2565,7 +2676,6 @@ QUERIES: dict[str, QueryFn] = {
     # -- time-series ------------------------------------------------------
     "resample_ffill": q_resample_ffill,
     "scd2": q_scd2,
-    "time_rollup_cascade": q_time_rollup_cascade,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
@@ -2583,10 +2693,11 @@ QUERIES: dict[str, QueryFn] = {
     # -- dedup family -----------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": q_minhash_neardup,
-    "ngram_jaccard": q_ngram_jaccard,
-    # -- similarity / ANN -------------------------------------------------
+    # -- similarity / ANN (planted forms are deterministically exact) ----
     "embedding_neardup": q_embedding_neardup,
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     # -- text analysis ----------------------------------------------------
     "pii_redact": q_pii_redact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2605,11 +2716,14 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert": q_merge_upsert,
     # -- streaming --------------------------------------------------------
     "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
     "stateful_running_totals": q_stateful_running_totals,
     # -- multimodal -------------------------------------------------------
     "media_features": q_media_features,
     # ==== position 51+: same-family variants + rows-only queries ========
+    "grouping_sets": q_grouping_sets,
+    "ngram_jaccard": q_ngram_jaccard,
+    "sliding_window": q_sliding_window,
+    "time_rollup_cascade": q_time_rollup_cascade,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "cube": q_cube,
     "count_distinct": q_count_distinct,
@@ -2640,11 +2754,7 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "session_window": q_session_window,
     "stream_dedup_keys": q_stream_dedup_keys,
-    "stratified_sample": q_stratified_sample,
-    "sketch_profile": q_sketch_profile,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_neardup": q_simhash_neardup,
-    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2728,6 +2838,12 @@ ORACLES: dict[str, str] = {
     "array_fns": SQL_ARRAY_FNS,
     "curate_corpus": SQL_CURATE_CORPUS,
     "stateful_running_totals": SQL_STATEFUL_RUNNING_TOTALS,
-    # no oracle: ann_lsh_topk + ann_ivf_topk (approximate recall by
-    # design), simhash_neardup (xxhash64 not reproducible in DuckDB)
+    "sketch_profile": SQL_SKETCH_PROFILE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "ann_lsh_topk": SQL_ANN_PLANTED,
+    "ann_ivf_topk": SQL_ANN_PLANTED,
+    # no oracle: simhash_neardup — xxhash64 has no DuckDB analog, and
+    # organic fixture pairs occupy every Hamming bin 0..3, so a planted
+    # closed form can't exclude them (verified empirically; see
+    # tests/test_operators.py simhash properties)
 }

@@ -161,6 +161,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    kmeans_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -170,10 +171,19 @@ def ivf_topk(
     closest to each query.
 
     Coarse quantizer: ``n_centroids`` corpus vectors chosen by hashed
-    id (deterministic, seed-stable — a k-means refinement would drop
-    in here without changing the plan). Centroid count is independent
-    of corpus size, so collecting them to the driver is O(centroids),
-    not O(data); they re-enter the plan as codegen'd literal arrays.
+    id (deterministic, seed-stable), then refined with
+    ``kmeans_iters`` Lloyd iterations (default 1): assign every vector
+    to its nearest centroid, recompute each centroid as its cell's
+    mean. The assignment is the same codegen'd argmax expression the
+    final pass uses; the mean is ONE hash-aggregate with ``dim``
+    per-element ``sum(F.get(vec, i))`` columns — map-side partials
+    combine, the shuffle carries only (cell, 64 sums, count) rows, and
+    the collect stays O(centroids·dim), not O(data). Lloyd tightens
+    cells toward actual density, which raises recall at fixed nprobe
+    vs raw sampled centroids. Empty cells keep their previous centroid.
+    Centroid count is independent of corpus size, so collecting them
+    to the driver is O(centroids), not O(data); they re-enter the plan
+    as codegen'd literal arrays.
 
     Plan shape at scale: one narrow corpus pass assigns each vector to
     its cell (argmax over ``n_centroids`` codegen'd dot products — no
@@ -195,14 +205,22 @@ def ivf_topk(
         .collect()
     )
     cents = [[float(x) for x in r["__v"]] for r in sample]
-    inv_norms = [1.0 / float(np.linalg.norm(c) or 1.0) for c in cents]
+    dim = len(cents[0])
 
     # one nested literal (centroids pre-scaled by 1/|c_j|) + an
     # indexed transform keeps the expression tree O(1) in n_centroids
     # (vs n_centroids separate dot expressions — compile time grows
     # with tree size, and this path is re-planned per query batch)
-    scaled = [[x * inv_norms[j] for x in c] for j, c in enumerate(cents)]
-    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in scaled])
+    def scaled_lit(raw_cents: list[list[float]]) -> Column:
+        inv = [1.0 / (float(np.linalg.norm(c)) or 1.0) for c in raw_cents]
+        return F.array(
+            *[
+                F.array(*[F.lit(x * inv[j]) for x in c])
+                for j, c in enumerate(raw_cents)
+            ]
+        )
+
+    cents_lit = scaled_lit(cents)
 
     def cell_sims(vec: Column) -> Column:
         # |v| is constant across centroids, so argmax over
@@ -211,6 +229,23 @@ def ivf_topk(
             cents_lit,
             lambda c, j: F.struct(dot(vec, c).alias("sim"), j.alias("cell")),
         )
+
+    # Lloyd refinement: one narrow assignment pass + one hash-agg per
+    # iteration; shuffle rows = n_centroids, collect = O(centroids·dim)
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(max(0, kmeans_iters)):
+        assigned_i = vecs.withColumn(
+            "__cell", F.array_max(cell_sims(F.col("__v"))).getField("cell")
+        )
+        stats = assigned_i.groupBy("__cell").agg(
+            F.count("*").alias("__n"),
+            *[F.sum(F.get("__v", i)).alias(f"__s{i}") for i in range(dim)],
+        ).collect()
+        for r in stats:
+            j, n = r["__cell"], r["__n"]
+            if n > 0:
+                cents[j] = [float(r[f"__s{i}"]) / n for i in range(dim)]
+        cents_lit = scaled_lit(cents)
 
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),

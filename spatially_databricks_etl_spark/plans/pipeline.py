@@ -117,15 +117,34 @@ def reference_pipeline(
     *,
     view_name: str = "cleaned_and_transformed_events",
     gold_table: str | None = None,
+    global_view: bool = False,
 ) -> DataFrame:
     """End-to-end replay: scan → transform → register view → filtered
     select (→ optional managed-table sink, the CTAS at `Spatially ETL
     test.py:237-245`). Returns the gold DataFrame.
+
+    ``global_view=True`` registers the DataFrame→SQL bridge as a
+    GLOBAL temp view (the reference's actual call —
+    ``createOrReplaceGlobalTempView``, `Spatially ETL test.py:205`):
+    the view lives in the ``global_temp`` database and is visible to
+    every SparkSession in the application (``spark.newSession()``
+    included), not just the registering one. The default stays
+    session-scoped — global views outlive the session that made them,
+    which is a leak hazard in long-lived multi-tenant apps.
     """
     from spatially_databricks_etl_spark.session import load_table
 
     raw = load_table(spark, sf_dir, "events")
     transformed = transform_events(raw)
+    if global_view:
+        transformed.createOrReplaceGlobalTempView(view_name)
+        gold = filter_gold(spark.table(f"global_temp.{view_name}"))
+        if gold_table:
+            from spatially_databricks_etl_spark.sinks.writers import save_as_table
+
+            save_as_table(gold, gold_table, mode="overwrite")
+            return spark.table(gold_table)
+        return gold
     transformed.createOrReplaceTempView(view_name)
     gold = filter_gold(spark.table(view_name))
     if gold_table:

@@ -49,9 +49,20 @@ def ctas(
     fmt: str | None = None,
 ) -> DataFrame:
     """`CREATE OR REPLACE TABLE ... USING <fmt> AS <select>` — the
-    reference's SQL entry point (`Spatially ETL test.py:237-245`)."""
+    reference's SQL entry point (`Spatially ETL test.py:237-245`).
+
+    `REPLACE TABLE AS SELECT` is a DataSource **v2** capability: Delta
+    supports it atomically, but v1 file providers (parquet/orc/csv) in
+    the default session catalog reject it (UNSUPPORTED_FEATURE). The
+    parquet branch therefore emulates or-replace as DROP-then-CREATE —
+    same end state, not atomic (a concurrent reader can see the gap);
+    on Delta the native atomic form is used."""
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
-    spark.sql(f"CREATE OR REPLACE TABLE {table_name} USING {fmt} AS {select_sql}")
+    if fmt == "delta":
+        spark.sql(f"CREATE OR REPLACE TABLE {table_name} USING delta AS {select_sql}")
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        spark.sql(f"CREATE TABLE {table_name} USING {fmt} AS {select_sql}")
     return spark.table(table_name)
 
 

@@ -43,3 +43,33 @@ def test_first_50_queries_all_have_oracles():
     names = list(QUERIES)[:50]
     missing = [n for n in names if n not in ORACLES]
     assert not missing, f"first-50 queries lack oracles: {missing}"
+
+
+def test_contract_boolean_queries_hold(spark):
+    """sketch_profile / stratified_sample materialize sketch- and
+    sampling-accuracy contracts as boolean columns; every boolean must
+    be True on the fixtures (the oracle states literal TRUE, so any
+    False here = driver hash-mismatch)."""
+    prof = QUERIES["sketch_profile"](spark, SF_DIR).collect()
+    assert prof and all(
+        r["hll_ok"] and r["q50_ok"] and r["q90_ok"] and r["q99_ok"] for r in prof
+    )
+    strat = QUERIES["stratified_sample"](spark, SF_DIR).collect()
+    assert strat and all(r["sample_ok"] for r in strat)
+
+
+def test_planted_ann_closed_form(spark):
+    """The planted-corpus ANN queries must return exactly the closed
+    form the oracle states: rank 1 = the query itself, ranks 2-10 =
+    its first 9 planted copies, all at cosine 1.0."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        assert len(rows) == 50, name
+        for r in rows:
+            expect = (
+                r["query_id"]
+                if r["rank"] == 1
+                else 2000000 + r["query_id"] * 10 + (r["rank"] - 2)
+            )
+            assert r["neighbor_id"] == expect, (name, dict(r.asDict()))
+            assert r["cosine_sim"] == 1.0, (name, dict(r.asDict()))

@@ -203,3 +203,73 @@ def test_configure_object_store_env_secrets(spark, monkeypatch):
     )
     with _pytest.raises(KeyError):
         configure_object_store(spark, {"k": "env:MISSING_SECRET_XYZ"})
+
+
+def test_reference_pipeline_global_temp_view_cross_session(spark):
+    """The reference's DataFrame→SQL bridge is a GLOBAL temp view
+    (createOrReplaceGlobalTempView, Spatially ETL test.py:205): it
+    must be queryable as global_temp.<name> from a DIFFERENT
+    SparkSession of the same application, where a session-scoped view
+    is invisible."""
+    gold = reference_pipeline(
+        spark, SF_DIR, view_name="gold_global_test", global_view=True
+    )
+    other = spark.newSession()
+    via_other = other.table("global_temp.gold_global_test")
+    assert via_other.count() > 0
+    # the view holds the TRANSFORMED (pre-filter) frame; replaying the
+    # gold filter over it from the other session must reproduce gold
+    from spatially_databricks_etl_spark.plans.pipeline import filter_gold
+
+    got = {
+        tuple(r)
+        for r in filter_gold(via_other).select("event_id").collect()
+    }
+    want = {tuple(r) for r in gold.select("event_id").collect()}
+    assert got == want
+    # and the session-scoped default is NOT visible cross-session
+    reference_pipeline(spark, SF_DIR, view_name="gold_session_test")
+    from pyspark.errors import AnalysisException
+    import pytest
+
+    with pytest.raises(AnalysisException):
+        other.table("gold_session_test")
+    spark.catalog.dropGlobalTempView("gold_global_test")
+
+
+def test_ctas_provider_branch(spark):
+    """save_as_table/ctas pick Delta when the Delta classes are on the
+    JVM classpath, else parquet. Pin the WRITTEN table's catalog
+    provider to the probe's answer, so this test exercises whichever
+    branch is actually live (parquet here; Delta on a Delta cluster)
+    instead of asserting dead code."""
+    from spatially_databricks_etl_spark.sinks.writers import (
+        _delta_available,
+        ctas,
+        save_as_table,
+    )
+
+    expected = "delta" if _delta_available(spark) else "parquet"
+
+    src = reference_pipeline(spark, SF_DIR)
+    save_as_table(src.limit(5), "provider_probe_tbl", mode="overwrite")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED provider_probe_tbl").collect()
+    }
+    assert desc.get("Provider", "").lower() == expected
+    assert spark.table("provider_probe_tbl").count() == 5
+
+    out = ctas(
+        spark,
+        "provider_probe_ctas",
+        "SELECT event_id, event_value FROM provider_probe_tbl",
+    )
+    desc2 = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED provider_probe_ctas").collect()
+    }
+    assert desc2.get("Provider", "").lower() == expected
+    assert out.count() == 5
+    spark.sql("DROP TABLE IF EXISTS provider_probe_tbl")
+    spark.sql("DROP TABLE IF EXISTS provider_probe_ctas")
