@@ -8,10 +8,13 @@ Prints ONE JSON line:
 Each query is executed to completion via a count-style action (the
 write path is measured by ref_pipeline, which materializes the gold
 rows). Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_ITERS
-(default 3) warm iterations — round-to-round deltas on a shared
+(default 5) warm iterations — round-to-round deltas on a shared
 local[32] box were ±30% with zero code change at n≤2, which made
 real regressions and real fixes indistinguishable from noise.
-value = sum of per-query medians.
+value = sum of per-query medians; per-query [min, max] spreads are
+emitted in the JSON (`spreads`) with the iteration count (`n`).
+ALL cached blocks are released between iterations (clearCache), so no
+query inherits another's persisted intermediates.
 """
 
 from __future__ import annotations
@@ -82,8 +85,9 @@ def main() -> int:
     # execution, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
@@ -93,7 +97,15 @@ def main() -> int:
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - t0)
+            # Release ALL cached blocks between iterations (outside the
+            # timer): the dedup operators persist intermediates for DAG
+            # reuse within one call, and without a release every later
+            # query inherits the executor-memory pressure — round-3
+            # numbers showed session_window at 2.2 s in-bench vs 0.9 s
+            # isolated purely from this pollution.
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         spread = f"[{min(runs):.2f}..{max(runs):.2f}]"
         print(
             f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)",
@@ -108,6 +120,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
+                "n": iters,
                 "sf": sf,
             }
         )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spatially_databricks_etl_spark.caching import release_intermediates
 from spatially_databricks_etl_spark.functions.text import quality_score
 from spatially_databricks_etl_spark.operators.dedup import (
     exact_dedup,
@@ -404,6 +405,10 @@ def curate_corpus(
         d, text_col=text_col, id_col=id_col, threshold=near_threshold
     )
     comp = connected_components(pairs)
+    # connected_components eagerly localCheckpoints the edge list, so
+    # the pair DAG (and the minhash persists behind it) is fully
+    # consumed by the time it returns — release the cached blocks now.
+    release_intermediates(pairs)
     non_reps = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

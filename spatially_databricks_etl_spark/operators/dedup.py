@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from spatially_databricks_etl_spark.caching import register_persists
 from spatially_databricks_etl_spark.functions.text import ngrams, tokens
 from spatially_databricks_etl_spark.operators.relational import ensure_parallelism
 
@@ -55,16 +56,36 @@ def minhash_signature(
     )
 
 
-def shingle_hashes(shingle_col: Column, *, seed: int = 42) -> Column:
-    """One 32-bit-masked xxhash64 per distinct shingle — the only
-    string hashing in the MinHash pipeline. Materialize this as its
-    own column so the per-permutation derivations reuse it instead of
-    re-hashing strings num_hashes times (CollapseProject would
-    otherwise inline and duplicate it)."""
-    return F.transform(
-        F.array_distinct(shingle_col),
-        lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(F.lit((1 << 32) - 1)),
+def shingle_hashes(shingle_col: Column, *, seed: int = 42, mask32: bool = True) -> Column:
+    """One xxhash64 per distinct shingle — the only string hashing in
+    the MinHash pipeline. Materialize this as its own column so the
+    per-permutation derivations reuse it instead of re-hashing strings
+    num_hashes times (CollapseProject would otherwise inline and
+    duplicate it).
+
+    ``mask32=True`` (default) masks to 32 bits — required by the
+    signature kernels' overflow bound (h < 2³², a < 2³⁰ ⇒ a·h+b < 2⁶³).
+    ``mask32=False`` keeps the full 64-bit code: use that width when
+    the hashes also serve as the exact-Jaccard verify sets, where
+    32-bit collisions (P ≈ |union|²/2³³ per pair) could perturb a
+    similarity value — at 2⁶⁴ the collision odds (~1e-14) are below
+    any practical exactness bar. :func:`mask32_hashes` bridges the
+    two: mask the persisted 64-bit codes on the projection feeding the
+    signature kernel, which yields bit-identical signatures to hashing
+    with ``mask32=True`` directly."""
+    h = F.transform(
+        F.array_distinct(shingle_col), lambda s: F.xxhash64(s, F.lit(seed))
     )
+    if not mask32:
+        return h
+    return F.transform(h, lambda x: x.bitwiseAND(F.lit((1 << 32) - 1)))
+
+
+def mask32_hashes(hash_col: Column | str) -> Column:
+    """Mask an array of 64-bit shingle codes down to the 32-bit domain
+    the minhash kernels require (idempotent)."""
+    c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.transform(c, lambda x: x.bitwiseAND(F.lit((1 << 32) - 1)))
 
 
 _MERSENNE31 = (1 << 31) - 1
@@ -150,7 +171,13 @@ def minhash_signatures_df(
     def compute(batches):
         for pdf in batches:
             n = len(pdf)
-            arrs = [np.asarray(h, dtype=np.int64) for h in pdf[hash_col]]
+            # None rows behave like zero shingles (all-null signature) —
+            # parity with the HOF kernel, where transform/array_min over
+            # a NULL array yields NULL per permutation.
+            arrs = [
+                np.asarray(h if h is not None else [], dtype=np.int64)
+                for h in pdf[hash_col]
+            ]
             counts = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
             sigs: list = [None] * n
             i = 0
@@ -207,28 +234,36 @@ def minhash_near_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
-    Plan shape (scale analysis):
+    Plan shape (scale analysis — two shuffles total on narrow rows):
 
-    1. per-row signature — narrow, codegen, one scan;
-    2. explode to ``bands`` (band, band_hash) rows per doc carrying
-       ONLY the doc id — shingle arrays never enter the LSH shuffle
-       (at corpus scale the arrays dominate row width; shipping them
-       through the bucket join is what kills throughput);
-    3. bucket-size cap: buckets larger than ``max_bucket_size`` are
-       dropped before the self-join — a degenerate bucket of k docs
-       contributes k² candidates and no precision (standard
-       posting-list cap); the drop is logged by the optimizer as a
-       cheap aggregate + semi-join on narrow rows;
-    4. self-join inside buckets → distinct (id_a, id_b);
-    5. join candidate ids BACK to the shingle table and verify with
-       exact Jaccard, so results are exact for every emitted pair.
+    1. one scan: shingle → xxhash64 per distinct shingle (strings die
+       inside this single projection — they are never persisted,
+       shuffled, or verified on; at corpus scale string shingle arrays
+       dominate row width, so keeping only the 64-bit hash codes
+       shrinks both the persist footprint and the verify joins.
+       Collisions would need two distinct shingles within one pair's
+       union to collide in the 32-bit-masked space:
+       P ≈ |union|²/2³³ — immaterial next to the LSH S-curve);
+    2. per-row signature via the vectorized Arrow kernel, then explode
+       to ``bands`` (band, band_hash) rows carrying ONLY the doc id;
+    3. SHUFFLE 1: groupBy (band, band_hash) → ``collect_list(id)``.
+       Buckets above ``max_bucket_size`` are dropped (a degenerate
+       bucket of k docs contributes k² candidates and no precision —
+       standard posting-list cap); pairs are expanded INSIDE the array
+       (sorted, so id_a < id_b) — no bucket self-join, no semi-join
+       probe, no extra exchange;
+    4. SHUFFLE 2: distinct (id_a, id_b) across bands (a pair can
+       collide in up to ``bands`` buckets — dedup before the verify
+       joins, not after);
+    5. join candidate ids BACK to the hashed-shingle table and verify
+       with exact Jaccard on the hash codes, so results are exact for
+       every emitted pair.
 
-    The shingle table and the banded rows are persisted
-    (MEMORY_AND_DISK, spills at scale): the DAG consumes each from
-    multiple branches (aggregate + semi-join probe + self-join sides +
-    verify joins), and without a persist each branch recomputes the
-    full shingle→hash→signature chain — the dominant cost — from the
-    source scan.
+    The hashed-shingle table is persisted (MEMORY_AND_DISK, spills at
+    scale): the DAG consumes it from three branches (signature + both
+    verify sides), and without a persist each branch recomputes
+    shingling+hashing from the source scan. The caller releases it via
+    ``caching.release_intermediates(result)`` once materialized.
 
     Defaults b=16, r=6 put the S-curve crossover at (1/16)^(1/6)≈0.63:
     pairs at J≥0.8 are found with P>0.999 while J≈0.2 background
@@ -244,18 +279,21 @@ def minhash_near_dedup(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
     )
     sh = ngrams(F.col("__text"), shingle_size, character=True)
-    base = src.select("__id", F.array_distinct(sh).alias("__shingles")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # two-step: string-hash once per shingle (JVM xxhash64), then
+    # full 64-bit codes persisted (collision-free verify sets); the
+    # signature path masks to 32 bits on its own projection, which is
+    # bit-identical to hashing masked in the first place
+    base = src.select(
+        "__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # derive ALL permutation minima in one vectorized Arrow/numpy pass
     # (bit-exact with the Column-expression kernel — see
     # minhash_signatures_df docstring for why this beats the HOF form)
-    hashed = base.select(
-        "__id", shingle_hashes(F.col("__shingles"), seed=seed).alias("__h")
-    )
     sig = minhash_signatures_df(
-        hashed, hash_col="__h", sig_col="__sig", num_hashes=num_hashes, seed=seed
+        base.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
     )
 
     banded = sig.select(
@@ -275,34 +313,44 @@ def minhash_near_dedup(
         ).alias("__b"),
     ).select(
         "__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    ok_buckets = (
-        banded.groupBy("__band", "__bh")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket_size)
-        .select("__band", "__bh")
     )
-    banded = banded.join(ok_buckets, on=["__band", "__bh"], how="left_semi")
 
-    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bh")
-    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bh")
+    # One hash-agg shuffle builds the buckets; the pair expansion is a
+    # per-bucket array expression (ids sorted → id_a < id_b for free).
+    ids = F.array_sort(F.collect_list("__id"))
+    buckets = (
+        banded.groupBy("__band", "__bh")
+        .agg(ids.alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        left.join(right, on=["__band", "__bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
-    return (
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b"))
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    # Persisted intermediates are released by the caller via
+    # caching.release_intermediates(out) once the result is
+    # materialized — long-lived sessions must not leak cached blocks.
+    return register_persists(out, [base])
 
 
 def simhash(text_col: Column | str, *, bits: int = 64, seed: int = 42) -> Column:
@@ -470,10 +518,11 @@ def ngram_jaccard_pairs(
     )
     sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-    return (
+    out = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    return register_persists(out, [base, ranked])

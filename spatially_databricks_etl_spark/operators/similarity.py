@@ -153,6 +153,87 @@ def cosine_self_join_pairs(
     )
 
 
+def _scaled_centroid_lit(raw_cents: list[list[float]]) -> Column:
+    """Centroids (pre-scaled by 1/|c_j|) as ONE nested literal array —
+    an indexed transform over it keeps the expression tree O(1) in
+    n_centroids (vs n_centroids separate dot expressions — compile
+    time grows with tree size, and the search path is re-planned per
+    query batch)."""
+    inv = [1.0 / (float(np.linalg.norm(c)) or 1.0) for c in raw_cents]
+    return F.array(
+        *[F.array(*[F.lit(x * inv[j]) for x in c]) for j, c in enumerate(raw_cents)]
+    )
+
+
+def _cell_sims(cents_lit: Column):
+    def cell_sims(vec: Column) -> Column:
+        # |v| is constant across centroids, so argmax over
+        # dot(v, c_j)/|c_j| == argmax over cosine — skip |v|.
+        return F.transform(
+            cents_lit,
+            lambda c, j: F.struct(dot(vec, c).alias("sim"), j.alias("cell")),
+        )
+
+    return cell_sims
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    kmeans_iters: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF index BUILD: train the coarse quantizer once, return its
+    centroids (a driver-side list — O(centroids·dim), independent of
+    corpus size) for any number of :func:`ivf_topk` calls.
+
+    Centroid training is index-build work, not query work: every
+    Lloyd iteration is a full corpus pass, so re-deriving centroids
+    inside each query call would add an extra 100 TB scan per batch.
+    Build once (at ingest / index refresh), search many.
+
+    Quantizer: ``n_centroids`` corpus vectors chosen by hashed id
+    (deterministic, seed-stable), refined with ``kmeans_iters`` Lloyd
+    iterations: assign every vector to its nearest centroid (codegen'd
+    argmax — the same expression the search pass uses), recompute each
+    centroid as its cell's mean via ONE hash-aggregate with ``dim``
+    per-element ``sum(F.get(vec, i))`` columns — map-side partials
+    combine, the shuffle carries only (cell, dim sums, count) rows,
+    and the collect stays O(centroids·dim), not O(data). Lloyd
+    tightens cells toward actual density, which raises recall at fixed
+    nprobe vs raw sampled centroids. Empty cells keep their previous
+    centroid."""
+    sample = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r["__v"]] for r in sample]
+    if not cents:
+        raise ValueError("ivf_build: empty corpus — no centroids to sample")
+    dim = len(cents[0])
+
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(max(0, kmeans_iters)):
+        cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+        assigned_i = vecs.withColumn(
+            "__cell", F.array_max(cell_sims(F.col("__v"))).getField("cell")
+        )
+        stats = assigned_i.groupBy("__cell").agg(
+            F.count("*").alias("__n"),
+            *[F.sum(F.get("__v", i)).alias(f"__s{i}") for i in range(dim)],
+        ).collect()
+        for r in stats:
+            j, n = r["__cell"], r["__n"]
+            if n > 0:
+                cents[j] = [float(r[f"__s{i}"]) / n for i in range(dim)]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,29 +242,22 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
-    kmeans_iters: int = 1,
+    kmeans_iters: int = 0,
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: partition the corpus by
-    nearest coarse centroid, probe only the ``nprobe`` centroids
-    closest to each query.
+    """IVF (inverted-file) approximate top-k SEARCH: partition the
+    corpus by nearest coarse centroid, probe only the ``nprobe``
+    centroids closest to each query.
 
-    Coarse quantizer: ``n_centroids`` corpus vectors chosen by hashed
-    id (deterministic, seed-stable), then refined with
-    ``kmeans_iters`` Lloyd iterations (default 1): assign every vector
-    to its nearest centroid, recompute each centroid as its cell's
-    mean. The assignment is the same codegen'd argmax expression the
-    final pass uses; the mean is ONE hash-aggregate with ``dim``
-    per-element ``sum(F.get(vec, i))`` columns — map-side partials
-    combine, the shuffle carries only (cell, 64 sums, count) rows, and
-    the collect stays O(centroids·dim), not O(data). Lloyd tightens
-    cells toward actual density, which raises recall at fixed nprobe
-    vs raw sampled centroids. Empty cells keep their previous centroid.
-    Centroid count is independent of corpus size, so collecting them
-    to the driver is O(centroids), not O(data); they re-enter the plan
-    as codegen'd literal arrays.
+    Pass ``centroids`` from :func:`ivf_build` to search a prebuilt
+    index (the scale path — build once, search many). Without it, a
+    quantizer is built inline with ``kmeans_iters`` Lloyd passes
+    (default 0: sampled centroids only, so the one-shot path costs a
+    single corpus scan; refinement is opt-in because every Lloyd
+    iteration adds a full corpus pass).
 
     Plan shape at scale: one narrow corpus pass assigns each vector to
     its cell (argmax over ``n_centroids`` codegen'd dot products — no
@@ -198,54 +272,17 @@ def ivf_topk(
     ingest for repeated querying: probes then become partition-pruned
     scans.
     """
-    sample = (
-        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
+    cents = centroids if centroids is not None else ivf_build(
+        corpus,
+        n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    cents = [[float(x) for x in r["__v"]] for r in sample]
-    dim = len(cents[0])
-
-    # one nested literal (centroids pre-scaled by 1/|c_j|) + an
-    # indexed transform keeps the expression tree O(1) in n_centroids
-    # (vs n_centroids separate dot expressions — compile time grows
-    # with tree size, and this path is re-planned per query batch)
-    def scaled_lit(raw_cents: list[list[float]]) -> Column:
-        inv = [1.0 / (float(np.linalg.norm(c)) or 1.0) for c in raw_cents]
-        return F.array(
-            *[
-                F.array(*[F.lit(x * inv[j]) for x in c])
-                for j, c in enumerate(raw_cents)
-            ]
-        )
-
-    cents_lit = scaled_lit(cents)
-
-    def cell_sims(vec: Column) -> Column:
-        # |v| is constant across centroids, so argmax over
-        # dot(v, c_j)/|c_j| == argmax over cosine — skip |v|.
-        return F.transform(
-            cents_lit,
-            lambda c, j: F.struct(dot(vec, c).alias("sim"), j.alias("cell")),
-        )
-
-    # Lloyd refinement: one narrow assignment pass + one hash-agg per
-    # iteration; shuffle rows = n_centroids, collect = O(centroids·dim)
-    vecs = corpus.select(F.col(vec_col).alias("__v"))
-    for _ in range(max(0, kmeans_iters)):
-        assigned_i = vecs.withColumn(
-            "__cell", F.array_max(cell_sims(F.col("__v"))).getField("cell")
-        )
-        stats = assigned_i.groupBy("__cell").agg(
-            F.count("*").alias("__n"),
-            *[F.sum(F.get("__v", i)).alias(f"__s{i}") for i in range(dim)],
-        ).collect()
-        for r in stats:
-            j, n = r["__cell"], r["__n"]
-            if n > 0:
-                cents[j] = [float(r[f"__s{i}"]) / n for i in range(dim)]
-        cents_lit = scaled_lit(cents)
+    if not cents:
+        raise ValueError("ivf_topk: empty centroid list")
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
 
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),

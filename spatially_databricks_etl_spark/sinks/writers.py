@@ -56,11 +56,18 @@ def ctas(
     the default session catalog reject it (UNSUPPORTED_FEATURE). The
     parquet branch therefore emulates or-replace as DROP-then-CREATE —
     same end state, not atomic (a concurrent reader can see the gap);
-    on Delta the native atomic form is used."""
+    on Delta the native atomic form is used.
+
+    Failure semantics of the emulated branch: the select is ANALYZED
+    (parsed + resolved against the catalog) BEFORE the drop, so a bad
+    query never destroys the existing table. A runtime failure during
+    the CREATE's execution (e.g. disk full) can still leave no table
+    behind — only the Delta branch is transactional."""
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     if fmt == "delta":
         spark.sql(f"CREATE OR REPLACE TABLE {table_name} USING delta AS {select_sql}")
     else:
+        spark.sql(select_sql).schema  # analyze first: invalid SQL must not drop
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         spark.sql(f"CREATE TABLE {table_name} USING {fmt} AS {select_sql}")
     return spark.table(table_name)

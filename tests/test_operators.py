@@ -430,6 +430,29 @@ def test_ab_test_z_statistic_sanity(spark):
         assert r["z_stat"] is not None and abs(r["z_stat"]) < 5.0
 
 
+def test_minhash_releases_persisted_intermediates(spark):
+    """API hygiene at 100 TB: a long-lived session calling dedup
+    operators repeatedly must be able to free their cached blocks —
+    release_intermediates(result) leaves ZERO persisted storage."""
+    from spatially_databricks_etl_spark.caching import release_intermediates
+    from spatially_databricks_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark.catalog.clearCache()
+    rows = [(i, f"shared sentence stem for bucket {i % 3} with filler {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sc = spark.sparkContext._jsc.sc()
+    for op in (
+        lambda: minhash_near_dedup(df, threshold=0.5),
+        lambda: ngram_jaccard_pairs(df, n=3, threshold=0.5),
+    ):
+        out = op()
+        out.count()
+        assert sc.getRDDStorageInfo(), "operator should persist intermediates"
+        release_intermediates(out)
+        assert not sc.getRDDStorageInfo(), "release must drop every cached block"
+
+
 def test_minhash_vectorized_signature_bit_exact(spark):
     """The Arrow/numpy signature kernel must be BIT-EXACT with the
     Column-expression (HOF) kernel — same constants, same int64
@@ -455,6 +478,13 @@ def test_minhash_vectorized_signature_bit_exact(spark):
         shingle_hashes(
             F.array_distinct(ngrams(F.col("text"), 5, character=True)), seed=42
         ).alias("__h"),
+    )
+    # NULL hash array row: both kernels must yield the all-null
+    # signature (HOF: transform/array_min over NULL → NULL per perm).
+    hashed = hashed.unionByName(
+        spark.createDataFrame([(6,)], "doc_id long").select(
+            "doc_id", F.lit(None).cast("array<bigint>").alias("__h")
+        )
     )
     hof = {
         r["doc_id"]: r["s"]

@@ -271,5 +271,14 @@ def test_ctas_provider_branch(spark):
     }
     assert desc2.get("Provider", "").lower() == expected
     assert out.count() == 5
+
+    # failure path: an invalid select must raise WITHOUT destroying the
+    # pre-existing table (the select is analyzed before the DROP)
+    import pytest
+
+    with pytest.raises(Exception):
+        ctas(spark, "provider_probe_ctas", "SELECT no_such_col FROM provider_probe_tbl")
+    assert out.count() == 5, "failed CTAS must leave the old table intact"
+
     spark.sql("DROP TABLE IF EXISTS provider_probe_tbl")
     spark.sql("DROP TABLE IF EXISTS provider_probe_ctas")

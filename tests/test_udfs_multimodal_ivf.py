@@ -86,12 +86,27 @@ def test_ivf_recall_against_brute(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     brute = brute_force_topk(emb, queries, k=10)
-    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    # build/search split: Lloyd refinement runs ONCE in the build, the
+    # search reuses the trained centroids (the 100 TB deployment shape)
+    from spatially_databricks_etl_spark.operators.similarity import ivf_build
+
+    cents = ivf_build(emb, n_centroids=16, kmeans_iters=1)
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
     b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # self-match must always survive (query vector is in its own cell)
     assert all((q, q) in a for q in range(5))
     assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
+
+
+def test_ivf_build_empty_corpus_raises(spark):
+    from spatially_databricks_etl_spark.operators.similarity import ivf_build
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    import pytest
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(empty)
 
 
 def test_ivf_full_probe_equals_brute(spark):
