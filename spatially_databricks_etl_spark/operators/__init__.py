@@ -16,6 +16,10 @@ from spatially_databricks_etl_spark.operators.dedup import (
 from spatially_databricks_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine_self_join_pairs,
+    ivf_build,
+    ivf_search_index,
+    ivf_topk,
+    ivf_write_index,
     lsh_bucketed_topk,
 )
 
@@ -33,5 +37,9 @@ __all__ = [
     "simhash_near_dedup",
     "brute_force_topk",
     "cosine_self_join_pairs",
+    "ivf_build",
+    "ivf_search_index",
+    "ivf_topk",
+    "ivf_write_index",
     "lsh_bucketed_topk",
 ]

@@ -290,8 +290,24 @@ def ivf_topk(
     )
     assigned = c.withColumn("__cell", F.array_max(cell_sims(F.col("__cvec"))).getField("cell"))
 
+    probes = _probe_cells(queries, cell_sims, nprobe, query_id_col, vec_col)
+
+    scored = assigned.join(F.broadcast(probes), on="__cell").withColumn(
+        "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    out = top_k_per_group(
+        scored, ["query_id"], [F.col("cosine_sim").desc(), F.col("neighbor_id")], k, rank_col="rank"
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def _probe_cells(
+    queries: DataFrame, cell_sims, nprobe: int, query_id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, __qvec, __cell) — one row per probed cell, the
+    ``nprobe`` nearest centroids per query."""
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    probes = q.withColumn(
+    return q.withColumn(
         "__cell",
         F.explode(
             F.transform(
@@ -301,13 +317,80 @@ def ivf_topk(
         ),
     )
 
-    scored = assigned.join(F.broadcast(probes), on="__cell").withColumn(
-        "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the cell-assigned corpus written as
+    parquet PARTITIONED BY cell, plus the trained centroids as a
+    ``_ivf_meta`` sidecar (underscore-prefixed, so dataset listings
+    ignore it). This is the ingest-time half of the 100 TB search
+    story: assignment (the only full-corpus pass) happens once at
+    write; every later search probes ``nprobe`` cells as
+    partition-PRUNED scans — the corpus is never re-scanned, never
+    shuffled, and unprobed cells are never even listed."""
+    import json
+
+    cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_meta")
+
+
+def ivf_read_centroids(spark, path: str) -> list[list[float]]:
+    """Load the centroids sidecar written by :func:`ivf_write_index`."""
+    import json
+
+    row = spark.read.json(f"{path}/_ivf_meta").collect()[0]
+    return json.loads(row["centroids_json"])
+
+
+def ivf_search_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (see :func:`ivf_write_index`).
+
+    The probed cell set is computed from the (small) query batch and
+    applied as a STATIC partition filter on the index scan — the plan
+    shows non-empty ``PartitionFilters`` and only the probed
+    directories are read. Per-query routing then broadcast-joins the
+    probe rows on the partition column. Result is identical to
+    :func:`ivf_topk` over the same corpus and centroids (pinned by
+    test). The collect is O(queries·nprobe) — the query batch is
+    broadcast anyway, so driver-side cell routing adds no new scale
+    constraint."""
+    spark = queries.sparkSession
+    cents = centroids if centroids is not None else ivf_read_centroids(spark, path)
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+    probes = _probe_cells(queries, cell_sims, nprobe, query_id_col, vec_col)
+    cells = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
+    corpus = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    scored = corpus.join(F.broadcast(probes), on="__cell").withColumn(
+        "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding"))
     )
     out = top_k_per_group(
-        scored, ["query_id"], [F.col("cosine_sim").desc(), F.col("neighbor_id")], k, rank_col="rank"
+        scored, ["query_id"], [F.col("cosine_sim").desc(), F.col("vec_id")], k, rank_col="rank"
     )
-    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim", "rank"
+    )
 
 
 def fuzzy_join(

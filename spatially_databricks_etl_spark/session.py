@@ -62,7 +62,13 @@ def get_spark(
         # pandas UDFs; correctness unchanged (diffcheck-verified)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] runs driver+executor in ONE JVM: 32 concurrent
+        # tasks shuffling + Arrow batching inside an 8g heap caused
+        # multi-second full-GC spikes mid-bench (minhash spread
+        # [2.7..12.1] at 8g). 24g keeps GC out of the measurements on
+        # the 128 GiB harness box; real clusters size executors via
+        # spark-submit and never see this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # Spark has no nanosecond TimestampType; read parquet
         # TIMESTAMP(NANOS) as long and convert (see load_tables) —
         # without this flag the scan hard-fails on events.parquet.

@@ -99,6 +99,41 @@ def test_ivf_recall_against_brute(spark):
     assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The ingest-time index: assignment written partitionBy(cell);
+    search must (a) return exactly what the in-memory path returns for
+    the same centroids, and (b) read ONLY the probed cells — the scan
+    carries a non-empty PartitionFilters on __cell."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, centroids=cents)
+
+    out = ivf_search_index(queries, path, k=5, nprobe=2)
+    mem = ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in out.collect()}
+    want = {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in mem.collect()}
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__cell" in ln and "[]" not in ln.split("PartitionFilters", 1)[1][:60] for ln in pf), pf
+
+    # sidecar round-trip: search without passing centroids explicitly
+    out2 = ivf_search_index(queries, path, k=5, nprobe=2)
+    assert out2.count() == out.count()
+
+
 def test_ivf_build_empty_corpus_raises(spark):
     from spatially_databricks_etl_spark.operators.similarity import ivf_build
 
