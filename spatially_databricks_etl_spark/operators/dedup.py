@@ -270,6 +270,11 @@ def minhash_near_dedup(
     produces ~1e-3 candidate rate. Deterministic (fixed seeds).
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) — "
+            "a truncated last band silently changes the S-curve"
+        )
     rows = num_hashes // bands
     # Heavy per-row compute (shingling + hashing) must use every
     # core: a small single-file input arrives as ONE partition, which
@@ -394,6 +399,14 @@ def simhash_near_dedup(
     chunk_value) — a sparse shuffle — then verified with
     ``bit_count(a XOR b)``. Returns (id_a, id_b, hamming).
     """
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks ({chunks}) must divide 64 evenly")
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({chunks}) — the "
+            "pigeonhole guarantee (some chunk matches exactly) needs more "
+            "chunks than allowed bit flips"
+        )
     width = 64 // chunks
     mask = (1 << width) - 1
     src = ensure_parallelism(
