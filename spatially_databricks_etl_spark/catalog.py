@@ -2716,6 +2716,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over a planted 2-plane corpus, closed-form
+    oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
+    v=(e0−e1)/√2 and a_i = 2·(i mod 8), b_i = (i mod 5) for
+    i = 0..39. (i mod 8, i mod 5) covers all 40 residue combinations
+    exactly once (CRT), so cov(a,b) = 0 EXACTLY and the covariance
+    matrix is Var(a)·uuᵀ + Var(b)·vvᵀ with Var(a)=21·40/39 >
+    Var(b)=2·40/39 — its top-2 eigenvectors are exactly ±u, ±v, the
+    fit's first-nonzero-positive sign convention resolves both to +,
+    and the projections are pc1 = a_i − ā = 2·(i mod 8) − 7,
+    pc2 = b_i − b̄ = (i mod 5) − 2, which the oracle states without
+    running PCA. Organic-data parity vs numpy is property-tested in
+    tests/test_udfs_multimodal_ivf.py."""
+    from spatially_databricks_etl_spark.operators.embeddings import pca_fit, pca_project
+
+    inv = 2 ** -0.5
+    a = (F.col("vec_id") % 8).cast("double") * 2.0
+    b = (F.col("vec_id") % 5).cast("double")
+    emb = F.array((a + b) * F.lit(inv), (a - b) * F.lit(inv), *[F.lit(0.0)] * 6)
+    data = spark.range(40).select(F.col("id").alias("vec_id")).withColumn("embedding", emb)
+    model = pca_fit(data, k=2)
+    out = pca_project(data, model)
+    return out.select(
+        "vec_id",
+        F.round(F.get("pca", 0), 6).alias("pc1"),
+        F.round(F.get("pca", 1), 6).alias("pc2"),
+    )
+
+
+SQL_PCA_PROJECT = """
+SELECT i AS vec_id,
+       round(2.0 * (i % 8) - 7.0, 6) AS pc1,
+       round((i % 5) - 2.0, 6) AS pc2
+FROM (SELECT unnest(generate_series(0, 39)) AS i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2850,6 +2887,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_keys": q_stream_dedup_keys,
     "embedding_neardup": q_embedding_neardup,
     "simhash_neardup_organic": q_simhash_neardup_organic,
+    "pca_project": q_pca_project,
 }
 
 ORACLES: dict[str, str] = {
@@ -2938,6 +2976,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_PLANTED,
     "ann_ivf_topk": SQL_ANN_PLANTED,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "pca_project": SQL_PCA_PROJECT,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -123,6 +123,73 @@ def lsh_bucketed_topk(
     return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def lsh_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index: the bucket-assigned corpus written
+    as parquet PARTITIONED BY bucket id, plus the (planes, dim, seed)
+    parameters as a ``_lsh_meta`` sidecar — the hyperplanes themselves
+    re-derive deterministically from the seed. Ingest-time half of the
+    repeated-query path: bucketing (one corpus pass) happens at write;
+    searches read only the probed bucket directories."""
+    import json
+
+    hp = _hyperplanes(dim, planes, seed)
+    bucketed = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("__bucket", lsh_bucket("embedding", hp))
+    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    corpus.sparkSession.createDataFrame(
+        [(json.dumps({"planes": planes, "dim": dim, "seed": seed}),)],
+        "lsh_params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
+
+
+def lsh_search_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted LSH index (see :func:`lsh_write_index`):
+    queries bucket with the sidecar's hyperplanes, the distinct query
+    buckets become a STATIC partition filter (only probed directories
+    are listed/read), and scoring broadcast-joins the query batch on
+    the partition column. Identical results to
+    :func:`lsh_bucketed_topk` over the same corpus and parameters
+    (pinned by test)."""
+    import json
+
+    spark = queries.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
+    )
+    hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__bucket", lsh_bucket("__qvec", hp))
+    buckets = sorted({r["__bucket"] for r in q.select("__bucket").distinct().collect()})
+    corpus = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
+        "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding"))
+    )
+    out = top_k_per_group(
+        scored, ["query_id"], [F.col("cosine_sim").desc(), F.col("vec_id")], k, rank_col="rank"
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim", "rank"
+    )
+
+
 def cosine_self_join_pairs(
     corpus: DataFrame,
     *,

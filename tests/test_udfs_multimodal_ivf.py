@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from spatially_databricks_etl_spark.operators.dedup import ngram_jaccard_pairs
@@ -132,6 +133,76 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     # sidecar round-trip: search without passing centroids explicitly
     out2 = ivf_search_index(queries, path, k=5, nprobe=2)
     assert out2.count() == out.count()
+
+
+def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_search_index,
+        lsh_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "lsh_index")
+    lsh_write_index(emb, path, planes=4, dim=64, seed=42)
+    out = lsh_search_index(queries, path, k=5)
+    mem = lsh_bucketed_topk(emb, queries, k=5, planes=4, dim=64, seed=42)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in out.collect()}
+    want = {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in mem.collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__bucket" in ln for ln in pf), pf
+
+
+def test_pca_fit_matches_numpy_on_organic_embeddings(spark):
+    """Distributed moment-partial PCA must agree with single-node
+    numpy PCA on the same data: same eigenvalues, same components up
+    to the shared sign convention, projections reconstructing."""
+    from spatially_databricks_etl_spark.operators.embeddings import pca_fit, pca_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    model = pca_fit(emb, k=4)
+
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()])
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    want_ev = evals[order]
+    assert np.allclose(model["explained_variance"], want_ev, rtol=1e-8)
+    assert np.allclose(model["mean"], mean, rtol=0, atol=1e-9)
+    for got_c, ref_c in zip(model["components"], evecs[:, order].T):
+        # sign-free comparison; components must be unit-norm
+        assert np.isclose(np.abs(np.dot(got_c, ref_c)), 1.0, atol=1e-8)
+        assert np.isclose(np.linalg.norm(got_c), 1.0, atol=1e-10)
+
+    # projection expression parity with numpy on a sample row
+    out = pca_project(emb, model).filter(F.col("vec_id") == 0).collect()[0]
+    np_proj = (x[0] - mean) @ np.asarray(model["components"]).T
+    assert np.allclose(out["pca"], np_proj, atol=1e-9)
+
+
+def test_pca_fit_validates_inputs(spark):
+    from spatially_databricks_etl_spark.operators.embeddings import pca_fit
+
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_fit(empty)
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(one)
+    two = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="<= dim"):
+        pca_fit(two, k=5)
 
 
 def test_ivf_build_empty_corpus_raises(spark):
