@@ -1,0 +1,114 @@
+"""Write-side data layout: range-sorted and Z-ordered parquet.
+
+At 100 TB the cheapest scan is the one that never reads the file:
+parquet footers carry per-column min/max, and both Spark's scan and
+any warehouse engine skip files/row-groups whose range can't match a
+predicate. That only works if the WRITE clusters values — an unsorted
+write smears every value range across every file and min/max skipping
+degenerates to "read everything". Two layouts:
+
+- :func:`write_range_sorted`: global range partition + in-file sort on
+  the hot filter column(s). Best single-column pruning (files own
+  disjoint ranges — verified by test against the parquet footers).
+- :func:`zorder_value` / :func:`write_zordered`: bit-interleaved
+  Z-value over 2+ numeric columns, then range-sort by it. Trades a
+  little per-column tightness for locality on EVERY interleaved
+  column — the standard multi-dimensional clustering compromise when
+  queries filter on several independent columns.
+
+Both are plain writes — no table format required; with Delta in the
+session the same frames feed `OPTIMIZE ZORDER BY` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    num_files: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Range-repartition by ``sort_cols`` (sampled range boundaries →
+    each output file owns a disjoint value range) and sort within
+    files (tight row-group min/max). ``num_files=0`` keeps the
+    session's shuffle parallelism."""
+    parts = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files > 0
+        else df.repartitionByRange(*sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_value(*cols: Column | str, bits: int = 16) -> Column:
+    """Z-order (Morton) value: interleave the top ``bits`` bits of
+    each column's 0..2^bits-1 rank-space value. Callers pass columns
+    ALREADY scaled to that space (e.g. via ``F.ntile`` or an affine
+    rescale); interleaving is pure bit arithmetic — codegen'd, no UDF.
+    With k columns the result uses k·bits bits (≤ 63 enforced)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cs)
+    if k < 2:
+        raise ValueError("zorder_value needs >= 2 columns")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed 64-bit value")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+    return z
+
+
+def rank_space(col: Column | str, lo: Column | float, hi: Column | float, *, bits: int = 16) -> Column:
+    """Affine rescale of a numeric column into the 0..2^bits-1 Z-order
+    rank space (clamped; degenerate lo==hi maps to 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo_c = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi_c = F.lit(hi) if not isinstance(hi, Column) else hi
+    span = hi_c - lo_c
+    top = (1 << bits) - 1
+    scaled = F.when(
+        span > 0,
+        F.least(
+            F.lit(top),
+            F.greatest(F.lit(0), F.floor((c - lo_c) / span * top).cast("long")),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return scaled
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    bits: int = 16,
+    num_files: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster ``df`` by the Z-value of ``zorder_cols`` (numeric) and
+    write parquet. Column ranges for rank-space scaling come from one
+    cheap min/max aggregate (driver-side O(cols))."""
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in zorder_cols],
+    ).collect()[0]
+    ranked = [
+        rank_space(c, float(stats[f"__lo_{c}"]), float(stats[f"__hi_{c}"]), bits=bits)
+        for c in zorder_cols
+    ]
+    z = zorder_value(*ranked, bits=bits)
+    zdf = df.withColumn("__z", z)
+    parts = (
+        zdf.repartitionByRange(num_files, "__z")
+        if num_files > 0
+        else zdf.repartitionByRange("__z")
+    )
+    parts.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
