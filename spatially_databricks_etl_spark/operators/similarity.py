@@ -71,19 +71,62 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
     return rng.randn(planes, dim)
 
 
-def lsh_bucket(vec_col: Column | str, planes: np.ndarray) -> Column:
-    """Random-hyperplane bucket id: bit i = sign(v · plane_i). The
-    planes ship as literal arrays (tiny) so the whole expression is
-    codegen'd — no UDF, no broadcast variable needed."""
+def _lsh_dots(vec_col: Column | str, planes: np.ndarray) -> list[Column]:
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return [
+        dot(v, F.array(*[F.lit(float(x)) for x in plane])) for plane in planes
+    ]
+
+
+def _bucket_from_dots(dots: list[Column]) -> Column:
     bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+    for i, d in enumerate(dots):
+        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def lsh_bucket(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """Random-hyperplane bucket id: bit i = sign(v · plane_i). The
+    planes ship as literal arrays (tiny) so the whole expression is
+    codegen'd — no UDF, no broadcast variable needed."""
+    return _bucket_from_dots(_lsh_dots(vec_col, planes))
+
+
+def lsh_probe_buckets(
+    vec_col: Column | str, planes: np.ndarray, *, multiprobe: int = 0
+) -> Column:
+    """Array of buckets to probe for a QUERY vector: its own bucket
+    plus the ``multiprobe`` buckets across the nearest hyperplanes
+    (smallest |v·plane| margins — the standard multi-probe LSH trick:
+    a vector near a hyperplane has its true neighbors split across
+    that bit, so flipping the lowest-margin bits recovers them without
+    adding tables or reducing planes). Pure array expressions: margins
+    sort ascending, the flip mask comes from a literal power table
+    (shift amounts can't be columns)."""
+    n = len(planes)
+    if not 0 <= multiprobe <= n:
+        raise ValueError(f"multiprobe must be in [0, planes={n}]")
+    dots = _lsh_dots(vec_col, planes)
+    base = _bucket_from_dots(dots)
+    if multiprobe == 0:
+        return F.array(base)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(j).alias("j"))
+                for j, d in enumerate(dots)
+            ]
+        )
+    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(n)])
+    flips = F.transform(
+        F.slice(margins, 1, multiprobe),
+        lambda s: base.bitwiseXOR(F.get(powers, s.getField("j"))),
+    )
+    return F.concat(F.array(base), flips)
 
 
 def lsh_bucketed_topk(
@@ -94,6 +137,7 @@ def lsh_bucketed_topk(
     planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -102,9 +146,14 @@ def lsh_bucketed_topk(
 
     The candidate join is an equi-join on the integer bucket id, so
     the corpus shuffles once by bucket (or not at all if the bucketed
-    corpus is pre-materialized — do that at ingest for repeated
-    querying). Recall rises with fewer planes / multi-probe; 8 planes
-    ≈ 256 buckets is a reasonable sf0.1 default.
+    corpus is pre-materialized — see :func:`lsh_write_index`).
+    ``multiprobe=m`` additionally probes, per query, the m buckets
+    across its lowest-margin hyperplanes (see
+    :func:`lsh_probe_buckets`) — recall rises at the cost of scoring
+    ~(1+m)/2^planes of the corpus per query instead of ~1/2^planes;
+    no duplicate candidates arise because each corpus vector lives in
+    exactly one bucket. 8 planes ≈ 256 buckets is a reasonable sf0.1
+    default.
     """
     hp = _hyperplanes(dim, planes, seed)
     c = ensure_parallelism(
@@ -113,7 +162,10 @@ def lsh_bucketed_topk(
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     c = c.withColumn("__bucket", lsh_bucket("__cvec", hp))
-    q = q.withColumn("__bucket", lsh_bucket("__qvec", hp))
+    q = q.withColumn(
+        "__bucket",
+        F.explode(lsh_probe_buckets("__qvec", hp, multiprobe=multiprobe)),
+    )
     scored = c.join(F.broadcast(q), on="__bucket").withColumn(
         "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
     )

@@ -135,6 +135,30 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     assert out2.count() == out.count()
 
 
+def test_lsh_multiprobe_monotonically_raises_recall(spark):
+    """Probing the lowest-margin flip buckets can only ADD candidates
+    (each corpus vector lives in one bucket), so recall@10 vs brute
+    force must be monotone in multiprobe, and the self-match must
+    always survive (a query's own bucket is probed first)."""
+    from spatially_databricks_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(emb, queries, k=10)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+
+    def recall(m: int) -> float:
+        out = lsh_bucketed_topk(emb, queries, k=10, planes=6, dim=64, multiprobe=m)
+        a = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+        assert all((q, q) in a for q in range(5))
+        return len(a & b) / len(b)
+
+    r0, r1, r3 = recall(0), recall(1), recall(3)
+    assert r0 <= r1 <= r3, (r0, r1, r3)
+
+
 def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
     from spatially_databricks_etl_spark.operators.similarity import (
         lsh_bucketed_topk,
