@@ -2716,6 +2716,67 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted corpus for the line-dedup oracle: two boilerplate lines
+#: (doc-frequency 6 and 7 — above the threshold of 2), one line shared
+#: by exactly 2 docs (at the threshold — must SURVIVE), and per-doc
+#: unique content lines. Stated identically to Spark (createDataFrame)
+#: and DuckDB (VALUES built from the same literals).
+_DEDUP_LINES_DOCS: list[tuple[int, list[str]]] = [
+    (
+        i,
+        (["subscribe to our newsletter"] if i <= 5 else [])
+        + ([f"unique content for doc {i} part one"])
+        + (["shared pair line"] if i <= 1 else [])
+        + (["all rights reserved"] if 2 <= i <= 8 else [])
+        + ([f"unique content for doc {i} part two"]),
+    )
+    for i in range(10)
+]
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup over the planted corpus:
+    lines in >2 distinct docs are boilerplate and removed everywhere;
+    a line in exactly 2 docs sits AT the threshold and survives;
+    reassembly preserves order. Closed form: the oracle recomputes the
+    same rule in DuckDB over the identical literal corpus."""
+    from spatially_databricks_etl_spark.operators.curate import dedup_lines
+
+    rows = [(i, "\n".join(ls)) for i, ls in _DEDUP_LINES_DOCS]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    return dedup_lines(d, max_doc_frequency=2)
+
+
+def _sql_dedup_lines() -> str:
+    def doc_sql(i: int, ls: list[str]) -> str:
+        joined = " || chr(10) || ".join("'" + ln + "'" for ln in ls)
+        return f"({i}, {joined})"
+
+    values = ", ".join(doc_sql(i, ls) for i, ls in _DEDUP_LINES_DOCS)
+    return f"""
+WITH docs(doc_id, text) AS (VALUES {values}),
+sd AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lines AS (
+  SELECT doc_id,
+         unnest(ls) AS line,
+         generate_subscripts(ls, 1) AS pos
+  FROM sd),
+heavy AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 2),
+kept AS (SELECT l.* FROM lines l WHERE l.line NOT IN (SELECT line FROM heavy)),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+SQL_DEDUP_LINES = _sql_dedup_lines()
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -2888,6 +2949,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "pca_project": q_pca_project,
+    "dedup_lines": q_dedup_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -2977,6 +3039,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_PLANTED,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "pca_project": SQL_PCA_PROJECT,
+    "dedup_lines": SQL_DEDUP_LINES,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -322,6 +322,74 @@ def chunk_documents(
     return t.select(id_col, F.inline(chunks))
 
 
+def dedup_lines(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    max_doc_frequency: int = 1,
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup (the CCNet/common-crawl boilerplate
+    pass, public pipeline design): a line appearing in more than
+    ``max_doc_frequency`` distinct documents is boilerplate (headers,
+    cookie banners, "all rights reserved") and is removed from EVERY
+    document; remaining lines are reassembled in original order.
+    Lines shorter than ``min_line_chars`` are exempt (too short to be
+    meaningful boilerplate signals — removing them mangles prose).
+
+    Returns (id_col, text_col, n_removed) for every input document —
+    fully-boilerplate documents come back with empty text, not
+    dropped (the caller's quality gate decides their fate).
+
+    Plan shape (scale analysis): posexplode lines (map-only) →
+    doc-frequency aggregate keyed by ``xxhash64(line)`` — the shuffle
+    carries (64-bit key, count) rows, never the line text — → heavy
+    set joined back (left join + null filter; AQE broadcasts the heavy
+    side, which is small by the boilerplate hypothesis) → per-doc
+    rebuild (one groupBy on the doc id, order restored by sorting the
+    collected (pos, line) structs). Three shuffles, all narrow keys;
+    the text crosses only the explode and the rebuild.
+    """
+    import re as _re
+
+    split_pat = _re.escape(delimiter)
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias("__pos", "__line"),
+    ).withColumn("__key", F.xxhash64("__line"))
+    heavy = (
+        lines.groupBy("__key")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") > max_doc_frequency)
+    )
+    kept = lines.join(heavy, on="__key", how="left").filter(
+        F.col("__df").isNull() | (F.length("__line") < min_line_chars)
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+        ).alias("__text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count("*").alias("__n_lines"))
+    return (
+        totals.join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

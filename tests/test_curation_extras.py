@@ -249,3 +249,36 @@ def test_tfidf_top_terms_known_values(spark):
     # every doc emits at most k rows with ranks 1..k
     assert all(len(v) <= 2 and [r["rank"] for r in v] == list(range(1, len(v) + 1))
                for v in by_doc.values())
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    from spatially_databricks_etl_spark.operators.curate import dedup_lines
+
+    rows = [
+        (0, "banner\nalpha zero\nmid\nomega zero"),
+        (1, "banner\nalpha one\nmid\nomega one"),
+        (2, "banner\nalpha two\nomega two"),
+        (3, "banner"),  # fully boilerplate -> empty text, row kept
+        (4, "solo content"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(d, max_doc_frequency=2).collect()}
+
+    # 'banner' in 4 docs -> removed everywhere; 'mid' in exactly 2 -> kept
+    assert out[0]["text"] == "alpha zero\nmid\nomega zero"
+    assert out[1]["text"] == "alpha one\nmid\nomega one"
+    assert out[2]["text"] == "alpha two\nomega two"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text"] == "solo content" and out[4]["n_removed"] == 0
+    assert out[0]["n_removed"] == 1 and len(out) == 5
+
+
+def test_dedup_lines_min_line_chars_exempts_short_lines(spark):
+    from spatially_databricks_etl_spark.operators.curate import dedup_lines
+
+    rows = [(i, f"ok\ncontent {i}") for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(d, max_doc_frequency=1, min_line_chars=5).collect()}
+    # 'ok' (2 chars < 5) is exempt despite df=5; content lines unique
+    assert all(out[i]["text"] == f"ok\ncontent {i}" for i in range(5))
+    assert all(out[i]["n_removed"] == 0 for i in range(5))
