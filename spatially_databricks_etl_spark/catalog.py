@@ -2777,6 +2777,36 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 SQL_DEDUP_LINES = _sql_dedup_lines()
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling over documents
+    (k=2): md5-hash-bucket probe + per-(anchor, j) md5-rank pick, the
+    same construction as the hash_split oracle family — every engine
+    computing the same expressions gets the identical sample."""
+    from spatially_databricks_etl_spark.operators.curate import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_samples(d, k=2, bucket_hex_chars=2)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS cid FROM documents),
+cands AS (SELECT doc_id AS nid, cid AS ncid, substr(md5(cid || 'b'), 1, 2) AS b FROM ids),
+probes AS (SELECT i.doc_id AS aid, i.cid AS acid, j.j,
+                  substr(md5(i.cid || 'p' || CAST(j.j AS VARCHAR)), 1, 2) AS b
+           FROM ids i CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) j),
+ranked AS (
+  SELECT p.aid, p.j, c.nid,
+         row_number() OVER (
+           PARTITION BY p.aid, p.j
+           ORDER BY md5(p.acid || '#' || c.ncid || '#' || CAST(p.j AS VARCHAR)), c.ncid
+         ) AS rn
+  FROM probes p JOIN cands c USING (b)
+  WHERE c.ncid <> p.acid)
+SELECT aid AS anchor_id, CAST(j AS BIGINT) AS sample_idx, nid AS negative_id
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -2950,6 +2980,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "pca_project": q_pca_project,
     "dedup_lines": q_dedup_lines,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLES: dict[str, str] = {
@@ -3040,6 +3071,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "pca_project": SQL_PCA_PROJECT,
     "dedup_lines": SQL_DEDUP_LINES,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

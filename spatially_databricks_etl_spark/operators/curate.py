@@ -17,7 +17,7 @@ suffice in practice; ``max_iterations`` bounds the worst case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spatially_databricks_etl_spark.caching import release_intermediates
@@ -386,6 +386,91 @@ def dedup_lines(
             (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
             .cast("long")
             .alias("n_removed"),
+        )
+    )
+
+
+def negative_samples(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 3,
+    bucket_hex_chars: int = 2,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training pairs: for each anchor document and sample index
+    j = 1..k, pick ONE other document — the same one on every engine,
+    cluster size, and row order (md5-based like :func:`hash_split`,
+    so a DuckDB oracle can restate it exactly).
+
+    Mechanics: every doc hashes into one of ``16^bucket_hex_chars``
+    buckets; each (anchor, j) probes a seeded pseudo-random bucket and
+    takes the candidate with the smallest per-(anchor, j) md5 rank.
+    Anchors never draw themselves; a probe into an empty (or
+    self-only) bucket yields no row for that (anchor, j) — size
+    buckets to hold a handful of docs and this is rare.
+
+    Scale sizing: candidate rows ≈ N·k·(N/B) for B buckets, so B must
+    GROW with the corpus — pick ``bucket_hex_chars`` such that
+    N/16^chars stays a small constant (e.g. 6 chars ≈ 16.7M buckets
+    for a billion-doc corpus → ~60 candidates per probe). Then the
+    probe join is linear work on narrow rows and the pick is one
+    windowed min per (anchor, j). The default 2 (256 buckets) suits
+    the test fixtures.
+
+    Returns (anchor_id, sample_idx, negative_id) with the original id
+    type preserved.
+    """
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError("bucket_hex_chars must be in [1, 8]")
+    ids = docs.select(
+        F.col(id_col).alias("__orig"), F.col(id_col).cast("string").alias("__cid")
+    )
+    cands = ids.select(
+        F.col("__orig").alias("__nid"),
+        F.col("__cid").alias("__ncid"),
+        F.substring(
+            F.md5(F.concat(F.col("__cid"), F.lit("b" + seed))), 1, bucket_hex_chars
+        ).alias("__b"),
+    )
+    probes = (
+        ids.select(
+            F.col("__orig").alias("__aid"), F.col("__cid").alias("__acid")
+        )
+        .withColumn("__j", F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])))
+        .withColumn(
+            "__b",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__acid"), F.lit("p"), F.col("__j").cast("string"), F.lit(seed)
+                    )
+                ),
+                1,
+                bucket_hex_chars,
+            ),
+        )
+    )
+    cand_j = probes.join(cands, on="__b").filter(F.col("__ncid") != F.col("__acid"))
+    rank = F.md5(
+        F.concat(
+            F.col("__acid"),
+            F.lit("#"),
+            F.col("__ncid"),
+            F.lit("#"),
+            F.col("__j").cast("string"),
+            F.lit(seed),
+        )
+    )
+    w = Window.partitionBy("__aid", "__j").orderBy(rank, F.col("__ncid"))
+    return (
+        cand_j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__aid").alias("anchor_id"),
+            F.col("__j").cast("long").alias("sample_idx"),
+            F.col("__nid").alias("negative_id"),
         )
     )
 

@@ -282,3 +282,20 @@ def test_dedup_lines_min_line_chars_exempts_short_lines(spark):
     # 'ok' (2 chars < 5) is exempt despite df=5; content lines unique
     assert all(out[i]["text"] == f"ok\ncontent {i}" for i in range(5))
     assert all(out[i]["n_removed"] == 0 for i in range(5))
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from spatially_databricks_etl_spark.operators.curate import negative_samples
+
+    d = spark.createDataFrame([(i, f"doc {i}") for i in range(40)], "doc_id long, text string")
+    a = negative_samples(d, k=3, bucket_hex_chars=1).collect()
+    b = negative_samples(d.repartition(7), k=3, bucket_hex_chars=1).collect()
+    sa = {(r["anchor_id"], r["sample_idx"], r["negative_id"]) for r in a}
+    sb = {(r["anchor_id"], r["sample_idx"], r["negative_id"]) for r in b}
+    assert sa == sb, "sampling must not depend on partitioning"
+    assert all(an != n for an, _, n in sa), "anchor must never be its own negative"
+    assert all(1 <= j <= 3 for _, j, _ in sa)
+    # at most one negative per (anchor, j)
+    assert len(sa) == len({(an, j) for an, j, _ in sa})
+    # with 16 buckets over 40 docs, almost every probe should land
+    assert len(sa) >= 40 * 3 * 0.8
