@@ -2807,6 +2807,57 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE histogram: MinHash pairs → connected
+    components (min-label propagation) → (cluster_size, n_clusters).
+    The oracle recomputes the exact-Jaccard pair set quadratically and
+    closes it transitively with a RECURSIVE CTE, so the distributed
+    label-propagation loop is checked against an independent graph
+    algorithm, not a reimplementation of itself."""
+    from spatially_databricks_etl_spark.operators.curate import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dedup(d, threshold=0.7, shingle_size=5)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long"), F.col("n_clusters").cast("long"))
+    )
+
+
+SQL_NEARDUP_CLUSTERS = """
+WITH RECURSIVE
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                      i -> substr(lower(text), i, 5))) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+),
+edges AS (SELECT ida AS src, idb AS dst FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -2981,6 +3032,7 @@ QUERIES: dict[str, QueryFn] = {
     "pca_project": q_pca_project,
     "dedup_lines": q_dedup_lines,
     "negative_samples": q_negative_samples,
+    "neardup_clusters": q_neardup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -3072,6 +3124,7 @@ ORACLES: dict[str, str] = {
     "pca_project": SQL_PCA_PROJECT,
     "dedup_lines": SQL_DEDUP_LINES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified
