@@ -2858,6 +2858,53 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of l_extendedprice. The bucket
+    expression is plain floor arithmetic over the column min/max, so
+    DuckDB reproduces the exact assignment (no engine-specific
+    width_bucket semantics)."""
+    from spatially_databricks_etl_spark.operators.profile import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=20)
+
+
+SQL_HISTOGRAM = """
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+assigned AS (
+  SELECT least(19, greatest(0,
+           CAST(floor((l_extendedprice - b.lo) / (b.hi - b.lo) * 20) AS INTEGER))) AS bucket,
+         b.lo, b.hi
+  FROM lineitem, b
+  WHERE l_extendedprice IS NOT NULL)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       round(lo + bucket * (hi - lo) / 20, 6) AS lo_edge,
+       round(lo + (bucket + 1) * (hi - lo) / 20, 6) AS hi_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM assigned GROUP BY bucket, lo, hi
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlations of the four lineitem numeric measures in
+    one aggregate pass (6 mergeable corr states)."""
+    from spatially_databricks_etl_spark.operators.profile import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+SQL_CORR_MATRIX = """
+SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_quantity', round(corr(l_discount, l_quantity), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_extendedprice', round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -3033,6 +3080,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_lines": q_dedup_lines,
     "negative_samples": q_negative_samples,
     "neardup_clusters": q_neardup_clusters,
+    "histogram": q_histogram,
+    "corr_matrix": q_corr_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3125,6 +3174,8 @@ ORACLES: dict[str, str] = {
     "dedup_lines": SQL_DEDUP_LINES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "histogram": SQL_HISTOGRAM,
+    "corr_matrix": SQL_CORR_MATRIX,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -1,0 +1,92 @@
+"""Data-profiling operators: equal-width histograms and correlation
+matrices (north-star extension; the reference computes no statistics
+at all — its only aggregate-shaped work is the row filter at
+`Spatially ETL test.py:208-223`).
+
+Scale shape: both are single-pass mergeable aggregates — map-side
+partials combine, the shuffle carries O(bins) / O(k²) rows, and
+nothing data-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column.
+
+    Returns (bucket, lo_edge, hi_edge, n) with ``bucket`` in
+    0..bins-1; empty buckets are omitted (left to the caller — a
+    dense axis is one `sequence` join away). Bounds default to the
+    column's min/max (one cheap aggregate, collect O(1)); the bucket
+    expression is plain floor arithmetic — identical IEEE ops in any
+    engine, so a differential oracle reproduces the exact assignment,
+    unlike engine-specific `width_bucket` variants. The top edge
+    closes the last bucket (x == hi lands in bins-1, the standard
+    convention).
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi ({hi}) > lo ({lo})")
+    c = F.col(col).cast("double")
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)).cast("int")
+        ),
+    )
+    width = (hi - lo) / bins
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("hi_edge"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass
+    (k·(k-1)/2 mergeable corr states — no per-pair scans, no driver
+    data path). Returns long-form (col_a, col_b, corr) with
+    col_a < col_b lexically; self-pairs (always 1.0) are omitted."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs >= 2 columns")
+    pairs = [(a, b) if a < b else (b, a) for a, b in combinations(cols, 2)]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"__corr_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__corr_{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return row.select(F.explode(structs).alias("__p")).select(
+        "__p.col_a", "__p.col_b", "__p.corr"
+    )

@@ -299,3 +299,31 @@ def test_negative_samples_deterministic_and_self_free(spark):
     assert len(sa) == len({(an, j) for an, j, _ in sa})
     # with 16 buckets over 40 docs, almost every probe should land
     assert len(sa) >= 40 * 3 * 0.8
+
+
+def test_histogram_counts_and_edges(spark):
+    from spatially_databricks_etl_spark.operators.profile import histogram
+
+    d = spark.createDataFrame([(float(x),) for x in range(101)], "v double")
+    out = {r["bucket"]: r for r in histogram(d, "v", bins=10).collect()}
+    assert sum(r["n"] for r in out.values()) == 101
+    # x == hi closes the last bucket; interior buckets get 10 each
+    assert out[9]["n"] == 11 and all(out[b]["n"] == 10 for b in range(9))
+    assert out[0]["lo_edge"] == 0.0 and out[9]["hi_edge"] == 100.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hi"):
+        histogram(spark.createDataFrame([(1.0,), (1.0,)], "v double"), "v")
+
+
+def test_corr_matrix_one_pass_matches_pairwise(spark):
+    from spatially_databricks_etl_spark.operators.profile import corr_matrix
+
+    rows = [(float(i), float(i) * 2 + 1, float((i * 7) % 5)) for i in range(50)]
+    d = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(d, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0  # exact linear relation
+    assert len(out) == 3
+    want = d.agg(F.round(F.corr("a", "c"), 6)).collect()[0][0]
+    assert out[("a", "c")] == want
