@@ -2905,6 +2905,61 @@ UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM l
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize l_extendedprice at [0.05, 0.95] and summarize — the
+    exact-percentile cut points use linear interpolation, matching
+    DuckDB's quantile_cont."""
+    from spatially_databricks_etl_spark.operators.profile import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", p_lo=0.05, p_hi=0.95, out_col="w")
+    return w.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("w"), 4).alias("min_w"),
+        F.round(F.max("w"), 4).alias("max_w"),
+        F.round(F.avg("w"), 4).alias("avg_w"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem),
+w AS (SELECT CASE WHEN l_extendedprice < q.lo THEN q.lo
+                  WHEN l_extendedprice > q.hi THEN q.hi
+                  ELSE l_extendedprice END AS w
+      FROM lineitem, q)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(min(w), 4) AS min_w,
+       round(max(w), 4) AS max_w,
+       round(avg(w), 4) AS avg_w
+FROM w
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis A-Res,
+    hash-derived uniforms): 50 documents weighted by n_chars — the
+    identical draw on any engine (md5-hash uniforms, like
+    hash_split)."""
+    from spatially_databricks_etl_spark.operators.profile import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(d, weight_col="n_chars", n=50)
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+             / (power(16.0, 13) + 1.0),
+             1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -3082,6 +3137,8 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_clusters": q_neardup_clusters,
     "histogram": q_histogram,
     "corr_matrix": q_corr_matrix,
+    "winsorize": q_winsorize,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -3176,6 +3233,8 @@ ORACLES: dict[str, str] = {
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "histogram": SQL_HISTOGRAM,
     "corr_matrix": SQL_CORR_MATRIX,
+    "winsorize": SQL_WINSORIZE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -65,6 +65,80 @@ def histogram(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    col: str,
+    *,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Clamp a numeric column at its [p_lo, p_hi] percentiles — the
+    standard outlier treatment before scaling/featurizing.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (full-sort
+    aggregate — fine to a few hundred million rows, and the
+    linear-interpolation semantics match DuckDB's ``quantile_cont``
+    for the differential oracle). At 100 TB switch ``exact=False`` for
+    ``percentile_approx`` (mergeable t-digest-style sketch, one pass,
+    bounded memory) — same API, approximate cut points.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    fn = F.percentile if exact else F.percentile_approx
+    row = df.agg(
+        fn(F.col(col), F.array(F.lit(p_lo), F.lit(p_hi))).alias("q")
+    ).collect()[0]
+    lo, hi = float(row["q"][0]), float(row["q"][1])
+    c = F.col(col)
+    clamped = F.when(c < lo, F.lit(lo)).when(c > hi, F.lit(hi)).otherwise(c)
+    return df.withColumn(out_col or col, clamped)
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res, public algorithm): each row gets
+    key = u^(1/w) with u a hash-derived uniform in (0, 1], and the
+    top-n keys are the sample — inclusion probability rises with
+    weight, and the whole draw is a pure function of (id, salt), so
+    it reproduces on any engine, cluster size, or row order (the
+    DuckDB oracle restates it exactly; md5-based like hash_split).
+
+    Rows with non-positive weight are excluded (their inclusion
+    probability is zero). The top-n is a TakeOrdered (parallel
+    partial top-n, no global sort, no single-partition window);
+    changing ``salt`` redraws. One scan, driver receives n rows'
+    worth of ordering work only.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # 13 hex chars = 52 bits — exact in a double on every engine
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(16.0**13 + 1.0)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__k")
+    )
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass
     (k·(k-1)/2 mergeable corr states — no per-pair scans, no driver

@@ -327,3 +327,36 @@ def test_corr_matrix_one_pass_matches_pairwise(spark):
     assert len(out) == 3
     want = d.agg(F.round(F.corr("a", "c"), 6)).collect()[0][0]
     assert out[("a", "c")] == want
+
+
+def test_winsorize_clamps_at_exact_percentiles(spark):
+    from spatially_databricks_etl_spark.operators.profile import winsorize
+
+    d = spark.createDataFrame([(float(x),) for x in range(101)], "v double")
+    out = winsorize(d, "v", p_lo=0.10, p_hi=0.90, out_col="w").agg(
+        F.min("w"), F.max("w"), F.count("*")
+    ).collect()[0]
+    # exact linear-interp percentiles of 0..100 at 0.1/0.9 are 10 and 90
+    assert out[0] == 10.0 and out[1] == 90.0 and out[2] == 101
+
+    import pytest
+
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorize(d, "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from spatially_databricks_etl_spark.operators.profile import weighted_sample
+
+    rows = [(i, 1.0 if i else 1e9) for i in range(200)]  # doc 0 hugely weighted
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {r["doc_id"] for r in weighted_sample(d, weight_col="w", n=20).collect()}
+    b = {r["doc_id"] for r in weighted_sample(d.repartition(7), weight_col="w", n=20).collect()}
+    assert a == b and len(a) == 20, "draw must not depend on partitioning"
+    assert 0 in a, "a ~1e9x weight must be sampled"
+    c = {r["doc_id"] for r in weighted_sample(d, weight_col="w", n=20, salt="x").collect()}
+    assert c != a, "changing salt must redraw"
+    # non-positive weights are excluded
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(z, weight_col="w", n=3).collect()}
+    assert got == {3}
