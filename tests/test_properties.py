@@ -263,3 +263,40 @@ def test_rolling_fingerprint_codepoint_bound_and_dual(spark):
         a0 = (a0 * base + ord(ch)) % m0
         a1 = (a1 * base + ord(ch)) % m1
     assert got == a0 * (1 << 31) + a1
+
+
+LINE = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00\n"), max_size=12
+)
+
+
+@given(
+    docs=st.lists(st.lists(LINE, min_size=1, max_size=5), min_size=1, max_size=8),
+    max_df=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_dedup_lines_matches_python_reference(spark, docs, max_df):
+    from spatially_databricks_etl_spark.operators.curate import dedup_lines
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines(df, max_doc_frequency=max_df).collect()
+    }
+
+    # plain-Python reference: note split("\n") of "" is [""], matching
+    # Spark's split semantics — the reference mirrors the raw text
+    split = {i: t.split("\n") for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter()
+    for ls in split.values():
+        for ln in set(ls):
+            dfreq[ln] += 1
+    for i, ls in split.items():
+        kept = [ln for ln in ls if dfreq[ln] <= max_df]
+        want_text = "\n".join(kept)
+        assert got[i] == (want_text, len(ls) - len(kept)), (
+            i, ls, got[i], want_text, dfreq,
+        )
