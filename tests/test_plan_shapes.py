@@ -65,6 +65,16 @@ def test_minhash_shuffle_carries_no_shingles(spark):
     assert "__bh" in plan
 
 
+def test_weighted_sample_plans_parallel_top_n(spark):
+    # orderBy(key).limit(n) must compile to TakeOrderedAndProject
+    # (per-partition partial top-n merged on the driver), never a
+    # global Sort — the difference between O(n) driver work and a
+    # full-corpus sort at 100 TB
+    plan = _plan(spark, "weighted_sample", "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
 def test_no_catalog_query_plans_a_smell(spark):
     """Every catalog query must avoid (a) CartesianProduct, (b)
     row-at-a-time Python eval (BatchEvalPython — Arrow-batched
