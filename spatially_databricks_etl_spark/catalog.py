@@ -2960,6 +2960,65 @@ FROM keyed ORDER BY k DESC, doc_id LIMIT 50
 """
 
 
+def q_weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus draw: 15 docs per language, weighted by
+    n_chars — per-stratum A-Res, deterministic on any engine."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        weighted_sample_by_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_by_group(
+        d, group_cols=["lang"], weight_col="n_chars", n_per_group=15
+    )
+    return out.select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE_BY_LANG = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+             / (power(16.0, 13) + 1.0),
+             1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+  FROM keyed)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= 15
+"""
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier scoring of l_extendedprice: count scores
+    beyond ±3.5 (the conventional robust cutoff) plus the summary
+    stats — exact medians, quantile_cont parity."""
+    from spatially_databricks_etl_spark.operators.profile import robust_zscore
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = robust_zscore(li, "l_extendedprice", out_col="rz")
+    return scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.abs("rz") > 3.5).cast("long")).alias("n_outliers"),
+        F.round(F.max("rz"), 4).alias("max_rz"),
+        F.round(F.min("rz"), 4).alias("min_rz"),
+    )
+
+
+SQL_ROBUST_ZSCORE = """
+WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+d AS (SELECT quantile_cont(abs(l_extendedprice - m.med), 0.5) AS mad, m.med
+      FROM lineitem, m GROUP BY m.med),
+s AS (SELECT 0.6745 * (l_extendedprice - d.med) / d.mad AS rz FROM lineitem, d)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(rz), 4) AS max_rz,
+       round(min(rz), 4) AS min_rz
+FROM s
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over a planted 2-plane corpus, closed-form
     oracle: x_i = a_i·u + b_i·v with orthonormal u=(e0+e1)/√2,
@@ -3139,6 +3198,8 @@ QUERIES: dict[str, QueryFn] = {
     "corr_matrix": q_corr_matrix,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_by_lang": q_weighted_sample_by_lang,
+    "robust_zscore": q_robust_zscore,
 }
 
 ORACLES: dict[str, str] = {
@@ -3235,6 +3296,8 @@ ORACLES: dict[str, str] = {
     "corr_matrix": SQL_CORR_MATRIX,
     "winsorize": SQL_WINSORIZE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "weighted_sample_by_lang": SQL_WEIGHTED_SAMPLE_BY_LANG,
+    "robust_zscore": SQL_ROBUST_ZSCORE,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -139,6 +139,72 @@ def weighted_sample(
     )
 
 
+def weighted_sample_by_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic weighted sampling: the A-Res key of
+    :func:`weighted_sample`, ranked WITHIN each group — the standard
+    balanced-corpus construction (e.g. n docs per language, weighted
+    by quality/length). One window over (group → key desc); the same
+    draw on any engine or partitioning. Rows with non-positive weight
+    are excluded."""
+    from pyspark.sql import Window
+
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(16.0**13 + 1.0)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(*group_cols).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    col: str,
+    *,
+    out_col: str = "robust_z",
+    exact: bool = True,
+) -> DataFrame:
+    """Median/MAD z-score: 0.6745·(x − median)/MAD (the 0.6745
+    consistency constant makes MAD estimate σ under normality) — the
+    outlier score that, unlike mean/stddev, is not itself dragged by
+    the outliers it is hunting. Exact medians interpolate linearly
+    (DuckDB ``quantile_cont`` parity); ``exact=False`` switches both
+    to ``percentile_approx`` for the one-pass sketch path at scale.
+    Degenerate MAD = 0 (over half the values identical) yields null
+    scores rather than infinities."""
+    fn = F.percentile if exact else F.percentile_approx
+    med = float(df.agg(fn(F.col(col), F.lit(0.5))).collect()[0][0])
+    mad = float(
+        df.agg(fn(F.abs(F.col(col) - F.lit(med)), F.lit(0.5))).collect()[0][0]
+    )
+    c = F.col(col)
+    score = (
+        F.lit(None).cast("double")
+        if mad == 0.0
+        else F.lit(0.6745) * (c - F.lit(med)) / F.lit(mad)
+    )
+    return df.withColumn(out_col, score)
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass
     (k·(k-1)/2 mergeable corr states — no per-pair scans, no driver

@@ -360,3 +360,40 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
     got = {r["doc_id"] for r in weighted_sample(z, weight_col="w", n=3).collect()}
     assert got == {3}
+
+
+def test_weighted_sample_by_group_caps_each_group(spark):
+    from spatially_databricks_etl_spark.operators.profile import weighted_sample_by_group
+
+    rows = [(i, ["en", "fr", "de"][i % 3], float(1 + i % 7)) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample_by_group(
+        d, group_cols=["lang"], weight_col="w", n_per_group=5
+    ).collect()
+    from collections import Counter
+
+    per = Counter(r["lang"] for r in out)
+    assert per == {"en": 5, "fr": 5, "de": 5}
+    again = weighted_sample_by_group(
+        d.repartition(9), group_cols=["lang"], weight_col="w", n_per_group=5
+    ).collect()
+    assert {(r["lang"], r["doc_id"]) for r in out} == {
+        (r["lang"], r["doc_id"]) for r in again
+    }
+
+
+def test_robust_zscore_resists_outliers(spark):
+    from spatially_databricks_etl_spark.operators.profile import robust_zscore
+
+    vals = [float(x) for x in range(1, 100)] + [1e9]  # one wild outlier
+    d = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["v"]: r["robust_z"] for r in robust_zscore(d, "v").collect()}
+    # median/MAD barely move with one outlier: the bulk stays |rz| < 3.5
+    bulk = [abs(out[float(x)]) for x in range(1, 100)]
+    assert max(bulk) < 3.5
+    assert out[1e9] > 1000  # the outlier itself screams
+
+    # degenerate MAD -> null scores, not infinities
+    flat = spark.createDataFrame([(1.0,)] * 10 + [(5.0,)], "v double")
+    scores = [r["robust_z"] for r in robust_zscore(flat, "v").collect()]
+    assert all(s is None for s in scores)
