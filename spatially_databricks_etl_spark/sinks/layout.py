@@ -1,4 +1,7 @@
-"""Write-side data layout: range-sorted and Z-ordered parquet.
+"""Write-side data layout: range-sorted and Z-ordered parquet
+(north-star extension; the reference's only write is an unpartitioned,
+unsorted Delta CTAS, `Spatially ETL test.py:236-245` — no clustering,
+no skipping story).
 
 At 100 TB the cheapest scan is the one that never reads the file:
 parquet footers carry per-column min/max, and both Spark's scan and
