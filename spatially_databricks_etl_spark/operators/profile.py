@@ -40,6 +40,8 @@ def histogram(
         raise ValueError("bins must be >= 1")
     if lo is None or hi is None:
         row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(f"histogram: no non-null values in {col!r}")
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:
@@ -90,6 +92,8 @@ def winsorize(
     row = df.agg(
         fn(F.col(col), F.array(F.lit(p_lo), F.lit(p_hi))).alias("q")
     ).collect()[0]
+    if row["q"] is None:
+        raise ValueError(f"winsorize: no non-null values in {col!r}")
     lo, hi = float(row["q"][0]), float(row["q"][1])
     c = F.col(col)
     clamped = F.when(c < lo, F.lit(lo)).when(c > hi, F.lit(hi)).otherwise(c)
@@ -192,7 +196,10 @@ def robust_zscore(
     Degenerate MAD = 0 (over half the values identical) yields null
     scores rather than infinities."""
     fn = F.percentile if exact else F.percentile_approx
-    med = float(df.agg(fn(F.col(col), F.lit(0.5))).collect()[0][0])
+    med_raw = df.agg(fn(F.col(col), F.lit(0.5))).collect()[0][0]
+    if med_raw is None:
+        raise ValueError(f"robust_zscore: no non-null values in {col!r}")
+    med = float(med_raw)
     mad = float(
         df.agg(fn(F.abs(F.col(col) - F.lit(med)), F.lit(0.5))).collect()[0][0]
     )

@@ -397,3 +397,22 @@ def test_robust_zscore_resists_outliers(spark):
     flat = spark.createDataFrame([(1.0,)] * 10 + [(5.0,)], "v double")
     scores = [r["robust_z"] for r in robust_zscore(flat, "v").collect()]
     assert all(s is None for s in scores)
+
+
+def test_profiling_ops_reject_empty_input(spark):
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.profile import (
+        histogram,
+        robust_zscore,
+        winsorize,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    for op, pat in (
+        (lambda: histogram(empty, "v"), "no non-null"),
+        (lambda: winsorize(empty, "v"), "no non-null"),
+        (lambda: robust_zscore(empty, "v"), "no non-null"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            op()
