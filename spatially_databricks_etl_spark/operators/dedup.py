@@ -91,6 +91,47 @@ def mask32_hashes(hash_col: Column | str) -> Column:
 _MERSENNE31 = (1 << 31) - 1
 
 
+class _LshCapObservation:
+    """Observation-shaped accessor for the LSH bucket-cap telemetry.
+
+    Normally delegates to the zero-cost Spark ``Observation`` attached
+    to the bucket stage. When the candidate set is EMPTY, AQE's
+    empty-relation propagation replaces the downstream join with an
+    empty local relation and the CollectMetrics node vanishes from the
+    final executed plan — the observation then yields a schemaless
+    empty row. In that (rare: zero candidate pairs anywhere) case this
+    falls back to computing the same two aggregates with one direct
+    job over the bucket-count frame; the hashed-shingle base is still
+    persisted, so the fallback re-runs only the signature+window
+    stages.
+    """
+
+    def __init__(self, obs, fallback_df):
+        self._obs = obs
+        self._fallback_df = fallback_df
+
+    @property
+    def get(self) -> dict:
+        try:
+            got = self._obs.get
+            if got:
+                return {k: int(v or 0) for k, v in got.items()}
+        except Exception:
+            pass
+        row = self._fallback_df.agg(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("__bcnt") > F.col("__cap")) & (F.col("__rn") == 1), 1)
+                ),
+                F.lit(0),
+            ).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.col("__bcnt") > F.col("__cap"), 1)), F.lit(0)
+            ).alias("dropped_doc_slots"),
+        ).first()
+        return {k: int(v) for k, v in row.asDict().items()}
+
+
 def _minhash_constants(num_hashes: int, seed: int):
     """The (a_i, b_i) affine-permutation constants — single source of
     truth shared by the Column (HOF) and numpy (mapInPandas) kernels,
@@ -244,14 +285,27 @@ def minhash_near_dedup(
        Collisions would need two distinct shingles within one pair's
        union to collide in the 32-bit-masked space:
        P ≈ |union|²/2³³ — immaterial next to the LSH S-curve);
-    2. per-row signature via the vectorized Arrow kernel, then explode
-       to ``bands`` (band, band_hash) rows carrying ONLY the doc id;
-    3. SHUFFLE 1: groupBy (band, band_hash) → ``collect_list(id)``.
-       Buckets above ``max_bucket_size`` are dropped (a degenerate
-       bucket of k docs contributes k² candidates and no precision —
-       standard posting-list cap); pairs are expanded INSIDE the array
-       (sorted, so id_a < id_b) — no bucket self-join, no semi-join
-       probe, no extra exchange;
+    2. per-row signature via the vectorized Arrow kernel — docs with
+       ZERO shingles (shorter than ``shingle_size``, or null text) are
+       filtered out FIRST: they cannot be near-duplicates of anything
+       (empty set ⇒ Jaccard 0), and every such doc hashes to the same
+       all-null signature, which would otherwise pile the entire
+       degenerate population into one mega-bucket per band — then
+       explode to ``bands`` (band, band_hash) rows carrying ONLY the
+       doc id;
+    3. SHUFFLE 1: one exchange on (band, band_hash). Bucket sizes are
+       computed by a WINDOW count over that partitioning (rows, which
+       SPILL, not arrays): buckets above ``max_bucket_size`` are
+       dropped (a degenerate bucket of k docs contributes k²
+       candidates and no precision — standard posting-list cap)
+       BEFORE ``collect_list`` ever materializes an id array, so a hot
+       bucket can never OOM an executor. Dropped bucket/member counts
+       are surfaced via an Observation (``result.lsh_observation``) —
+       the cap is capped recall, and at corpus scale a silent cap is a
+       silent data-loss bug. The subsequent groupBy reuses the window's
+       hash partitioning (no second exchange); pairs are expanded
+       INSIDE the array (sorted, so id_a < id_b) — no bucket
+       self-join, no semi-join probe;
     4. SHUFFLE 2: distinct (id_a, id_b) across bands (a pair can
        collide in up to ``bands`` buckets — dedup before the verify
        joins, not after);
@@ -269,6 +323,14 @@ def minhash_near_dedup(
     pairs at J≥0.8 are found with P>0.999 while J≈0.2 background
     produces ~1e-3 candidate rate. Deterministic (fixed seeds).
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+
+    The result carries ``lsh_observation`` (Observation-shaped, see
+    :class:`_LshCapObservation`): after materializing the result, read
+    ``result.lsh_observation.get`` for ``dropped_buckets`` (bucket keys
+    over the cap) and ``dropped_doc_slots`` (doc-band memberships in
+    those buckets; a doc in k oversized buckets counts k times —
+    distinct counts aren't valid Observation metrics). Zero means the
+    cap never fired and recall is the pure S-curve.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -292,9 +354,16 @@ def minhash_near_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # derive ALL permutation minima in one vectorized Arrow/numpy pass
     # (bit-exact with the Column-expression kernel — see
-    # minhash_signatures_df docstring for why this beats the HOF form)
+    # minhash_signatures_df docstring for why this beats the HOF form).
+    # Zero-shingle docs are excluded up front: an empty set has Jaccard
+    # 0 with everything (never a result), and the shared all-null
+    # signature would otherwise band the whole degenerate population
+    # into one mega-bucket per band. size(NULL)=-1 under ANSI, so null
+    # arrays fail the predicate too.
     sig = minhash_signatures_df(
-        base.select("__id", mask32_hashes("__h").alias("__h")),
+        base.filter(F.size("__h") > 0).select(
+            "__id", mask32_hashes("__h").alias("__h")
+        ),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -320,13 +389,43 @@ def minhash_near_dedup(
         "__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh")
     )
 
-    # One hash-agg shuffle builds the buckets; the pair expansion is a
-    # per-bucket array expression (ids sorted → id_a < id_b for free).
+    # Bucket sizing runs as a WINDOW over the (band, band_hash)
+    # partitioning: rows buffer in a spillable sort buffer, so a
+    # degenerate mega-bucket costs disk, never heap — the cap fires
+    # BEFORE collect_list materializes any id array. The row_number
+    # marks one row per bucket so the Observation can count dropped
+    # BUCKETS (not just memberships) without a distinct aggregate.
+    from pyspark.sql import Observation
+
+    w_bucket = Window.partitionBy("__band", "__bh").orderBy("__id")
+    counted = banded.select(
+        "__id",
+        "__band",
+        "__bh",
+        F.count("*")
+        .over(w_bucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__bcnt"),
+        F.row_number().over(w_bucket).alias("__rn"),
+    )
+    obs = Observation("minhash_lsh_cap")
+    cap_fallback = counted.withColumn("__cap", F.lit(max_bucket_size))
+    counted = counted.observe(
+        obs,
+        F.sum(
+            F.when((F.col("__bcnt") > max_bucket_size) & (F.col("__rn") == 1), 1).otherwise(0)
+        ).alias("dropped_buckets"),
+        F.sum(F.when(F.col("__bcnt") > max_bucket_size, 1).otherwise(0)).alias(
+            "dropped_doc_slots"
+        ),
+    )
+    # groupBy on the same keys reuses the window's hash partitioning —
+    # no second exchange; the pair expansion is a per-bucket array
+    # expression (ids sorted → id_a < id_b for free).
     ids = F.array_sort(F.collect_list("__id"))
     buckets = (
-        banded.groupBy("__band", "__bh")
+        counted.filter((F.col("__bcnt") >= 2) & (F.col("__bcnt") <= max_bucket_size))
+        .groupBy("__band", "__bh")
         .agg(ids.alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -355,7 +454,9 @@ def minhash_near_dedup(
     # Persisted intermediates are released by the caller via
     # caching.release_intermediates(out) once the result is
     # materialized — long-lived sessions must not leak cached blocks.
-    return register_persists(out, [base])
+    out = register_persists(out, [base])
+    out.lsh_observation = _LshCapObservation(obs, cap_fallback)
+    return out
 
 
 def simhash(text_col: Column | str, *, bits: int = 64, seed: int = 42) -> Column:

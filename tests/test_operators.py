@@ -104,6 +104,38 @@ def test_minhash_pairs_have_high_true_jaccard(spark):
         assert abs(exact - sim) < 1e-9
 
 
+def test_minhash_observation_counts_dropped_buckets(spark):
+    # Fixture corpus: the cap never fires — observation must read 0/0
+    # after materialization (a silent cap would be silent data loss).
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_near_dedup(docs, threshold=0.7)
+    pairs.count()
+    got = pairs.lsh_observation.get
+    assert got == {"dropped_buckets": 0, "dropped_doc_slots": 0}
+
+    # Forced-cap corpus: 5 identical docs share every band bucket, so
+    # max_bucket_size=3 drops all 16 band buckets (5 members each) and
+    # the pair set is empty — dropped, not partially emitted.
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(i, txt) for i in range(5)], ["doc_id", "text"])
+    capped = minhash_near_dedup(df, threshold=0.6, max_bucket_size=3)
+    assert capped.count() == 0
+    got = capped.lsh_observation.get
+    assert got["dropped_buckets"] == 16
+    assert got["dropped_doc_slots"] == 16 * 5
+
+
+def test_minhash_zero_shingle_docs_never_bucket(spark):
+    # Docs shorter than shingle_size have empty shingle sets: they are
+    # filtered before banding (no all-null mega-bucket), produce no
+    # pairs, and do NOT count as dropped buckets.
+    rows = [(1, "ab"), (2, "cd"), (3, "ef"), (4, "abcdefghij"), (5, "abcdefghij")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_near_dedup(df, threshold=0.7, shingle_size=5)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(4, 5)}
+    assert out.lsh_observation.get == {"dropped_buckets": 0, "dropped_doc_slots": 0}
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zq xw vv uu")],
