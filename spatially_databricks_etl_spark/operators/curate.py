@@ -350,15 +350,28 @@ def dedup_lines(
     side, which is small by the boilerplate hypothesis) → per-doc
     rebuild (one groupBy on the doc id, order restored by sorting the
     collected (pos, line) structs). Three shuffles, all narrow keys;
-    the text crosses only the explode and the rebuild.
+    the text crosses only the explode and the rebuild. The exploded
+    frame is persisted (MEMORY_AND_DISK): the DAG consumes it from
+    three branches (doc-frequency, kept-lines, per-doc totals), and
+    without it each branch repeats the posexplode+xxhash64 scan.
+    Release via ``caching.release_intermediates(result)`` after
+    materializing — the same contract as :func:`minhash_near_dedup`.
     """
     import re as _re
 
+    from pyspark.storagelevel import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
+
     split_pat = _re.escape(delimiter)
-    lines = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), split_pat)).alias("__pos", "__line"),
-    ).withColumn("__key", F.xxhash64("__line"))
+    lines = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), split_pat)).alias("__pos", "__line"),
+        )
+        .withColumn("__key", F.xxhash64("__line"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     heavy = (
         lines.groupBy("__key")
         .agg(F.count_distinct("__id").alias("__df"))
@@ -378,7 +391,7 @@ def dedup_lines(
         F.count("*").alias("__n_kept"),
     )
     totals = lines.groupBy("__id").agg(F.count("*").alias("__n_lines"))
-    return (
+    out = (
         totals.join(rebuilt, on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
@@ -388,6 +401,7 @@ def dedup_lines(
             .alias("n_removed"),
         )
     )
+    return register_persists(out, [lines])
 
 
 def negative_samples(
@@ -487,24 +501,31 @@ def connected_components(
     in an edge; component = smallest vertex id in the component.
 
     Scale notes: each iteration is one shuffle (join on neighbor +
-    groupBy min); ``localCheckpoint`` truncates lineage so the plan
+    groupBy min) and ONE job: the changed-label count rides the same
+    eager ``localCheckpoint`` action as an Observation metric (a label
+    changes iff the neighborhood min beats the current label — visible
+    on the joined row, no compare-join against the previous state and
+    no second pass). ``localCheckpoint`` truncates lineage so the plan
     doesn't grow with iterations (use reliable ``checkpoint`` with a
     cluster checkpoint dir in production). Early-stops as soon as an
     iteration changes no label. For near-dup graphs the iteration
     count is the cluster diameter, not corpus size.
     """
+    from pyspark.sql import Observation
+
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        obs = Observation(f"cc_iter_{i}")
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
@@ -512,17 +533,19 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("__improved"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("__improved").cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
+            .drop("__improved")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
 

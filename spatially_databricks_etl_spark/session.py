@@ -29,6 +29,23 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _default_driver_memory(target_gb: int = 24, floor_gb: int = 2) -> str:
+    """min(24g, ~half of MemAvailable), floored at 2g. The heap only
+    needs to be big when 32 local tasks actually run concurrently —
+    and that is exactly the machine shape where MemAvailable covers
+    the target. Falls back to the target when /proc/meminfo is
+    unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (2 * 1024 * 1024)  # half, in GiB
+                    return f"{max(floor_gb, min(target_gb, avail_gb))}g"
+    except OSError:
+        pass
+    return f"{target_gb}g"
+
+
 def get_spark(
     app_name: str = "spatially-databricks-etl-spark",
     master: str | None = None,
@@ -65,10 +82,15 @@ def get_spark(
         # local[32] runs driver+executor in ONE JVM: 32 concurrent
         # tasks shuffling + Arrow batching inside an 8g heap caused
         # multi-second full-GC spikes mid-bench (minhash spread
-        # [2.7..12.1] at 8g). 24g keeps GC out of the measurements on
-        # the 128 GiB harness box; real clusters size executors via
-        # spark-submit and never see this default.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # [2.7..12.1] at 8g). Target 24g on the 128 GiB harness box,
+        # capped at ~half of MemAvailable so the same default doesn't
+        # OOM-kill smaller or cgroup-limited machines;
+        # SPARK_DRIVER_MEMORY overrides outright. Real clusters size
+        # executors via spark-submit and never see this default.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         # Spark has no nanosecond TimestampType; read parquet
         # TIMESTAMP(NANOS) as long and convert (see load_tables) —
         # without this flag the scan hard-fails on events.parquet.

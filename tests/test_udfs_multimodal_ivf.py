@@ -159,6 +159,28 @@ def test_lsh_multiprobe_monotonically_raises_recall(spark):
     assert r0 <= r1 <= r3, (r0, r1, r3)
 
 
+def test_lsh_multiprobe_recall_floor_organic_sf001(spark):
+    """ORGANIC recall guard (the planted ann_lsh_topk oracle verifies
+    plumbing, not recall): on the sf0.01 embeddings, recall@10 of
+    lsh_bucketed_topk(multiprobe=2) vs brute force is deterministic
+    (fixed fixture, seeded planes) and measured at 0.225 — above the
+    0.145 the single-bucket probe achieves. The 0.20 floor sits
+    between the two, so a probing regression (multiprobe silently
+    ignored, margin ordering broken, buckets mis-joined) fails this
+    test while fixture-level jitter cannot."""
+    from spatially_databricks_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, k=10).collect()}
+    probed = lsh_bucketed_topk(emb, queries, k=10, planes=6, dim=64, multiprobe=2)
+    a = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    recall = len(a & brute) / len(brute)
+    assert recall >= 0.20, f"multiprobe=2 recall@10 regressed: {recall}"
+
+
 def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
     from spatially_databricks_etl_spark.operators.similarity import (
         lsh_bucketed_topk,
