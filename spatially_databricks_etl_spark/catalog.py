@@ -3096,6 +3096,100 @@ FROM (SELECT unnest(generate_series(0, 39)) AS i)
 """
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact/dim join: lineitem is pre-filtered by a Bloom
+    filter built from the URGENT orders' keys (~20% selectivity), then
+    exactly joined — the runtime-filter pattern as an explicit
+    operator. The final join verifies every survivor, so the result
+    (and the oracle) is the plain join's, independent of the fp
+    rate."""
+    from spatially_databricks_etl_spark.operators.relational import bloom_prune_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prune_join(
+        li, urgent, fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table:
+    per-vector scale + code-vector stats. The round is explicit
+    floor(x/scale + 0.5), so DuckDB restates it bit-identically (both
+    engines promote the float32 element into the same IEEE double
+    before dividing)."""
+    from spatially_databricks_etl_spark.operators.embeddings import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+"""
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over orders.o_custkey: the 10 heaviest
+    keys with row share and ratio-to-mean-key-weight. Deterministic
+    under ties (total order: count desc, key asc)."""
+    from spatially_databricks_etl_spark.operators.profile import skew_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return skew_profile(o, ["o_custkey"], top_n=10).select(
+        "o_custkey", F.col("n_rows").cast("long").alias("n_rows"), "share", "skew_x"
+    )
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT o_custkey, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / t.total, 6) AS share,
+       round(n_rows * t.n_keys / t.total, 4) AS skew_x
+FROM c, t
+ORDER BY n_rows DESC, o_custkey LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3246,6 +3340,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
+    "bloom_prune_join": q_bloom_prune_join,
+    "quantize_embeddings": q_quantize_embeddings,
+    "skew_profile": q_skew_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -3344,6 +3441,9 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_sample_by_lang": SQL_WEIGHTED_SAMPLE_BY_LANG,
     "robust_zscore": SQL_ROBUST_ZSCORE,
+    "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "skew_profile": SQL_SKEW_PROFILE,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

@@ -1,5 +1,8 @@
 from spatially_databricks_etl_spark.operators.relational import (
     asof_join,
+    bloom_build,
+    bloom_prune,
+    bloom_prune_join,
     broadcast_join,
     range_join,
     salted_join,
@@ -14,13 +17,20 @@ from spatially_databricks_etl_spark.operators.curate import (
 from spatially_databricks_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dedup,
+    minhash_search_index,
+    minhash_write_index,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dedup,
 )
 from spatially_databricks_etl_spark.operators.embeddings import (
+    dequantize_int8,
     pca_fit,
     pca_project,
+    quantize_int8,
+)
+from spatially_databricks_etl_spark.operators.profile import (
+    skew_profile,
 )
 from spatially_databricks_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -34,11 +44,17 @@ from spatially_databricks_etl_spark.operators.similarity import (
 
 __all__ = [
     "asof_join",
+    "bloom_build",
+    "bloom_prune",
+    "bloom_prune_join",
     "curate_corpus",
     "dedup_lines",
+    "dequantize_int8",
     "negative_samples",
     "pca_fit",
     "pca_project",
+    "quantize_int8",
+    "skew_profile",
     "broadcast_join",
     "range_join",
     "salted_join",
@@ -46,6 +62,8 @@ __all__ = [
     "top_k_per_group",
     "exact_dedup",
     "minhash_near_dedup",
+    "minhash_search_index",
+    "minhash_write_index",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dedup",

@@ -254,6 +254,33 @@ def minhash_signatures_df(
     return hashed.mapInPandas(compute, schema=out_schema)
 
 
+def _band_rows(sig_df: DataFrame, *, bands: int, rows: int) -> DataFrame:
+    """Explode a signature frame (``__id``, ``__sig``) into LSH band
+    rows (``__id``, ``__band``, ``__bh``): band hash = xxhash64 of the
+    band's ``rows`` signature slots, seeded by the band index. Shared
+    by the self-join dedup and the persisted-index write/search paths
+    so both produce bit-identical bucket keys."""
+    return sig_df.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)),
+                            F.lit(b),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh")
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact set Jaccard of two array columns (distinct semantics)."""
     inter = F.size(F.array_intersect(a, b))
@@ -370,24 +397,7 @@ def minhash_near_dedup(
         seed=seed,
     )
 
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws("_", F.slice("__sig", b * rows + 1, rows)), F.lit(b)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(
-        "__id", F.col("__b.band").alias("__band"), F.col("__b.band_hash").alias("__bh")
-    )
+    banded = _band_rows(sig, bands=bands, rows=rows)
 
     # Bucket sizing runs as a WINDOW over the (band, band_hash)
     # partitioning: rows buffer in a spillable sort buffer, so a
@@ -640,3 +650,177 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard_sim")
     )
     return register_persists(out, [base, ranked])
+
+
+def minhash_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 96,
+    bands: int = 16,
+    seed: int = 42,
+    hash_buckets: int = 64,
+) -> None:
+    """Materialize the MinHash-LSH index for INCREMENTAL near-dup
+    lookup: new ingest batches are checked against the indexed corpus
+    without recomputing a single corpus signature (at 100 TB the
+    shingle+signature pass over the corpus is the dominant cost — it
+    must be paid once at ingest, not per batch).
+
+    Layout (both partition-PRUNED at search, same design as the
+    LSH/IVF indexes in ``operators/similarity.py``):
+
+    - ``{path}/bands``: (doc id, band, band hash) rows partitioned by
+      ``__bhb`` = pmod(band_hash, hash_buckets) — a search lists only
+      the directories its batch's band hashes fall in (≤ batch × bands
+      of ``hash_buckets``);
+    - ``{path}/shingles``: (doc id, 64-bit shingle codes) partitioned
+      by ``__pb`` = pmod(xxhash64(id), hash_buckets) — the exact-verify
+      join reads only candidate ids' directories; shingle STRINGS never
+      touch disk (codes only, as in :func:`minhash_near_dedup`);
+    - ``{path}/_minhash_meta``: banding parameters as a JSON sidecar;
+      searches replay them so bucket keys stay bit-identical.
+
+    Zero-shingle docs are excluded (cannot be near-duplicates;
+    mega-bucket hazard — see :func:`minhash_near_dedup`).
+    """
+    import json
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows = num_hashes // bands
+    src = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    sh = ngrams(F.col("__text"), shingle_size, character=True)
+    base = (
+        src.select("__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h"))
+        .filter(F.size("__h") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.select(
+        "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
+    ).write.mode("overwrite").partitionBy("__pb").parquet(f"{path}/shingles")
+    sig = minhash_signatures_df(
+        base.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    _band_rows(sig, bands=bands, rows=rows).withColumn(
+        "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
+    ).write.mode("overwrite").partitionBy("__bhb").parquet(f"{path}/bands")
+    base.unpersist()
+    corpus.sparkSession.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "shingle_size": shingle_size,
+                        "num_hashes": num_hashes,
+                        "bands": bands,
+                        "seed": seed,
+                        "hash_buckets": hash_buckets,
+                    }
+                ),
+            )
+        ],
+        "minhash_params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_minhash_meta")
+
+
+def minhash_search_index(
+    batch: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Find near-duplicates of a (small) ingest ``batch`` against a
+    persisted MinHash index (:func:`minhash_write_index`). Returns
+    (batch_id, indexed_id, jaccard_sim) — exact Jaccard on the stored
+    shingle codes, same guarantees as :func:`minhash_near_dedup`.
+
+    Plan shape: the batch pays shingle+signature once (it is the small
+    side); its band rows BROADCAST into a join against the index's
+    band store restricted by a STATIC ``__bhb`` partition filter, so
+    the corpus-scale band table is read only under the batch's hash
+    directories; candidate pairs dedupe across bands, then the verify
+    join reads only the candidate ids' ``__pb`` directories of the
+    shingle store. The indexed corpus is never re-shingled, never
+    re-signed, and never scanned in full.
+    """
+    import json
+
+    spark = batch.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
+    )
+    bands, num_hashes = meta["bands"], meta["num_hashes"]
+    hash_buckets, seed = meta["hash_buckets"], meta["seed"]
+    rows = num_hashes // bands
+    src = batch.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    sh = ngrams(F.col("__text"), meta["shingle_size"], character=True)
+    b_base = (
+        src.select("__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h"))
+        .filter(F.size("__h") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b_sig = minhash_signatures_df(
+        b_base.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    b_bands = _band_rows(b_sig, bands=bands, rows=rows).withColumn(
+        "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
+    )
+    # static partition filter: only the batch's band-hash directories
+    probed = sorted({r["__bhb"] for r in b_bands.select("__bhb").distinct().collect()})
+    idx_bands = spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(probed))
+    cand = (
+        idx_bands.join(
+            F.broadcast(
+                b_bands.select(
+                    F.col("__id").alias("batch_id"), "__band", "__bh", "__bhb"
+                )
+            ),
+            on=["__bhb", "__band", "__bh"],
+        )
+        .select(F.col("batch_id"), F.col("__id").alias("indexed_id"))
+        .dropDuplicates(["batch_id", "indexed_id"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pbs = sorted(
+        {
+            r["__pb"]
+            for r in cand.select(
+                F.pmod(F.xxhash64("indexed_id"), F.lit(hash_buckets)).alias("__pb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    shingles = (
+        spark.read.parquet(f"{path}/shingles")
+        .filter(F.col("__pb").isin(pbs))
+        .select(F.col("__id").alias("indexed_id"), F.col("__h").alias("__sh_i"))
+    )
+    b_sh = b_base.select(F.col("__id").alias("batch_id"), F.col("__h").alias("__sh_b"))
+    out = (
+        cand.join(shingles, "indexed_id")
+        .join(F.broadcast(b_sh), "batch_id")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_b"), F.col("__sh_i")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "indexed_id", "jaccard_sim")
+    )
+    return register_persists(out, [b_base, cand])

@@ -118,3 +118,51 @@ def pca_project(
     """Append ``out_col`` = the k-dimensional PCA projection of
     ``vec_col``. Map-only; no shuffle; no UDF."""
     return df.withColumn(out_col, pca_project_col(F.col(vec_col), model))
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale`` =
+    max(|x|)/127, ``q_i`` = round-half-up(x_i / scale) ∈ [−127, 127]
+    (the round is explicit ``floor(x + 0.5)`` so any engine replays it
+    bit-identically — SQL ``round`` half-even vs half-up semantics
+    differ across engines). An all-zero vector gets scale 0 and an
+    all-zero code vector.
+
+    Why it matters at 100 TB: a float32/float64 embedding column is
+    4–8 bytes/dim; int8 is 1 — a 4–8× cut in scan, shuffle, persist,
+    and index footprint for ANN, at a cosine-similarity error that is
+    bounded and testable (recall property in tests). Map-only, no UDF,
+    no shuffle; pairs with :func:`dequantize_int8`.
+    """
+    vec = F.col(vec_col)
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).cast("double")
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    *,
+    q_col: str = "q",
+    scale_col: str = "scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``x̂_i = q_i · scale``.
+    Reconstruction error per element ≤ scale/2 = max(|x|)/254."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda qv: (qv * F.col(scale_col)).cast("double")),
+    )

@@ -237,3 +237,43 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(structs).alias("__p")).select(
         "__p.col_a", "__p.col_b", "__p.corr"
     )
+
+
+def skew_profile(
+    df: DataFrame, key_cols: list[str], *, top_n: int = 10
+) -> DataFrame:
+    """Key-skew diagnosis for a planned join/aggregation: per-key
+    counts → the ``top_n`` heaviest keys with their share of all rows
+    and their ratio to the mean key weight (``skew_x``; AQE's skew
+    threshold is ~5x median partition — keys showing 100x+ here are
+    the ones that need salting or a broadcast rewrite BEFORE the
+    24-hour straggler, not after).
+
+    Plan shape: one hash-count shuffle on the key (map-side combined,
+    narrow rows) → a single-row global summary (count + distinct keys,
+    mergeable) broadcast back over the per-key counts → global top-n
+    via TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver-side merge — no full sort). Nothing data-sized leaves the
+    executors.
+    """
+    if not key_cols:
+        raise ValueError("skew_profile needs >= 1 key column")
+    if top_n < 1:
+        raise ValueError(f"top_n ({top_n}) must be >= 1")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 4
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

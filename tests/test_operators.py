@@ -529,3 +529,100 @@ def test_minhash_vectorized_signature_bit_exact(spark):
         for r in minhash_signatures_df(hashed, num_hashes=96, seed=42).collect()
     }
     assert hof == vec
+
+
+def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
+    from spatially_databricks_etl_spark.operators.relational import (
+        bloom_build,
+        bloom_prune,
+        bloom_prune_join,
+    )
+
+    dim = spark.range(500).select((F.col("id") * 3).alias("k"))  # 0,3,...,1497
+    fact = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    bf = bloom_build(dim, "k", num_bits=1 << 14, num_hashes=5)
+    assert len(bf.collect()[0]["bf"]) == (1 << 14) // 64
+    pruned = bloom_prune(fact, bf, "k", num_bits=1 << 14, num_hashes=5)
+    kept = {r["k"] for r in pruned.collect()}
+    true_keys = {r["k"] for r in fact.join(dim, "k", "left_semi").collect()}
+    # no false negatives: every true match survives the prune
+    assert true_keys <= kept
+    # fp sanity: m=16384, k=5, n=500 → fp ≈ 0.0002; even 100x leaves
+    # the prune keeping well under double the true matches
+    assert len(kept) < 2 * len(true_keys)
+    # the composed exact join equals the plain join
+    got = bloom_prune_join(fact, dim, fact_key="k", dim_key="k", num_bits=1 << 14)
+    assert got.count() == fact.join(dim, "k").count()
+
+
+def test_bloom_build_validates_params(spark):
+    from spatially_databricks_etl_spark.operators.relational import bloom_build
+
+    dim = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(dim, "k", num_bits=100)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_build(dim, "k", num_hashes=0)
+
+
+def test_skew_profile_exact_counts(spark):
+    from spatially_databricks_etl_spark.operators.profile import skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_profile(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in out] == [("a", 6), ("b", 3)]
+    # share of total rows and ratio to the mean key weight (10/3 rows)
+    assert abs(out[0]["share"] - 0.6) < 1e-9
+    assert abs(out[0]["skew_x"] - 1.8) < 1e-9
+
+    with pytest.raises(ValueError, match="key column"):
+        skew_profile(df, [])
+
+
+def test_minhash_persisted_index_incremental_search(spark, tmp_path):
+    """Incremental-ingest dedup: a new batch is checked against the
+    persisted index without re-signing the corpus. The search must (a)
+    find the exact copy at J=1.0 and nothing for a novel doc, (b)
+    agree with the self-join operator run over corpus ∪ batch
+    (restricted to batch-vs-corpus pairs — same banding params, same
+    seed, exact verify, so equality is bit-for-bit), and (c) read the
+    band store under a static __bhb partition filter."""
+    from spatially_databricks_etl_spark.caching import release_intermediates
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_search_index,
+        minhash_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "mhidx")
+    minhash_write_index(docs, path)
+
+    base_text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [
+            (100000, base_text),
+            (100001, "entirely novel content about volcanoes and glaciers drifting"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_search_index(batch, path, threshold=0.7)
+    got = {(r["batch_id"], r["indexed_id"]): r["jaccard_sim"] for r in out.collect()}
+    assert got[(100000, 0)] == 1.0
+    assert not [k for k in got if k[0] == 100001]
+
+    # parity with the self-join operator over the unioned corpus
+    union = docs.select("doc_id", "text").unionByName(batch)
+    pairs = minhash_near_dedup(union, threshold=0.7)
+    want = {
+        (r["id_b"], r["id_a"]): r["jaccard_sim"]
+        for r in pairs.collect()
+        if r["id_b"] >= 100000 and r["id_a"] < 100000
+    }
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__bhb" in ln for ln in pf), pf
+    release_intermediates(out)
+    release_intermediates(pairs)

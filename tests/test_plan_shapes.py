@@ -81,10 +81,13 @@ def test_no_catalog_query_plans_a_smell(spark):
     ArrowEvalPython is the allowed Python boundary), and (c)
     unintended BroadcastNestedLoopJoin. Intended BNLJ uses are
     allow-listed: ann_brute_topk broadcasts the query set against the
-    corpus scan by design; expectations joins a single-row total."""
+    corpus scan by design; expectations and skew_profile join a
+    single-row global-totals frame; bloom_prune_join cross-joins the
+    ONE-ROW bloom bitmap onto the fact scan (a constant append per
+    row, not a quadratic loop)."""
     from spatially_databricks_etl_spark.catalog import QUERIES
 
-    BNLJ_OK = {"ann_brute_topk", "expectations"}
+    BNLJ_OK = {"ann_brute_topk", "expectations", "bloom_prune_join", "skew_profile"}
     sf = "/root/testdata/sf0.001"
     offenders = []
     for name, fn in QUERIES.items():

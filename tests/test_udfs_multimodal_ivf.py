@@ -333,3 +333,42 @@ def test_curate_corpus_invariants(spark):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     for r in pairs.collect():
         assert not (r["id_a"] in kept_ids and r["id_b"] in kept_ids)
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from spatially_databricks_etl_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = dequantize_int8(quantize_int8(emb))
+    checked = q.select(
+        # codes clamp to [-127, 127] by construction
+        F.array_min("q").alias("qmin"),
+        F.array_max("q").alias("qmax"),
+        # per-element |x̂ - x| <= scale/2 (+ float32 read-out slack)
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "embedding_deq",
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("max_err"),
+        (F.col("scale") / 2 + F.lit(1e-6)).alias("bound"),
+        cosine_similarity(F.col("embedding"), F.col("embedding_deq")).alias("cos"),
+    ).collect()
+    assert all(-127 <= r["qmin"] and r["qmax"] <= 127 for r in checked)
+    assert all(r["max_err"] <= r["bound"] for r in checked)
+    # int8 reconstruction keeps cosine within 0.1% on the fixture
+    assert min(r["cos"] for r in checked) >= 0.999
+
+
+def test_quantize_int8_zero_vector(spark):
+    from spatially_databricks_etl_spark.operators.embeddings import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    row = quantize_int8(df).collect()[0]
+    assert row["scale"] == 0.0
+    assert row["q"] == [0, 0, 0]
