@@ -3190,6 +3190,149 @@ ORDER BY n_rows DESC, o_custkey LIMIT 10
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the events stream: gap > 6 h starts a
+    new per-user session; output is one row per session with count,
+    bounds and value sum. One shuffle (hash by user); lag detect +
+    session numbering share a single partition sort."""
+    from spatially_databricks_etl_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=21600,
+        order_cols=("event_id",),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse a synthetic I/U/D changelog (derived deterministically
+    from orders: entity = o_orderkey % 300, change order = o_orderkey)
+    into final table state — newest change per entity wins, entities
+    whose newest change is a delete vanish."""
+    from spatially_databricks_etl_spark.operators.relational import cdc_apply
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_orderkey") % 300).alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    state = cdc_apply(log, key_cols=["entity_id"], seq_col="seq", op_col="op")
+    return state.select(
+        "entity_id",
+        F.col("seq").alias("last_seq"),
+        "op",
+        "status",
+        F.round("amount", 2).alias("amount"),
+    )
+
+
+SQL_CDC_APPLY = """
+WITH log AS (
+  SELECT o_orderkey % 300 AS entity_id, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE 'I' END AS op,
+         o_orderstatus AS status, o_totalprice AS amount
+  FROM orders
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT entity_id, seq AS last_seq, op, status, round(amount, 2) AS amount
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: lineitem is split at
+    shipdate 2000-01-01 into a PRIOR partial-aggregate frame and a
+    DELTA partition; the merged rollup must equal the full recompute
+    (the oracle) exactly — only decomposable measures cascade, avg is
+    derived at read time as sum/count."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        merge_aggregate,
+        partial_aggregate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    measures = {
+        "n_rows": ("*", "count"),
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_price": ("l_extendedprice", "sum"),
+        "max_price": ("l_extendedprice", "max"),
+    }
+    prior = partial_aggregate(
+        li.filter(F.col("l_shipdate") < cutoff), keys=["l_returnflag"], measures=measures
+    )
+    delta = partial_aggregate(
+        li.filter(F.col("l_shipdate") >= cutoff), keys=["l_returnflag"], measures=measures
+    )
+    merged = merge_aggregate(
+        prior,
+        delta,
+        keys=["l_returnflag"],
+        merges={"n_rows": "count", "sum_qty": "sum", "sum_price": "sum", "max_price": "max"},
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round(F.col("sum_price") / F.col("n_rows"), 2).alias("avg_price"),
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(sum(l_extendedprice) / count(*), 2) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3343,6 +3486,9 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_prune_join": q_bloom_prune_join,
     "quantize_embeddings": q_quantize_embeddings,
     "skew_profile": q_skew_profile,
+    "sessionize": q_sessionize,
+    "cdc_apply": q_cdc_apply,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3444,6 +3590,9 @@ ORACLES: dict[str, str] = {
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "skew_profile": SQL_SKEW_PROFILE,
+    "sessionize": SQL_SESSIONIZE,
+    "cdc_apply": SQL_CDC_APPLY,
+    "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

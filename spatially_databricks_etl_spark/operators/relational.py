@@ -526,3 +526,127 @@ def bloom_prune_join(
     bloom = bloom_build(dim.select(dim_key), dim_key, num_bits=num_bits, num_hashes=num_hashes)
     pruned = bloom_prune(fact, bloom, fact_key, num_bits=num_bits, num_hashes=num_hashes)
     return pruned.join(dim, on=pruned[fact_key] == dim[dim_key], how="inner")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 21600,
+    order_cols: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: assign every row a per-key
+    session id, where a new session starts whenever the gap to the
+    key's previous event exceeds ``gap_seconds``. The batch analog of
+    ``F.session_window`` (streaming/windows.py) with an explicit,
+    joinable integer id per session instead of a time interval —
+    the shape feature pipelines need to aggregate arbitrary
+    per-session features afterwards. No reference analog (the
+    reference has no window functions at all).
+
+    ``order_cols`` breaks timestamp ties deterministically (pass the
+    event's unique id).
+
+    Scale shape: ONE Exchange (hash on ``key_col``); the lag
+    change-detect and the running sum that numbers the sessions share
+    the same partition-by-key sort, so the whole operator is a single
+    shuffle + single sort regardless of input size — never a self-join
+    or a per-session subquery. Skewed keys are bounded by the busiest
+    single key's row count (same bound as any per-entity window).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, running.cast("long"))
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log (insert/update/delete rows with
+    a per-key ordering column) to produce the final table state: the
+    latest change per key wins; keys whose latest change is a delete
+    disappear. The read-side half of the MERGE pattern
+    (``merge_upsert`` handles upserts against an existing snapshot;
+    this collapses a raw changelog into a snapshot). The reference's
+    only write mode is full overwrite (`Spatially ETL
+    test.py:230-231`); a daily 100 TB ingest replays the day's
+    changelog instead of rewriting the table.
+
+    Scale shape: one Exchange (hash on the key), one partition sort,
+    ``row_number = 1`` keeps the newest change — never a per-key
+    MAX-subquery join (two shuffles) or a driver-side replay. AQE
+    handles hot keys; the output is strictly smaller than the log.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
+# Measure-merge functions for partial-aggregate frames: count partials
+# re-merge by summing.
+_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def partial_aggregate(
+    df: DataFrame, *, keys: Sequence[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Reduce raw rows to a partial-aggregate frame: one row per key
+    group carrying decomposable measure columns. ``measures`` maps
+    output column → (source column or '*', agg in sum|count|min|max).
+    Pair with :func:`merge_aggregate`; non-decomposable results (avg)
+    are derived at read time as sum/count.
+    """
+    aggs = []
+    for out, (src, how) in measures.items():
+        if how == "count":
+            aggs.append(F.count("*" if src == "*" else src).alias(out))
+        else:
+            aggs.append(_MERGE_FNS[how](src).alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate(
+    prior: DataFrame,
+    delta: DataFrame,
+    *,
+    keys: Sequence[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a PRIOR
+    partial-aggregate frame (yesterday's rollup) with a DELTA partial
+    frame (today's partition, reduced by :func:`partial_aggregate`)
+    without touching prior raw data. ``merges`` maps measure column →
+    its merge function (count partials merge with sum).
+
+    This is the continuous-aggregate pattern: at 100 TB the prior
+    frame is orders of magnitude smaller than its raw history, so a
+    daily refresh scans ONLY the new partition plus the rollup —
+    union + one re-aggregation shuffle on the (already tiny) partial
+    frames. Equivalence to the full recompute holds exactly for
+    decomposable measures (oracle-checked by the
+    ``incremental_rollup`` catalog query).
+    """
+    combined = prior.unionByName(delta)
+    return combined.groupBy(*keys).agg(
+        *[_MERGE_FNS[how](col).alias(col) for col, how in merges.items()]
+    )

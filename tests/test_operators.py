@@ -626,3 +626,75 @@ def test_minhash_persisted_index_incremental_search(spark, tmp_path):
     assert pf and any("__bhb" in ln for ln in pf), pf
     release_intermediates(out)
     release_intermediates(pairs)
+
+
+def test_sessionize_gap_boundary_and_numbering(spark):
+    import datetime as dt
+
+    from spatially_databricks_etl_spark.operators.relational import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gap EXACTLY equal to the threshold stays in-session;
+        # one second past it starts a new one.
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(seconds=600)),
+        (1, 3, t0 + dt.timedelta(seconds=1201)),
+        (1, 4, t0 + dt.timedelta(seconds=1202)),
+        # user 2: single event -> session 1
+        (2, 5, t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    out = sessionize(
+        df, key_col="user_id", ts_col="ts", gap_seconds=600, order_cols=("event_id",)
+    )
+    got = {(r.user_id, r.event_id): r.session_id for r in out.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (2, 5): 1}
+
+
+def test_cdc_apply_latest_wins_and_delete_removes(spark):
+    from spatially_databricks_etl_spark.operators.relational import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "I", "a"),
+            (1, 20, "U", "b"),   # newest for key 1 -> survives with payload b
+            (2, 10, "I", "c"),
+            (2, 30, "D", None),  # newest for key 2 is a delete -> gone
+            (3, 5, "D", None),
+            (3, 6, "I", "d"),    # delete then re-insert -> survives
+        ],
+        ["k", "seq", "op", "payload"],
+    )
+    out = cdc_apply(log, key_cols=["k"], seq_col="seq", op_col="op")
+    got = {(r.k): (r.seq, r.op, r.payload) for r in out.collect()}
+    assert got == {1: (20, "U", "b"), 3: (6, "I", "d")}
+
+
+def test_merge_aggregate_equals_full_recompute(spark):
+    from spatially_databricks_etl_spark.operators.relational import (
+        merge_aggregate,
+        partial_aggregate,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    measures = {
+        "n_rows": ("*", "count"),
+        "sum_qty": ("l_quantity", "sum"),
+        "min_qty": ("l_quantity", "min"),
+        "max_qty": ("l_quantity", "max"),
+    }
+    merges = {"n_rows": "count", "sum_qty": "sum", "min_qty": "min", "max_qty": "max"}
+    cut = F.col("l_orderkey") % 4 == 0
+    prior = partial_aggregate(li.filter(cut), keys=["l_returnflag"], measures=measures)
+    delta = partial_aggregate(li.filter(~cut), keys=["l_returnflag"], measures=measures)
+    merged = merge_aggregate(prior, delta, keys=["l_returnflag"], merges=merges)
+    full = partial_aggregate(li, keys=["l_returnflag"], measures=measures)
+
+    def norm(df):
+        return sorted(
+            (r.l_returnflag, r.n_rows, round(r.sum_qty, 6), r.min_qty, r.max_qty)
+            for r in df.collect()
+        )
+
+    assert norm(merged) == norm(full)
