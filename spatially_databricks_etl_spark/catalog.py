@@ -3333,6 +3333,199 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over a deliberately skewed derived key
+    (bucket = floor(sqrt(user_id)) — wider buckets hold more users, so
+    higher buckets are organically heavier). Misra–Gries candidates +
+    exact second pass make the result EXACTLY the keys with count
+    > N/(capacity+1), which is what the oracle computes."""
+    from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(F.floor(F.sqrt(F.col("user_id"))).cast("long").alias("bucket"))
+    hh = heavy_hitters(keyed, "bucket", capacity=15)
+    return hh.select("bucket", "n_rows", F.round("share", 6).alias("share"))
+
+
+SQL_HEAVY_HITTERS = """
+WITH keyed AS (
+  SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS bucket FROM events
+),
+t AS (SELECT count(*) AS total FROM keyed)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / t.total, 6) AS share
+FROM keyed, t
+GROUP BY bucket, t.total
+HAVING count(*) > t.total / 16.0
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within pre-assigned clusters, on the organic corpus
+    plus planted exact copies (vec_id % 50 == 0 re-inserted as
+    vec_id + 100000). The oracle recomputes every within-cluster
+    cosine quadratically in DuckDB, so — unlike the closed-form
+    planted ANN oracles — this checks the actual similarity
+    arithmetic: organic pairs top out at cos ≈ 0.47 (measured), far
+    under the 0.9 threshold, so exactly the planted copy pairs
+    survive, scored by the real pipeline."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    pairs = semantic_dedup_pairs(
+        corpus,
+        id_col="vec_id",
+        vec_col="embedding",
+        cluster_col="label",
+        threshold=0.9,
+    )
+    return pairs.select(
+        "label",
+        "keep_id",
+        "drop_id",
+        F.round("cos_sim", 3).alias("cos_sim"),
+    )
+
+
+SQL_SEMDEDUP = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT a.label AS label, a.vec_id AS keep_id, b.vec_id AS drop_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cos_sim
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, keep_id, drop_id, round(cos_sim, 3) AS cos_sim
+FROM scored WHERE cos_sim > 0.9
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score per document; the whole
+    model (counts, smoothing, scoring) is replayed by the oracle, so
+    the training aggregations are value-checked, not just plumbed."""
+    from spatially_databricks_etl_spark.operators.curate import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs, alpha=0.4)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 4).alias("avg_logp")
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(t[:-2]) AS w1, unnest(t[2:]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, count(*) AS c_bg FROM ex GROUP BY w1, w2),
+pf AS (SELECT w1, count(*) AS c_w1 FROM ex GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM ex)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bg.c_bg + 0.4) / (pf.c_w1 + 0.4 * v.v))), 4) AS avg_logp
+FROM ex
+JOIN bg USING (w1, w2)
+JOIN pf USING (w1), v
+GROUP BY ex.doc_id
+"""
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-row features evaluated at each user's last
+    event, plus the closed-form EWMA over the full history — the
+    leakage-free feature-engineering pattern; both computations share
+    one hash-by-user Exchange."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        ewma,
+        rolling_features,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rolled = rolling_features(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_rows=7,
+        order_cols=("event_id",),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        rolled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.round("roll_avg", 4).alias("roll_avg"),
+            F.round("roll_min", 2).alias("roll_min"),
+            F.round("roll_max", 2).alias("roll_max"),
+            "roll_n",
+        )
+    )
+    ew = ewma(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.3,
+        order_cols=("event_id",),
+    )
+    return last.join(ew, on="user_id").select(
+        "user_id",
+        "n_rows",
+        F.round("ewma", 4).alias("ewma"),
+        "roll_avg",
+        "roll_min",
+        "roll_max",
+        "roll_n",
+    )
+
+
+SQL_ROLLING_FEATURES = """
+WITH feats AS (
+  SELECT user_id, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_avg,
+         min(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_min,
+         max(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_max,
+         count(value) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ew AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(value * pow(0.7, n - rn)
+                   * CASE WHEN rn = 1 THEN 1.0 ELSE 0.3 END), 4) AS ewma
+  FROM feats GROUP BY user_id
+)
+SELECT f.user_id, ew.n_rows, ew.ewma,
+       round(f.roll_avg, 4) AS roll_avg,
+       round(f.roll_min, 2) AS roll_min,
+       round(f.roll_max, 2) AS roll_max,
+       CAST(f.roll_n AS BIGINT) AS roll_n
+FROM feats f JOIN ew USING (user_id)
+WHERE f.rn = f.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3489,6 +3682,10 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "cdc_apply": q_cdc_apply,
     "incremental_rollup": q_incremental_rollup,
+    "heavy_hitters": q_heavy_hitters,
+    "semdedup": q_semdedup,
+    "bigram_lm": q_bigram_lm,
+    "rolling_features": q_rolling_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -3593,6 +3790,10 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "semdedup": SQL_SEMDEDUP,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "rolling_features": SQL_ROLLING_FEATURES,
     # no oracle: simhash_neardup_organic — xxhash64 has no DuckDB
     # analog, and organic fixture pairs occupy every Hamming bin 0..3,
     # so a planted closed form can't exclude them (verified

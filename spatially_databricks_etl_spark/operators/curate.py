@@ -589,3 +589,72 @@ def curate_corpus(
         F.col("id").alias(id_col)
     )
     return d.join(non_reps, on=id_col, how="left_anti")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document
+    — the CCNet/KenLM idea (Wenzek et al., arXiv:1911.00359) with the
+    n-gram model trained ON the corpus itself via two aggregations
+    instead of an external LM: score(d) = mean over d's bigrams of
+    ln P(w2|w1), with add-alpha smoothing
+    P = (c(w1,w2) + alpha) / (c(w1·) + alpha·V), where c(w1·) counts
+    w1 as a bigram prefix and V is the distinct-successor vocabulary.
+    Low scores flag boilerplate/gibberish whose transitions the corpus
+    rarely makes; docs with fewer than 2 alphabetic tokens get no row.
+
+    Tokenization is lowercase alphabetic runs (split on ``[^a-z]+``) —
+    deterministic and replayable in ANSI SQL, which is what makes the
+    whole model oracle-checkable end to end.
+
+    Shape: one explode of per-doc bigram structs (persisted — four
+    consumers), then two hash aggregations (bigram counts, prefix
+    counts), a 1-row vocabulary aggregate (broadcast literal join),
+    and count-table equi-joins back onto the exploded frame. No UDFs,
+    no driver loops; the count tables are vocabulary-sized (≪ corpus)
+    and shuffle-join on their keys — broadcastable when the vocabulary
+    fits, automatically, via AQE size estimation.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+        ).alias("__t"),
+    ).filter(F.size("__t") >= 2)
+    ex = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    ex = ex.persist()
+    bg_counts = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = ex.select(F.countDistinct("w2").alias("v"))
+    scored = (
+        ex.join(bg_counts, on=["w1", "w2"])
+        .join(prefix_counts, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.col("c_bg") + F.lit(alpha))
+                / (F.col("c_w1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("__logp").alias("avg_logp"),
+    )
+    from spatially_databricks_etl_spark.caching import register_persists
+
+    return register_persists(out, [ex])

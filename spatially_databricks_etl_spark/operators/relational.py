@@ -650,3 +650,79 @@ def merge_aggregate(
     return combined.groupBy(*keys).agg(
         *[_MERGE_FNS[how](col).alias(col) for col, how in merges.items()]
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+    order_cols: Sequence[str] = (),
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Per-key trailing-window features (avg/min/max/count over the
+    last ``window_rows`` observations including the current one) — the
+    standard leakage-free feature-engineering shape: every row sees
+    only its own past. ``order_cols`` breaks timestamp ties
+    deterministically.
+
+    Scale shape: one Exchange (hash on key) + one partition sort
+    shared by every frame; the trailing frame is O(window_rows) state
+    per row inside the window operator — never a self-join on a time
+    band (shuffle per feature) and never a per-row subquery.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return (
+        df.withColumn(f"{prefix}avg", F.avg(value_col).over(w))
+        .withColumn(f"{prefix}min", F.min(value_col).over(w))
+        .withColumn(f"{prefix}max", F.max(value_col).over(w))
+        .withColumn(f"{prefix}n", F.count(value_col).over(w).cast("long"))
+    )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key exponentially weighted moving average at each key's
+    LAST observation: s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1},
+    returned via its closed form
+    s_n = (1-alpha)^(n-1)*x_1 + alpha*sum_{i>=2}((1-alpha)^(n-i)*x_i)
+    so the whole computation is one window pass (row number + per-key
+    count share a sort) and one aggregation — the recursion never
+    executes sequentially and nothing iterates on the driver. Returns
+    (key, n_rows, ewma).
+
+    Weights underflow harmlessly for long histories ((1-alpha)^k → 0),
+    matching the recursion's forgetting; exact equality with a serial
+    replay is property-tested.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wn = Window.partitionBy(key_col)
+    decay = F.lit(1.0 - alpha)
+    rows = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "__w",
+            F.pow(decay, F.col("__n") - F.col("__rn"))
+            * F.when(F.col("__rn") == 1, F.lit(1.0)).otherwise(F.lit(alpha)),
+        )
+    )
+    return rows.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col) * F.col("__w")).alias("ewma"),
+    )

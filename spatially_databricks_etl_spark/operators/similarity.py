@@ -601,3 +601,79 @@ def fuzzy_join(
     return cand.withColumn(
         "distance", F.levenshtein(probe_col, corpus_col)
     ).filter(F.col("distance") <= k)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs: exact pairwise cosine
+    WITHIN each pre-assigned cluster, keeping pairs above
+    ``threshold``. Returns (cluster, keep_id, drop_id, cos_sim) with
+    keep_id < drop_id — the deterministic survivor rule downstream
+    :func:`semantic_dedup` applies.
+
+    Follows Abbas et al., "SemDeDup" (arXiv:2303.09540): cluster the
+    embedding space first (k-means — ``ivf_build`` here — or any
+    upstream partitioner), then dedup only within clusters, because
+    cross-cluster pairs are far by construction. The quadratic step is
+    per-cluster, so cost is Σ|c|² — bounded by keeping clusters small
+    (at 100 TB raise k so N/k stays ~10⁴⁻⁵; the paper runs 50k
+    clusters over LAION). The join is a plain equi-join on the
+    cluster id — one shuffle of (id, cluster, vector), no cartesian.
+    A pathologically hot cluster is the same skew class as any hot
+    join key: AQE skew splitting applies; sub-blocking a hot cluster
+    with ``lsh_bucket`` composes if needed.
+    """
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("drop_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pairs = a.join(b, on="__c").filter(F.col("keep_id") < F.col("drop_id"))
+    scored = pairs.withColumn("cos_sim", cosine_similarity("__va", "__vb"))
+    return scored.filter(F.col("cos_sim") > threshold).select(
+        F.col("__c").alias(cluster_col), "keep_id", "drop_id", "cos_sim"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Rows that SURVIVE semantic dedup: a row is dropped when some
+    lower-id row in its cluster is more similar than ``threshold``
+    (drop the higher id of every near-duplicate pair). Anti-join of
+    the input against the distinct drop side of
+    :func:`semantic_dedup_pairs` — survivors keep all their columns.
+
+    Note the one-hop rule is applied to RAW pairs (as in SemDeDup): in
+    a chain a~b~c with cos(a,c) ≤ t, both b and c are dropped because
+    each has a lower-id near-duplicate, even though c's witness b is
+    itself dropped. That makes the kept set order-independent and
+    cheap (no iterative closure); use ``connected_components``
+    (operators/curate.py) when cluster-transitive semantics are
+    wanted.
+    """
+    pairs = semantic_dedup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        cluster_col=cluster_col,
+        threshold=threshold,
+    )
+    drops = pairs.select(F.col("drop_id").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")

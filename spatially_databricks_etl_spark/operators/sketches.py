@@ -81,3 +81,121 @@ def cms_estimate(spark, sketch_bytes: bytes, item) -> int:
     bis = spark._jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
     return int(cms.estimateCount(item))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    capacity: int = 50,
+    threshold_fraction: float | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency > a fraction of all
+    rows) in two passes — the classic Misra–Gries candidate pass plus
+    an exact counting pass — without ever shuffling a full
+    per-key count table.
+
+    Pass 1 runs a Misra–Gries summary of ``capacity`` counters inside
+    each partition (Arrow-batched ``mapInPandas``; batch updates use
+    the mergeable-summaries combine: add the batch's value counts,
+    then subtract the (capacity+1)-th largest counter, which preserves
+    the undercount bound ≤ n_p/(capacity+1) — Agarwal et al.,
+    "Mergeable Summaries", PODS'12). Any key with global count
+    > N/(capacity+1) must exceed the local bound in at least one
+    partition (pigeonhole), so the union of partition summaries is a
+    guaranteed superset of the true heavy hitters. Pass 2 exactly
+    counts ONLY the candidates (broadcast semi-join — the candidate
+    set is ≤ capacity·num_partitions rows by construction) and applies
+    the exact threshold, so the result is exactly
+    ``SELECT key, count(*) … HAVING count(*) > N·f`` — false
+    candidates are filtered, true hitters are never missed.
+
+    ``threshold_fraction`` defaults to 1/(capacity+1), its minimum
+    sound value; larger values are allowed (stricter filter), smaller
+    ones would void the no-miss guarantee and raise.
+
+    Scale shape: pass 1 is map-only (no shuffle; O(capacity) state per
+    task); per-partition totals ride along in the summary frame so N
+    needs no extra scan. Pass 2 is one map-side semi-join against the
+    broadcast candidates + one aggregation on the (tiny) surviving key
+    set. Compare the naive ``groupBy(key).count().filter(...)``: at
+    100 TB with ~billions of distinct keys that shuffles the full key
+    space; this shuffles only candidate rows.
+
+    Returns (key_col, n_rows, share) sorted nowhere (order it at the
+    call site). Null keys are ignored (count toward nothing).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    min_fraction = 1.0 / (capacity + 1)
+    if threshold_fraction is None:
+        threshold_fraction = min_fraction
+    elif threshold_fraction < min_fraction - 1e-12:
+        raise ValueError(
+            f"threshold_fraction {threshold_fraction} below 1/(capacity+1) "
+            f"= {min_fraction:.6f}: Misra-Gries with capacity {capacity} "
+            "cannot guarantee recall at that threshold; raise capacity"
+        )
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    key_field = df.schema[key_col]
+    summary_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, True),
+            StructField("__pn", LongType(), True),
+            StructField("__is_total", BooleanType(), False),
+        ]
+    )
+
+    cap = capacity
+    kc = key_col
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            col = pdf[kc].dropna()
+            n += int(len(col))
+            for v, c in col.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                # mergeable-summaries combine: subtract the
+                # (cap+1)-th largest counter, drop non-positive
+                sub = sorted(counters.values(), reverse=True)[cap]
+                counters = {v: c - sub for v, c in counters.items() if c > sub}
+        yield pd.DataFrame(
+            {
+                kc: list(counters.keys()) + [None],
+                "__pn": [None] * len(counters) + [n],
+                "__is_total": [False] * len(counters) + [True],
+            }
+        )
+
+    summary = df.select(kc).mapInPandas(mg_partition, schema=summary_schema)
+    # The summary is bounded at (capacity+1)·num_partitions rows by
+    # construction — a driver-side collect of index metadata, not data.
+    rows = summary.collect()
+    total = sum(r["__pn"] for r in rows if r["__is_total"])
+    cand_values = sorted({r[kc] for r in rows if not r["__is_total"]})
+    spark = df.sparkSession
+    if total == 0 or not cand_values:
+        empty = spark.createDataFrame([], summary_schema)
+        return empty.select(
+            kc, F.lit(0).cast("long").alias("n_rows"), F.lit(0.0).alias("share")
+        ).limit(0)
+    candidates = spark.createDataFrame(
+        [(v,) for v in cand_values], StructType([summary_schema.fields[0]])
+    )
+    counts = (
+        df.join(F.broadcast(candidates), on=kc, how="left_semi")
+        .groupBy(kc)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return counts.filter(F.col("n_rows") > threshold_fraction * total).select(
+        kc,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") / F.lit(float(total))).alias("share"),
+    )

@@ -698,3 +698,82 @@ def test_merge_aggregate_equals_full_recompute(spark):
         )
 
     assert norm(merged) == norm(full)
+
+
+def test_semantic_dedup_chain_and_cluster_isolation(spark):
+    import math
+
+    from spatially_databricks_etl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    def rot(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t)]
+
+    # Cluster 10: a~b (15 deg apart, cos .966 > .95), b~c (15 deg),
+    # a~c (30 deg, cos .866 < .95) -> chain: drop b AND c, keep a.
+    # Cluster 20: identical pair across clusters must NOT interact
+    # with cluster 10 (within-cluster only).
+    rows = [
+        (1, rot(0), 10),
+        (2, rot(15), 10),
+        (3, rot(30), 10),
+        (4, rot(0), 20),
+        (5, rot(0), 20),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>, label: int")
+    pairs = semantic_dedup_pairs(df, threshold=0.95)
+    got = {(r.keep_id, r.drop_id) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3), (4, 5)}
+    kept = sorted(r.vec_id for r in semantic_dedup(df, threshold=0.95).collect())
+    assert kept == [1, 4]
+
+
+def test_ewma_equals_serial_recursion(spark):
+    import datetime as dt
+
+    from spatially_databricks_etl_spark.operators.relational import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = {1: [3.0, -1.5, 2.25, 0.5, 10.0], 2: [7.0], 3: [0.0, 0.0, 5.0]}
+    rows = [
+        (k, i, t0 + dt.timedelta(minutes=i), v)
+        for k, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    alpha = 0.3
+    got = {
+        r.user_id: (r.n_rows, r.ewma)
+        for r in ewma(df, alpha=alpha, order_cols=("event_id",)).collect()
+    }
+    for k, vs in vals.items():
+        s = vs[0]
+        for x in vs[1:]:
+            s = alpha * x + (1 - alpha) * s
+        n, e = got[k]
+        assert n == len(vs)
+        assert abs(e - s) < 1e-12, (k, e, s)
+
+
+def test_bigram_lm_score_tiny_corpus_closed_form(spark):
+    import math
+
+    from spatially_databricks_etl_spark.operators.curate import bigram_lm_score
+
+    # corpus: "a b a b" and "a b"; bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b)
+    # c(a,b)=4? no: d1 contributes (a,b)x2,(b,a)x1; d2 (a,b)x1
+    # c_bg(a,b)=3, c_bg(b,a)=1; c_w1(a)=3, c_w1(b)=1; V = |{a,b}| = 2
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_score(docs, alpha=0.5).collect()}
+    assert 3 not in out  # single-token doc: no bigrams, no row
+    p_ab = (3 + 0.5) / (3 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = math.log(p_ab)
+    assert out[1][0] == 3 and abs(out[1][1] - exp1) < 1e-12
+    assert out[2][0] == 1 and abs(out[2][1] - exp2) < 1e-12

@@ -53,3 +53,54 @@ def test_approx_quantiles_rank_error(spark):
     lo = vals[max(0, int(0.5 * n) - n // 10000 - 2)]
     hi = vals[min(n - 1, int(0.5 * n) + n // 10000 + 2)]
     assert lo <= got <= hi, (lo, got, hi)
+
+
+def test_heavy_hitters_exact_vs_groupby_under_pruning(spark):
+    """Capacity far below the distinct-key count forces real
+    Misra-Gries pruning inside each partition; the two-pass result
+    must still be EXACTLY the keys above N/(capacity+1) with exact
+    counts (the no-miss guarantee + exact verify)."""
+    from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
+
+    # 2 genuinely heavy keys buried in 500 distinct noise keys, spread
+    # over many partitions so per-partition summaries must prune.
+    rows = (
+        [(0,)] * 400
+        + [(1,)] * 300
+        + [(2,)] * 90            # just under the threshold, must NOT appear
+        + [(1000 + i,) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["k"]).repartition(16)
+    n = len(rows)
+    cap = 9
+    got = {r.k: r.n_rows for r in heavy_hitters(df, "k", capacity=cap).collect()}
+    thr = n / (cap + 1)
+    assert got == {0: 400, 1: 300}, (got, thr)
+    # shares are exact fractions of the true total
+    shares = {
+        r.k: r.share for r in heavy_hitters(df, "k", capacity=cap).collect()
+    }
+    assert abs(shares[0] - 400 / n) < 1e-12
+
+
+def test_heavy_hitters_rejects_unsound_threshold(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    with _pytest.raises(ValueError, match="cannot guarantee recall"):
+        heavy_hitters(df, "k", capacity=4, threshold_fraction=0.05)
+
+
+def test_heavy_hitters_ignores_nulls_and_empty(spark):
+    from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (7,), (7,), (7,), (8,)], "k: bigint"
+    )
+    got = {r.k: r.n_rows for r in heavy_hitters(df, "k", capacity=2).collect()}
+    # N=4 non-null, threshold 4/3: only k=7 (count 3) qualifies
+    assert got == {7: 3}
+    empty = spark.createDataFrame([], "k: bigint")
+    assert heavy_hitters(empty, "k", capacity=2).count() == 0
