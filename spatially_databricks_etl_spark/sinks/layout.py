@@ -25,6 +25,8 @@ session the same frames feed `OPTIMIZE ZORDER BY` instead.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,3 +117,42 @@ def write_zordered(
         else zdf.repartitionByRange("__z")
     )
     parts.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    *,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write a managed table hash-bucketed (and optionally sorted) on
+    its dominant join/aggregation key. Two tables bucketed on the same
+    key with the same bucket count join WITHOUT ANY Exchange — the
+    bucket layout IS the shuffle, paid once at write time instead of
+    once per query (pinned by tests/test_layout.py, which asserts a
+    zero-Exchange sort-merge join plan).
+
+    This is the missing half of the reference's unsorted CTAS
+    (`Spatially ETL test.py:237`): at 100 TB, bucketing the fact
+    tables on their join key (e.g. orderkey) converts every repeated
+    fact-fact join and groupBy on that key from a full-data shuffle
+    into a local merge, and bucket pruning serves point lookups.
+    ``sort_cols`` additionally orders rows within each bucket file so
+    the sort phase of a sort-merge join is also free.
+
+    Note Spark's bucket layout is Spark-native (hash = Murmur3 on the
+    bucket columns): Hive/Trino readers see plain files; only Spark
+    planners exploit the co-location.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

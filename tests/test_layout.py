@@ -83,3 +83,69 @@ def test_zorder_value_validates_inputs(spark):
         zorder_value("a")
     with pytest.raises(ValueError, match="64-bit"):
         zorder_value("a", "b", "c", "d", bits=16)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the same key must sort-merge join with
+    ZERO Exchange in the plan (the write-time layout replaces the
+    shuffle), and the result must equal the plain join."""
+    from spatially_databricks_etl_spark.plans.explain import explain_str
+    from spatially_databricks_etl_spark.sinks.layout import write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "bkt_li", bucket_cols=["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "bkt_orders", bucket_cols=["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"])
+    try:
+        bl = spark.table("bkt_li")
+        bo = spark.table("bkt_orders")
+        with_conf = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in with_conf}
+        for k, v in with_conf.items():
+            spark.conf.set(k, v)
+        try:
+            joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy(
+                "o_orderkey"
+            ).agg(F.sum("l_quantity").alias("q"))
+            plan = explain_str(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # correctness vs the unbucketed join
+            expect = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            got = {(r.o_orderkey, round(r.q, 6)) for r in joined.collect()}
+            want = {(r.o_orderkey, round(r.q, 6)) for r in expect.collect()}
+            assert got == want
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_write_bucketed_validates_params(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.sinks.layout import write_bucketed
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        write_bucketed(df, "t", bucket_cols=["id"], num_buckets=0)
+    with _pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(df, "t", bucket_cols=[], num_buckets=4)
