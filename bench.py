@@ -86,6 +86,33 @@ HEADLINE = [
     "stateful_running_totals",
 ]
 
+# Newer operators measured for the record but kept OUT of the stdout
+# headline total: the 44-query HEADLINE list and its `value` have been
+# identical since round 1, so round-over-round and vs-baseline totals
+# stay comparable. EXTRA timings land in stderr + BENCH_DETAILS.json
+# under "extra_queries" (fewer iterations — these are trend lines, not
+# the graded total).
+EXTRA = [
+    "dedup_lines",
+    "neardup_clusters",
+    "pca_project",
+    "histogram",
+    "corr_matrix",
+    "robust_zscore",
+    "weighted_sample_by_lang",
+    "negative_samples",
+    "bloom_prune_join",
+    "quantize_embeddings",
+    "skew_profile",
+    "sessionize",
+    "cdc_apply",
+    "incremental_rollup",
+    "heavy_hitters",
+    "semdedup",
+    "bigram_lm",
+    "rolling_features",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +153,26 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    extra_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ITERS", "3")))
+    extra_timings: dict[str, float] = {}
+    for name in EXTRA:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        runs = []
+        n = -1
+        for _ in range(extra_iters):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        extra_timings[name] = round(statistics.median(runs), 3)
+        print(
+            f"# extra {name}: median {extra_timings[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total_sec",
@@ -133,6 +180,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "spreads": spreads,
+        "extra_queries": extra_timings,
+        "extra_n": extra_iters,
         "n": iters,
         "sf": sf,
     }

@@ -3538,15 +3538,21 @@ WHERE f.rn = f.n
 #: of this dict: the first 50 entries are all DuckDB-oracle-able and
 #: span every SURVEY.md §2 family (reference pipeline, TPC-H,
 #: aggregation + profiling, quality expectations, window, set op,
-#: date/time, time-series, JSON, join variants incl. fuzzy,
-#: pandas UDF/UDAF/UDTF, dedup incl. the planted simhash form and
-#: corpus line-dedup, near-dup clustering, similarity/ANN incl. the
-#: planted IVF form, weighted sampling, sketches, text, curation,
-#: negative sampling, PCA, sequence analytics, MERGE, streaming,
-#: multimodal). Same-family variants sit past position 50 (still
+#: date/time, time-series incl. rolling/EWMA features, JSON, join
+#: variants incl. fuzzy, pandas UDF/UDAF/UDTF, dedup incl. the
+#: planted simhash form, corpus line-dedup and SemDeDup, near-dup
+#: clustering, similarity/ANN incl. the planted IVF form, weighted
+#: sampling, sketches incl. exact heavy hitters, text incl. the
+#: corpus-trained bigram LM, curation, negative sampling, PCA,
+#: sequence analytics incl. batch sessionization, MERGE + CDC apply +
+#: incremental rollup, streaming, multimodal). Same-family variants
+#: sit past position 50 (still
 #: judge-checked via diffcheck + pytest): pivot/percentiles/array_agg
-#: next to rollup+histogram+corr_matrix, interval_join/radius_join
-#: next to range/asof/fuzzy+geo_nearest, ann_lsh_topk next to
+#: next to rollup+histogram+corr_matrix, semi/range/interval/radius
+#: joins next to asof/fuzzy+geo_nearest, q6/q10/q3 next to q1/q5,
+#: hash_split next to the curation chain, date_parts/date_trunc next
+#: to the time-series family, ab_test next to funnel/cohort/
+#: sessionize, ann_lsh_topk next to
 #: ann_ivf_topk, stratified_sample next to the weighted samples,
 #: chunk_documents next to pack_sequences. Only
 #: simhash_neardup_organic is rows-only
@@ -3570,8 +3576,6 @@ QUERIES: dict[str, QueryFn] = {
     "ref_pipeline": q_ref_pipeline,
     "filter_range_in_rlike": q_filter_range_in_rlike,
     "q1_pricing_summary": q1_pricing_summary,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q10_returned_items": q10_returned_items,
     "q5_star_join": q5_star_join,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
@@ -3580,21 +3584,20 @@ QUERIES: dict[str, QueryFn] = {
     "robust_zscore": q_robust_zscore,
     # -- sketches / sampling ----------------------------------------------
     "sketch_profile": q_sketch_profile,
+    "heavy_hitters": q_heavy_hitters,
     "weighted_sample_by_lang": q_weighted_sample_by_lang,
     # -- data-quality expectations ---------------------------------------
     "expectations": q_expectations,
     # -- window / set ops / date -----------------------------------------
     "window_topk": q_window_topk,
     "union_by_name": q_union_by_name,
-    "date_parts": q_date_parts,
     # -- time-series ------------------------------------------------------
     "resample_ffill": q_resample_ffill,
     "scd2": q_scd2,
+    "rolling_features": q_rolling_features,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
-    "semi_join": q_semi_join,
-    "range_join": q_range_join,
     "asof_join": q_asof_join,
     "fuzzy_join": q_fuzzy_join,
     # -- pandas UDF / UDAF / grouped-map / UDTF --------------------------
@@ -3608,6 +3611,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup": q_simhash_neardup,
     "dedup_lines": q_dedup_lines,
     "neardup_clusters": q_neardup_clusters,
+    "semdedup": q_semdedup,
     # -- similarity / ANN (planted forms are deterministically exact) ----
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3617,17 +3621,19 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     # -- corpus curation --------------------------------------------------
     "decontaminate": q_decontaminate,
-    "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
     "tfidf": q_tfidf,
+    "bigram_lm": q_bigram_lm,
     "negative_samples": q_negative_samples,
     "curate_corpus": q_curate_corpus,
     # -- sequence analytics ----------------------------------------------
+    "sessionize": q_sessionize,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
-    "ab_test": q_ab_test,
     # -- MERGE ------------------------------------------------------------
     "merge_upsert": q_merge_upsert,
+    "cdc_apply": q_cdc_apply,
+    "incremental_rollup": q_incremental_rollup,
     # -- streaming --------------------------------------------------------
     "tumbling_window": q_tumbling_window,
     "stateful_running_totals": q_stateful_running_totals,
@@ -3635,6 +3641,13 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     # ==== position 51+: same-family variants + rows-only queries ========
     "grouping_sets": q_grouping_sets,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "semi_join": q_semi_join,
+    "range_join": q_range_join,
+    "hash_split": q_hash_split,
+    "date_parts": q_date_parts,
+    "ab_test": q_ab_test,
     "pivot": q_pivot,
     "percentiles": q_percentiles,
     "array_agg": q_array_agg,
@@ -3683,13 +3696,6 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_prune_join": q_bloom_prune_join,
     "quantize_embeddings": q_quantize_embeddings,
     "skew_profile": q_skew_profile,
-    "sessionize": q_sessionize,
-    "cdc_apply": q_cdc_apply,
-    "incremental_rollup": q_incremental_rollup,
-    "heavy_hitters": q_heavy_hitters,
-    "semdedup": q_semdedup,
-    "bigram_lm": q_bigram_lm,
-    "rolling_features": q_rolling_features,
 }
 
 ORACLES: dict[str, str] = {
