@@ -106,6 +106,7 @@ EXTRA = [
     "skew_profile",
     "sessionize",
     "cdc_apply",
+    "snapshot_diff",
     "incremental_rollup",
     "heavy_hitters",
     "semdedup",

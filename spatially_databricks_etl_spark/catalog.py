@@ -3502,6 +3502,64 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots of orders (old drops keys
+    %10==0, new drops keys %13==0 and bumps price for %7==0) into an
+    I/U/D changelog — the inverse of cdc_apply, for pipelines that
+    only receive full snapshots."""
+    from spatially_databricks_etl_spark.operators.relational import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 10 != 0)
+    new = base.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, key_cols=["o_orderkey"])
+    return diff.select(
+        "op",
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 13 <> 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_orderstatus AS old_status, o.o_totalprice AS old_price,
+         n.o_orderstatus AS new_status, n.o_totalprice AS new_price
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN NOT in_old THEN 'I'
+            WHEN NOT in_new THEN 'D'
+            ELSE 'U' END AS op,
+       k AS o_orderkey,
+       CASE WHEN in_new THEN new_status ELSE old_status END AS o_orderstatus,
+       round(CASE WHEN in_new THEN new_price ELSE old_price END, 2) AS o_totalprice
+FROM j
+WHERE NOT in_old OR NOT in_new
+   OR new_status IS DISTINCT FROM old_status
+   OR new_price IS DISTINCT FROM old_price
+"""
+
+
 SQL_ROLLING_FEATURES = """
 WITH feats AS (
   SELECT user_id, value,
@@ -3608,7 +3666,6 @@ QUERIES: dict[str, QueryFn] = {
     # -- dedup family -----------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
     "dedup_lines": q_dedup_lines,
     "neardup_clusters": q_neardup_clusters,
     "semdedup": q_semdedup,
@@ -3633,6 +3690,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- MERGE ------------------------------------------------------------
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
+    "snapshot_diff": q_snapshot_diff,
     "incremental_rollup": q_incremental_rollup,
     # -- streaming --------------------------------------------------------
     "tumbling_window": q_tumbling_window,
@@ -3690,6 +3748,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_window": q_session_window,
     "stream_dedup_keys": q_stream_dedup_keys,
     "embedding_neardup": q_embedding_neardup,
+    "simhash_neardup": q_simhash_neardup,
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
@@ -3799,6 +3858,7 @@ ORACLES: dict[str, str] = {
     "skew_profile": SQL_SKEW_PROFILE,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "semdedup": SQL_SEMDEDUP,

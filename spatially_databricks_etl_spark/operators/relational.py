@@ -726,3 +726,66 @@ def ewma(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col(value_col) * F.col("__w")).alias("ewma"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two table snapshots into a changelog — the inverse of
+    :func:`cdc_apply`: emits one row per inserted ('I'), updated
+    ('U') or deleted ('D') key, carrying the NEW payload for I/U and
+    the OLD payload for D; unchanged keys produce nothing. Applying
+    the result to ``old`` reproduces ``new`` exactly (property-tested
+    round trip). This is how a pipeline without a transactional sink
+    derives an incremental feed from full daily snapshots.
+
+    ``compare_cols`` defaults to every non-key column shared by both
+    sides; comparison is null-safe (NULL == NULL is unchanged).
+
+    Scale shape: ONE full-outer sort-merge join hashed on the key —
+    the unavoidable shuffle for an unsorted snapshot pair, and
+    exactly zero Exchange when both snapshots are written
+    ``write_bucketed`` on the key (sinks/layout.py), which is the
+    intended pairing for repeated daily diffs at 100 TB.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in new.columns if c in set(old.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    cols = keys + list(compare_cols)
+    # Prefix-rename each side before joining: the two snapshots often
+    # share lineage (same base scan), and attribute references into a
+    # self-join are ambiguous — distinct names never are. Presence is
+    # tracked with explicit flags (not key nullness), so NULL key
+    # values — matched null-safely — still classify correctly.
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(True).alias("__in_new")
+    )
+    cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    out_cols = [op.alias(op_col)]
+    for k in keys:
+        out_cols.append(F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k))
+    for c in compare_cols:
+        out_cols.append(
+            F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        )
+    return j.filter(~in_old | ~in_new | changed).select(*out_cols)

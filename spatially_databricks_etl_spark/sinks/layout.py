@@ -156,3 +156,50 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_mb: int = 128,
+    sort_cols: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> int:
+    """Compact a small-file directory into ~``target_mb`` output files
+    (returns the file count written). The small-file problem is the
+    classic slow killer of streaming/incremental sinks: a micro-batch
+    or per-partition append leaves thousands of KB-sized files, and
+    every later scan pays a task + footer read per file. Compaction is
+    one read → repartition → write; with ``sort_cols`` the rewrite
+    also restores range-clustering (pairs with ``write_range_sorted``
+    min/max skipping).
+
+    Sizing uses the source's actual on-disk bytes via the Hadoop
+    FileSystem API, so it works on any supported filesystem, not just
+    local paths. Writes to a NEW directory — atomic swap/rename is the
+    caller's (or the table format's) job; an in-place overwrite that
+    dies mid-write loses data, so this API refuses to model it.
+
+    At 100 TB this runs per-partition (compact yesterday's partition
+    after the last append), not whole-table; the operator is
+    deliberately path-scoped for that reason.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    size_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-int(size_bytes) // (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.format(fmt).mode("error").save(dest_path)
+    return n_files

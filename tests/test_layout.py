@@ -149,3 +149,42 @@ def test_write_bucketed_validates_params(spark):
         write_bucketed(df, "t", bucket_cols=["id"], num_buckets=0)
     with _pytest.raises(ValueError, match="bucket_cols"):
         write_bucketed(df, "t", bucket_cols=[], num_buckets=4)
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from spatially_databricks_etl_spark.sinks.layout import compact_files
+
+    src = str(tmp_path / "small_files")
+    dest = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    n = compact_files(spark, src, dest, target_mb=128, sort_cols=["l_orderkey"])
+    out_files = glob.glob(f"{dest}/part-*")
+    assert len(out_files) == n <= 4
+    before = spark.read.parquet(src).groupBy().agg(
+        F.count("*").alias("c"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    after = spark.read.parquet(dest).groupBy().agg(
+        F.count("*").alias("c"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    assert (before.c, round(before.s, 6)) == (after.c, round(after.s, 6))
+
+
+def test_compact_files_refuses_overwrite_and_bad_target(spark, tmp_path):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.sinks.layout import compact_files
+
+    src = str(tmp_path / "src2")
+    spark.range(10).write.parquet(src)
+    with _pytest.raises(ValueError, match="target_mb"):
+        compact_files(spark, src, str(tmp_path / "d"), target_mb=0)
+    dest = str(tmp_path / "dest2")
+    compact_files(spark, src, dest)
+    with _pytest.raises(Exception):
+        compact_files(spark, src, dest)  # mode("error"): no silent clobber

@@ -777,3 +777,51 @@ def test_bigram_lm_score_tiny_corpus_closed_form(spark):
     exp2 = math.log(p_ab)
     assert out[1][0] == 3 and abs(out[1][1] - exp1) < 1e-12
     assert out[2][0] == 1 and abs(out[2][1] - exp2) < 1e-12
+
+
+def test_snapshot_diff_roundtrip_reproduces_new(spark):
+    """cdc_apply(old-as-baseline + snapshot_diff changelog) == new:
+    the diff and the apply are exact inverses, including null keys and
+    null-valued payload transitions."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),   # null payload -> value appears: U
+            (3, "c", 30.0),   # vanishes: D
+            (None, "x", 1.0), # null key, unchanged: no diff row
+            (5, "e", 50.0),   # unchanged
+        ],
+        "k: bigint, s: string, v: double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11.0),   # U
+            (2, "b", 2.5),    # U (null -> value)
+            (4, "d", 40.0),   # I
+            (None, "x", 1.0),
+            (5, "e", 50.0),
+        ],
+        "k: bigint, s: string, v: double",
+    )
+    diff = snapshot_diff(old, new, key_cols=["k"])
+    got_ops = {(r.k, r.op) for r in diff.collect()}
+    assert got_ops == {(1, "U"), (2, "U"), (3, "D"), (4, "I")}
+
+    # replay: baseline rows get seq 0 op I, diff rows seq 1
+    baseline = old.select(
+        F.col("k"), F.lit(0).alias("seq"), F.lit("I").alias("op"), "s", "v"
+    )
+    log = baseline.unionByName(
+        diff.select("k", F.lit(1).alias("seq"), "op", "s", "v")
+    )
+    replayed = cdc_apply(log, key_cols=["k"], seq_col="seq", op_col="op").select(
+        "k", "s", "v"
+    )
+    norm = lambda df: sorted(((r.k, r.s, r.v) for r in df.collect()),
+                             key=lambda t: (t[0] is None, t[0]))
+    assert norm(replayed) == norm(new)

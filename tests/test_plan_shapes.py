@@ -84,10 +84,17 @@ def test_no_catalog_query_plans_a_smell(spark):
     corpus scan by design; expectations and skew_profile join a
     single-row global-totals frame; bloom_prune_join cross-joins the
     ONE-ROW bloom bitmap onto the fact scan (a constant append per
-    row, not a quadratic loop)."""
+    row, not a quadratic loop); bigram_lm cross-joins its ONE-ROW
+    vocabulary-size aggregate onto the scored frame."""
     from spatially_databricks_etl_spark.catalog import QUERIES
 
-    BNLJ_OK = {"ann_brute_topk", "expectations", "bloom_prune_join", "skew_profile"}
+    BNLJ_OK = {
+        "ann_brute_topk",
+        "expectations",
+        "bloom_prune_join",
+        "skew_profile",
+        "bigram_lm",
+    }
     sf = "/root/testdata/sf0.001"
     offenders = []
     for name, fn in QUERIES.items():
