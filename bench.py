@@ -112,6 +112,7 @@ EXTRA = [
     "semdedup",
     "bigram_lm",
     "rolling_features",
+    "pagerank",
 ]
 
 

@@ -3502,6 +3502,61 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (d=0.85, 5 iterations) over a
+    deterministic directed graph derived from orders (customer-bucket
+    → order-bucket edges). The oracle replays the SAME five
+    synchronous updates as unrolled SQL — real value verification of
+    an iterative distributed algorithm, not a rows-only check."""
+    from spatially_databricks_etl_spark.operators.curate import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("o_orderkey") % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(e, damping=0.85, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled-iteration PageRank oracle (recursive CTEs can't
+    aggregate over the recursive term in standard SQL, so the fixed
+    iteration count is expanded textually)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+  FROM orders WHERE o_custkey % 50 <> o_orderkey % 50
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+p AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+r{i} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM p)
+           + 0.85 * coalesce(sum(r{i - 1}.rank / ed.d), 0) AS rank
+  FROM nodes
+  LEFT JOIN ed ON ed.dst = nodes.node
+  LEFT JOIN r{i - 1} ON r{i - 1}.node = ed.src
+  GROUP BY nodes.node
+)"""
+        )
+    return head + "".join(steps) + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+
+
+SQL_PAGERANK = _pagerank_oracle_sql(5)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two deterministic snapshots of orders (old drops keys
     %10==0, new drops keys %13==0 and bumps price for %7==0) into an
@@ -3755,6 +3810,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_prune_join": q_bloom_prune_join,
     "quantize_embeddings": q_quantize_embeddings,
     "skew_profile": q_skew_profile,
+    "pagerank": q_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -3856,6 +3912,7 @@ ORACLES: dict[str, str] = {
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "skew_profile": SQL_SKEW_PROFILE,
+    "pagerank": SQL_PAGERANK,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

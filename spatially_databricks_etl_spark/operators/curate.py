@@ -658,3 +658,70 @@ def bigram_lm_score(
     from spatially_databricks_etl_spark.caching import register_persists
 
     return register_persists(out, [ex])
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Page et
+    al., 1999). Returns (node, rank) for every node appearing as a
+    source or destination after exactly ``iterations`` synchronous
+    updates of rank(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u),
+    from the uniform 1/N start. Dangling mass is dropped (the
+    plain-iteration variant), so ranks are comparable, not a
+    normalized distribution — deterministic and exactly replayable in
+    SQL, which is why the catalog query can be value-oracled instead
+    of rows-only (fixed iteration count, no convergence test).
+
+    Scale shape: out-degrees are computed once; each iteration is one
+    equi-join of the edge list with the (N-row) rank frame on the
+    source plus one groupBy(dst) — the rank frame is orders of
+    magnitude smaller than the edges and broadcasts when it fits.
+    ``localCheckpoint`` truncates lineage each iteration (same
+    contract as ``connected_components``; use reliable ``checkpoint``
+    on a cluster). Iterations are a fixed hyperparameter, so the whole
+    job count is known up front; convergence-tested variants belong on
+    top of this kernel via an Observation on the rank delta.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree rides with the edge list so the per-iteration join touches
+    # only (edges ⋈ ranks); at scale this is the frame you'd persist
+    ed = e.join(out_deg, on="src").localCheckpoint(eager=True)
+    base = F.lit((1.0 - damping) / n_nodes)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -416,3 +416,35 @@ def test_profiling_ops_reject_empty_input(spark):
     ):
         with pytest.raises(ValueError, match=pat):
             op()
+
+
+def test_pagerank_ring_is_uniform_and_star_orders_correctly(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.curate import pagerank
+
+    # Directed ring: every node has in/out degree 1 -> uniform 1/N is
+    # the exact fixed point, reached identically at ANY iteration count.
+    n = 8
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src: bigint, dst: bigint"
+    )
+    got = {r.node: r.rank for r in pagerank(ring, iterations=3).collect()}
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in got.values()), got
+
+    # Star with a hub->1 back edge: the hub aggregates all leaf mass
+    # and forwards it whole to node 1, so 0 and 1 sit strictly above
+    # the source-only leaves 2..5, which tie exactly by symmetry.
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src: bigint, dst: bigint"
+    )
+    ranks = {r.node: r.rank for r in pagerank(star, iterations=10).collect()}
+    leaf_vals = {round(v, 12) for k, v in ranks.items() if k not in (0, 1)}
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+    leaf = next(iter(leaf_vals))
+    assert ranks[0] > leaf and ranks[1] > leaf, ranks
+
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(ring, damping=1.5)
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(ring, iterations=0)
