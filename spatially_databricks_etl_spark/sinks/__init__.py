@@ -1,7 +1,21 @@
+from spatially_databricks_etl_spark.sinks.layout import (
+    compact_files,
+    write_bucketed,
+    write_range_sorted,
+    write_zordered,
+)
 from spatially_databricks_etl_spark.sinks.writers import (
     ctas,
     save_as_table,
     write_parquet,
 )
 
-__all__ = ["ctas", "save_as_table", "write_parquet"]
+__all__ = [
+    "compact_files",
+    "ctas",
+    "save_as_table",
+    "write_bucketed",
+    "write_parquet",
+    "write_range_sorted",
+    "write_zordered",
+]
