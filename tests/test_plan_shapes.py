@@ -106,3 +106,34 @@ def test_no_catalog_query_plans_a_smell(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_round5_operators_keep_their_shuffle_budget(spark):
+    """Shuffle-count pins for the round-5 relational operators: the
+    windowed operators must share ONE hash Exchange across their
+    change-detect + numbering/aggregation stages; snapshot_diff pays
+    exactly one Exchange per snapshot side; heavy_hitters' second pass
+    must semi-join against BROADCAST candidates (never shuffling the
+    fact side by key)."""
+    import re
+
+    from spatially_databricks_etl_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def counts(name):
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(re.findall(r"Exchange hashpartitioning", plan)),
+            "BroadcastHashJoin" in plan,
+            "SortMergeJoin" in plan,
+        )
+
+    assert counts("sessionize") == (1, False, False)
+    assert counts("cdc_apply") == (1, False, False)
+    ex, bhj, smj = counts("snapshot_diff")
+    assert ex == 2 and smj  # one Exchange per snapshot side, full-outer SMJ
+    ex, bhj, _ = counts("heavy_hitters")
+    assert ex <= 1 and bhj  # map-only pass 1; pass 2 broadcasts candidates
+    ex, _, _ = counts("incremental_rollup")
+    assert ex <= 2  # one partial-agg Exchange per branch; merge reuses them
