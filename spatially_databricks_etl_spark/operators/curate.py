@@ -516,6 +516,23 @@ def connected_components(
     sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
+    # Size the ITERATION parallelism to the graph, not the session:
+    # near-dup graphs are typically orders of magnitude smaller than
+    # the corpus (256 pairs at sf0.1), and paying 32 shuffle tasks + a
+    # 32-partition checkpoint per iteration on a tiny frame turns a
+    # 50 ms step into ~0.7 s of pure scheduling overhead. ~200k edges
+    # per partition keeps big graphs wide while collapsing small ones
+    # to single-task iterations. The count is free (sym is already
+    # materialized by the checkpoint).
+    n_edges = sym.count()
+    parts = max(
+        1,
+        min(
+            sym.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 200_000 + 1,
+        ),
+    )
+    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -542,6 +559,7 @@ def connected_components(
                 ).alias("changed"),
             )
             .drop("__improved")
+            .repartition(parts, "id")
             .localCheckpoint(eager=True)
         )
         labels = new_labels
@@ -694,17 +712,30 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.localCheckpoint(eager=True)
+    # Iteration parallelism sized to the graph (same rationale as
+    # connected_components): per-iteration shuffles and checkpoints on
+    # a session-default 32 partitions are pure scheduling overhead
+    # when the edge list is small.
+    n_edges = e.count()
+    parts = max(
+        1,
+        min(
+            e.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 200_000 + 1,
+        ),
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # degree rides with the edge list so the per-iteration join touches
     # only (edges ⋈ ranks); at scale this is the frame you'd persist
-    ed = e.join(out_deg, on="src").localCheckpoint(eager=True)
+    ed = e.join(out_deg, on="src").repartition(parts, "src").localCheckpoint(eager=True)
     base = F.lit((1.0 - damping) / n_nodes)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
@@ -722,6 +753,7 @@ def pagerank(
                     "rank"
                 ),
             )
+            .repartition(parts, "node")
             .localCheckpoint(eager=True)
         )
     return ranks

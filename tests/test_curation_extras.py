@@ -448,3 +448,37 @@ def test_pagerank_ring_is_uniform_and_star_orders_correctly(spark):
         pagerank(ring, damping=1.5)
     with _pytest.raises(ValueError, match="iterations"):
         pagerank(ring, iterations=0)
+
+
+def test_exact_quantile_kernels_match_percentile(spark):
+    """Both exact-quantile kernels (counts-histogram, distributed
+    selection) must reproduce F.percentile / quantile_cont bit-for-bit
+    across interior, boundary, and tied-value cases."""
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.profile import (
+        exact_quantile_from_counts,
+        exact_quantile_select,
+    )
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        ref = li.agg(F.percentile(F.col("l_extendedprice"), F.lit(q))).first()[0]
+        assert abs(exact_quantile_select(li, "l_extendedprice", q) - ref) < 1e-9
+        assert abs(exact_quantile_from_counts(li, "l_extendedprice", q) - ref) < 1e-9
+
+    # heavy ties + nulls
+    tied = spark.createDataFrame(
+        [(v,) for v in [1.0] * 5 + [2.0] * 3 + [9.0] + [None]], "v: double"
+    )
+    for q in (0.1, 0.5, 0.875):
+        ref = tied.agg(F.percentile(F.col("v"), F.lit(q))).first()[0]
+        assert abs(exact_quantile_select(tied, "v", q) - ref) < 1e-12
+        assert abs(exact_quantile_from_counts(tied, "v", q) - ref) < 1e-12
+
+    empty = spark.createDataFrame([], "v: double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        exact_quantile_select(empty, "v", 0.5)
+    with _pytest.raises(ValueError, match="q must be"):
+        exact_quantile_select(tied, "v", 1.5)
