@@ -113,6 +113,8 @@ EXTRA = [
     "bigram_lm",
     "rolling_features",
     "pagerank",
+    "histogram_equiheight",
+    "feature_hash",
 ]
 
 

@@ -3502,6 +3502,65 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height (quantile) binning of l_extendedprice into 8
+    buckets. The cutpoints come from the distributed-selection exact
+    quantile kernel, so DuckDB's quantile_cont reproduces them and the
+    whole bucket assignment value-checks."""
+    from spatially_databricks_etl_spark.operators.profile import histogram_equiheight
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_equiheight(li, "l_extendedprice", bins=8)
+
+
+def _equiheight_oracle_sql(bins: int) -> str:
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    terms = "\n         + ".join(
+        f"CAST(l_extendedprice >= cs[{i}] AS INT)" for i in range(1, bins)
+    )
+    return f"""
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice, [{qs}]) AS cs FROM lineitem
+)
+SELECT CAST({terms} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem, cuts
+GROUP BY bucket
+"""
+
+
+SQL_HISTOGRAM_EQUIHEIGHT = _equiheight_oracle_sql(8)
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of (event_type, user_id) into 64
+    dimensions; output is the per-index collision histogram, which
+    pins every md5-derived index assignment."""
+    from spatially_databricks_etl_spark.operators.curate import feature_hash
+
+    ev = _t(spark, sf_dir, "events")
+    hashed = feature_hash(ev, cols=["event_type", "user_id"], dims=64)
+    return (
+        hashed.select(F.explode("feature_idx").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_FEATURE_HASH = """
+WITH f AS (
+  SELECT CAST(concat('0x', substr(md5('event_type=' || event_type), 1, 13)) AS BIGINT)
+           % 64 AS i1,
+         CAST(concat('0x', substr(md5('user_id=' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           % 64 AS i2
+  FROM events
+)
+SELECT idx, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT i1 AS idx FROM f UNION ALL SELECT i2 FROM f)
+GROUP BY idx
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 5 iterations) over a
     deterministic directed graph derived from orders (customer-bucket
@@ -3811,6 +3870,8 @@ QUERIES: dict[str, QueryFn] = {
     "quantize_embeddings": q_quantize_embeddings,
     "skew_profile": q_skew_profile,
     "pagerank": q_pagerank,
+    "histogram_equiheight": q_histogram_equiheight,
+    "feature_hash": q_feature_hash,
 }
 
 ORACLES: dict[str, str] = {
@@ -3913,6 +3974,8 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "skew_profile": SQL_SKEW_PROFILE,
     "pagerank": SQL_PAGERANK,
+    "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
+    "feature_hash": SQL_FEATURE_HASH,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

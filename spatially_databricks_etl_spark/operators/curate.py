@@ -757,3 +757,44 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def feature_hash(
+    df: DataFrame,
+    *,
+    cols: list[str],
+    dims: int = 1024,
+    out_col: str = "feature_idx",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): each
+    (column, value) pair maps to a stable index in [0, dims) by
+    hashing ``"col=value"`` — no vocabulary scan, no fitted state, no
+    dictionary to ship, and unseen categories at serving time land in
+    the same space. Appends an array column of one index per input
+    column (null values yield a null slot — filter or impute
+    upstream).
+
+    md5 (not xxhash64) so the index assignment reproduces bit-for-bit
+    on any engine — same determinism contract as ``hash_split`` and
+    the A-Res samplers; 13 hex chars = 52 bits, exact in a double and
+    far beyond any real ``dims``. Pure projection: no shuffle, no UDF,
+    codegen end to end.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    idx = [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{c}="), F.col(c).cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(dims),
+        ).cast("long")
+        for c in cols
+    ]
+    return df.withColumn(out_col, F.array(*idx))

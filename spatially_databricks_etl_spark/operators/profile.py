@@ -362,8 +362,21 @@ def exact_quantile_select(df: DataFrame, col: str, q: float) -> float:
     ``monotonically_increasing_id``'s documented layout (partition id
     in the high bits, per-partition record number in the low 33).
     """
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
+    return exact_quantiles_select(df, col, [q])[0]
+
+
+def exact_quantiles_select(df: DataFrame, col: str, qs: list[float]) -> list[float]:
+    """Multi-quantile form of :func:`exact_quantile_select`: ALL
+    requested quantiles share one range-partitioned sort and one
+    per-partition size count; the bracketing ranks for every q are
+    fetched in a single lookup job. Cost is therefore ~independent of
+    ``len(qs)`` — the shape an equi-height binner needs.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+    if not qs:
+        return []
     vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -387,8 +400,6 @@ def exact_quantile_select(df: DataFrame, col: str, q: float) -> float:
         n = sum(sizes.values())
         if n == 0:
             raise ValueError(f"exact_quantile_select: no non-null values in {col!r}")
-        h = (n - 1) * q
-        lo_rank, hi_rank = int(h // 1), int(-(-h // 1))  # 0-based global ranks
 
         def locate(rank: int):
             off = 0
@@ -398,13 +409,70 @@ def exact_quantile_select(df: DataFrame, col: str, q: float) -> float:
                 off += sizes[p]
             raise AssertionError("rank out of range")
 
-        (p_lo, i_lo), (p_hi, i_hi) = locate(lo_rank), locate(hi_rank)
-        rows = s.where(
-            ((F.col("__p") == p_lo) & (F.col("__i") == i_lo))
-            | ((F.col("__p") == p_hi) & (F.col("__i") == i_hi))
-        ).collect()
-        by_key = {(r["__p"], r["__i"]): float(r["__v"]) for r in rows}
-        lo_val, hi_val = by_key[(p_lo, i_lo)], by_key[(p_hi, i_hi)]
-        return lo_val + (h - lo_rank) * (hi_val - lo_val)
+        wanted: dict[tuple[int, int], float] = {}
+        brackets = []
+        for q in qs:
+            h = (n - 1) * q
+            lo_rank, hi_rank = int(h // 1), int(-(-h // 1))  # 0-based global ranks
+            lo_key, hi_key = locate(lo_rank), locate(hi_rank)
+            wanted[lo_key] = wanted[hi_key] = None
+            brackets.append((h, lo_rank, lo_key, hi_key))
+        cond = None
+        for p, i in wanted:
+            c = (F.col("__p") == p) & (F.col("__i") == i)
+            cond = c if cond is None else (cond | c)
+        for r in s.where(cond).collect():
+            key = (r["__p"], r["__i"])
+            if key in wanted:
+                wanted[key] = float(r["__v"])
+        out = []
+        for h, lo_rank, lo_key, hi_key in brackets:
+            lo_val, hi_val = wanted[lo_key], wanted[hi_key]
+            out.append(lo_val + (h - lo_rank) * (hi_val - lo_val))
+        return out
     finally:
         s.unpersist()
+
+
+def histogram_equiheight(
+    df: DataFrame, col: str, *, bins: int = 4, exact: bool = True
+) -> DataFrame:
+    """Equal-HEIGHT histogram (quantile binning): cut the column at
+    its i/bins quantiles so each bucket holds ~the same row count —
+    the feature-discretization / data-drift binning that equal-width
+    histograms can't provide on skewed columns. Bucket rule: bucket =
+    number of cutpoints <= x (ties go right), so bucket 0 is
+    (-inf, c1) and bucket bins-1 is [c_{bins-1}, +inf).
+
+    ``exact=True`` computes cutpoints via
+    :func:`exact_quantiles_select` (one shared sort for all of them,
+    ``quantile_cont`` parity — what makes the catalog query
+    value-oracle-able); ``exact=False`` uses ``percentile_approx``
+    for the one-pass sketch path at extreme scale. Counting is one
+    map-side-combined aggregation over ``bins`` keys.
+
+    Returns (bucket, n) for non-empty buckets; near-constant columns
+    may produce fewer than ``bins`` distinct buckets (duplicate
+    cutpoints collapse).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qs = [i / bins for i in range(1, bins)]
+    if exact:
+        cuts = exact_quantiles_select(df, col, qs)
+    else:
+        row = df.agg(
+            F.percentile_approx(F.col(col), F.array(*[F.lit(q) for q in qs])).alias("q")
+        ).first()
+        if row["q"] is None:
+            raise ValueError(f"histogram_equiheight: no non-null values in {col!r}")
+        cuts = [float(v) for v in row["q"]]
+    c = F.col(col)
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + (c >= F.lit(cut)).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -482,3 +482,49 @@ def test_exact_quantile_kernels_match_percentile(spark):
         exact_quantile_select(empty, "v", 0.5)
     with _pytest.raises(ValueError, match="q must be"):
         exact_quantile_select(tied, "v", 1.5)
+
+
+def test_histogram_equiheight_balanced_and_tied(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.profile import histogram_equiheight
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    got = {r.bucket: r.n for r in histogram_equiheight(df, "v", bins=4).collect()}
+    # uniform data -> each quartile bucket holds ~250 rows
+    assert set(got) == {0, 1, 2, 3}
+    assert all(240 <= n <= 260 for n in got.values()), got
+    assert sum(got.values()) == 1000
+
+    # constant column: all cutpoints equal -> everything lands in the
+    # top bucket (ties go right), nothing is lost
+    const = spark.createDataFrame([(5.0,)] * 10, "v: double")
+    got_c = {r.bucket: r.n for r in histogram_equiheight(const, "v", bins=4).collect()}
+    assert got_c == {3: 10}
+
+    with _pytest.raises(ValueError, match="bins"):
+        histogram_equiheight(df, "v", bins=1)
+
+
+def test_feature_hash_stability_and_range(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.curate import feature_hash
+
+    df = spark.createDataFrame(
+        [("click", 7), ("view", 8), ("click", None)], "et: string, uid: int"
+    )
+    out = feature_hash(df, cols=["et", "uid"], dims=32).collect()
+    for r in out:
+        assert len(r.feature_idx) == 2
+        for v in r.feature_idx:
+            assert v is None or 0 <= v < 32
+    # same value -> same index, across rows and calls
+    again = feature_hash(df, cols=["et", "uid"], dims=32).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    click_idx = {r.feature_idx[0] for r in out if r.et == "click"}
+    assert len(click_idx) == 1
+    # null value -> null slot, not a phantom feature
+    assert [r.feature_idx[1] for r in out if r.uid is None] == [None]
+    with _pytest.raises(ValueError, match="dims"):
+        feature_hash(df, cols=["et"], dims=0)
