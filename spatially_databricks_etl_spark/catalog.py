@@ -3502,6 +3502,92 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having at least
+    one line shipped after the order date — correlated EXISTS with a
+    non-equi predicate, planned as a LEFT SEMI join (fixture lacks
+    commit/receipt dates; shipdate > orderdate keeps the shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"]
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation
+    over the lineitem/part join, one scalar row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO urgent
+    orders, per market segment — scalar-subquery threshold + filtered
+    NOT EXISTS (anti join). The anti-join build side is filtered so
+    the result is non-empty at every fixture scale (strong oracle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_Q22 = """
+WITH t AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c, t
+WHERE c.c_acctbal > t.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -3815,6 +3901,9 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q22_dormant_balances": q22_dormant_balances,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -3976,6 +4065,9 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
     "feature_hash": SQL_FEATURE_HASH,
+    "q4_order_priority": SQL_Q4,
+    "q14_promo_revenue": SQL_Q14,
+    "q22_dormant_balances": SQL_Q22,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
