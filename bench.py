@@ -115,6 +115,7 @@ EXTRA = [
     "pagerank",
     "histogram_equiheight",
     "feature_hash",
+    "column_profile",
 ]
 
 

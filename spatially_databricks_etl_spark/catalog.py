@@ -3502,6 +3502,32 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass whole-table profile of documents: per-column row /
+    distinct / null counts from a single multi-aggregate scan."""
+    from spatially_databricks_etl_spark.operators.profile import column_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return column_profile(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _column_profile_oracle_sql(cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_COLUMN_PROFILE = _column_profile_oracle_sql(
+    ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: per-priority count of orders having at least
     one line shipped after the order date — correlated EXISTS with a
@@ -3961,6 +3987,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank": q_pagerank,
     "histogram_equiheight": q_histogram_equiheight,
     "feature_hash": q_feature_hash,
+    "column_profile": q_column_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -4068,6 +4095,7 @@ ORACLES: dict[str, str] = {
     "q4_order_priority": SQL_Q4,
     "q14_promo_revenue": SQL_Q14,
     "q22_dormant_balances": SQL_Q22,
+    "column_profile": SQL_COLUMN_PROFILE,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

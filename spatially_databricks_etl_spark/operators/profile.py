@@ -476,3 +476,48 @@ def histogram_equiheight(
         .groupBy(bucket.cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Whole-table column profile in ONE aggregation job: for every
+    requested column, (n_rows, n_distinct, n_nulls, null_frac) — the
+    first pass any ingest/quality pipeline runs over a new table.
+
+    All metrics for all columns are computed in a single ``agg`` (one
+    scan; Spark plans the multi-distinct via Expand, multiplying rows
+    by the distinct-column count map-side — at extreme widths, batch
+    the columns or swap ``countDistinct`` for
+    ``approx_count_distinct``). The one-row result is unpivoted to a
+    (column, metrics) row per column with an inline struct explode —
+    nothing but the profile ever reaches the driver.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("column_profile: no columns requested")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__z_{c}"))
+    one = df.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").cast("long").alias("n_rows"),
+                        F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"__z_{c}").cast("long").alias("n_nulls"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select(
+        "p.column",
+        "p.n_rows",
+        "p.n_distinct",
+        "p.n_nulls",
+        F.round(F.col("p.n_nulls") / F.col("p.n_rows"), 6).alias("null_frac"),
+    )

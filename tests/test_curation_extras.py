@@ -528,3 +528,21 @@ def test_feature_hash_stability_and_range(spark):
     assert [r.feature_idx[1] for r in out if r.uid is None] == [None]
     with _pytest.raises(ValueError, match="dims"):
         feature_hash(df, cols=["et"], dims=0)
+
+
+def test_column_profile_single_pass_counts(spark):
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 5.0), (3, "b", None)],
+        "k: bigint, s: string, v: double",
+    )
+    got = {r.column: (r.n_rows, r.n_distinct, r.n_nulls) for r in column_profile(df).collect()}
+    assert got == {"k": (4, 3, 0), "s": (4, 2, 1), "v": (4, 1, 2)}
+    with _pytest.raises(ValueError, match="no columns"):
+        column_profile(df, [])
+    # single aggregation job: exactly one scan node in the plan
+    plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
