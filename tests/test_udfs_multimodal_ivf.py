@@ -372,3 +372,34 @@ def test_quantize_int8_zero_vector(spark):
     row = quantize_int8(df).collect()[0]
     assert row["scale"] == 0.0
     assert row["q"] == [0, 0, 0]
+
+
+def test_ivf_over_int8_quantized_corpus_keeps_recall(spark):
+    """The 100 TB footprint play END TO END: quantize the corpus to
+    int8 (4-8x smaller scan/shuffle/index), dequantize, and run the
+    IVF build+search over the reconstruction — recall vs the
+    full-precision brute-force truth must hold a floor, and the
+    self-match must always survive quantization."""
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from spatially_databricks_etl_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    deq = (
+        dequantize_int8(quantize_int8(emb))
+        .select("vec_id", F.col("embedding_deq").alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = brute_force_topk(emb, queries, k=10)  # full-precision truth
+    cents = ivf_build(deq, n_centroids=16, kmeans_iters=1)
+    approx = ivf_topk(deq, queries, k=10, nprobe=4, centroids=cents)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert all((q, q) in a for q in range(5))
+    # same floor as the float IVF test: quantization must not be the
+    # thing that breaks retrieval
+    assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
