@@ -116,6 +116,7 @@ EXTRA = [
     "histogram_equiheight",
     "feature_hash",
     "column_profile",
+    "stream_cdc_state",
 ]
 
 

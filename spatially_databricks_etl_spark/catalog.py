@@ -3247,17 +3247,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose newest change is a delete vanish."""
     from spatially_databricks_etl_spark.operators.relational import cdc_apply
 
-    o = _t(spark, sf_dir, "orders")
-    log = o.select(
-        (F.col("o_orderkey") % 300).alias("entity_id"),
-        F.col("o_orderkey").alias("seq"),
-        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
-        .when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
-        .otherwise(F.lit("I"))
-        .alias("op"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("amount"),
-    )
+    log = _orders_changelog(spark, sf_dir)
     state = cdc_apply(log, key_cols=["entity_id"], seq_col="seq", op_col="op")
     return state.select(
         "entity_id",
@@ -3500,6 +3490,57 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roll_max",
         "roll_n",
     )
+
+
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic I/U/D changelog shared by cdc_apply and its
+    streaming twin (entity = o_orderkey % 300, order = o_orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_orderkey") % 300).alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+    )
+
+
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity contract of the applyInPandasWithState CDC state
+    operator: latest change per entity INCLUDING tombstones (op='D'
+    kept for sink-side deletes — the difference from cdc_apply). The
+    real-stream path, including out-of-order arrival, is exercised by
+    a readStream pytest."""
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        latest_state_stateful,
+    )
+
+    log = _orders_changelog(spark, sf_dir)
+    out = latest_state_stateful(log)
+    return out.select(
+        "entity_id", "last_seq", "op", "status", F.round("amount", 2).alias("amount")
+    )
+
+
+SQL_STREAM_CDC_STATE = """
+WITH log AS (
+  SELECT o_orderkey % 300 AS entity_id, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE 'I' END AS op,
+         o_orderstatus AS status, o_totalprice AS amount
+  FROM orders
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT entity_id, seq AS last_seq, op, status, round(amount, 2) AS amount
+FROM latest WHERE rn = 1
+"""
 
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3988,6 +4029,7 @@ QUERIES: dict[str, QueryFn] = {
     "histogram_equiheight": q_histogram_equiheight,
     "feature_hash": q_feature_hash,
     "column_profile": q_column_profile,
+    "stream_cdc_state": q_stream_cdc_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -4096,6 +4138,7 @@ ORACLES: dict[str, str] = {
     "q14_promo_revenue": SQL_Q14,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
+    "stream_cdc_state": SQL_STREAM_CDC_STATE,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

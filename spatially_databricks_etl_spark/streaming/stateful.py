@@ -211,3 +211,76 @@ def user_features_stateful(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+LATEST_STATE_OUTPUT = (
+    "entity_id bigint, last_seq bigint, op string, status string, amount double"
+)
+LATEST_STATE_STATE = "last_seq bigint, op string, status string, amount double"
+
+
+def _latest_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        row = pdf.loc[pdf["seq"].idxmax()]
+        if best is None or int(row["seq"]) > best[0]:
+            best = (int(row["seq"]), row["op"], row["status"], float(row["amount"]))
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "entity_id": [key[0]],
+                "last_seq": [best[0]],
+                "op": [best[1]],
+                "status": [best[2]],
+                "amount": [best[3]],
+            }
+        )
+
+
+def latest_state_stateful(changelog: DataFrame) -> DataFrame:
+    """Streaming CDC state: the newest change per entity (BY sequence
+    number, not arrival order) held as GroupState across micro-batches
+    and re-emitted whenever it advances — the streaming twin of
+    ``operators.relational.cdc_apply``, with tombstones KEPT (op='D'
+    rows are emitted so a downstream sink can delete; filter them for
+    snapshot semantics).
+
+    Batch input takes the window row_number path — a batch frame is
+    one micro-batch, so the final state equals latest-per-key (the
+    batch-parity contract the DuckDB oracle checks); streaming input
+    shuffles each micro-batch once to its state partition, state is
+    O(1) per live entity. Late/out-of-order changes are handled by the
+    seq comparison: a stale change never overwrites newer state —
+    which arrival-order solutions (dropDuplicates, last()) get wrong.
+    """
+    if not changelog.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("entity_id").orderBy(F.col("seq").desc())
+        return (
+            changelog.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "entity_id",
+                F.col("seq").alias("last_seq"),
+                "op",
+                "status",
+                "amount",
+            )
+        )
+    return (
+        changelog.select("entity_id", "seq", "op", "status", "amount")
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            _latest_state_fn,
+            outputStructType=LATEST_STATE_OUTPUT,
+            stateStructType=LATEST_STATE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

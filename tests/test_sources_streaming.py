@@ -441,3 +441,60 @@ def test_foreach_batch_writer_rejects_non_file_formats():
         foreach_batch_writer("/tmp/x", fmt="jdbc")
     with pytest.raises(ValueError, match="keyed-upsert"):
         foreach_batch_writer("/tmp/x", fmt="delta")
+
+
+def test_latest_state_stream_matches_batch_under_out_of_order(spark, tmp_path):
+    """The streaming CDC state must converge to latest-BY-SEQ per
+    entity even when changes ARRIVE out of order across micro-batches
+    (file order is not seq order here), including tombstones."""
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        latest_state_stateful,
+    )
+
+    rows = [
+        # entity 1: arrival order I(seq 1) -> U(seq 3) -> stale U(seq 2)
+        (1, 1, "I", "O", 10.0),
+        (1, 3, "U", "F", 30.0),
+        (1, 2, "U", "O", 20.0),   # late, must NOT win
+        # entity 2: delete arrives before a stale insert
+        (2, 9, "D", None, None),
+        (2, 4, "I", "O", 4.0),    # late, must NOT resurrect
+        # entity 3: single insert
+        (3, 5, "I", "P", 5.0),
+    ]
+    log = spark.createDataFrame(
+        rows, "entity_id: bigint, seq: bigint, op: string, status: string, amount: double"
+    )
+    batch_out = {tuple(r) for r in latest_state_stateful(log).collect()}
+    assert batch_out == {
+        (1, 3, "U", "F", 30.0),
+        (2, 9, "D", None, None),
+        (3, 5, "I", "P", 5.0),
+    }
+
+    src = str(tmp_path / "cdc_src")
+    # one file per row, written in ARRIVAL order; maxFilesPerTrigger=1
+    # forces one change per micro-batch in that order
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], log.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(log.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = latest_state_stateful(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("select * from cdc_state").collect():
+        cur = final.get(r["entity_id"])
+        if cur is None or r["last_seq"] > cur[1]:
+            final[r["entity_id"]] = tuple(r)
+    assert set(final.values()) == batch_out
