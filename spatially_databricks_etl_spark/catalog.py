@@ -3864,8 +3864,9 @@ WHERE f.rn = f.n
 #: span every SURVEY.md §2 family (reference pipeline, TPC-H,
 #: aggregation + profiling, quality expectations, window, set op,
 #: date/time, time-series incl. rolling/EWMA features, JSON, join
-#: variants incl. fuzzy, pandas UDF/UDAF/UDTF, dedup incl. the
-#: planted simhash form, corpus line-dedup and SemDeDup, near-dup
+#: variants incl. fuzzy, pandas UDF/UDAF/UDTF, dedup incl. corpus
+#: line-dedup and SemDeDup (both planted simhash forms sit past 50
+#: next to the organic one), near-dup
 #: clustering, similarity/ANN incl. the planted IVF form, weighted
 #: sampling, sketches incl. exact heavy hitters, text incl. the
 #: corpus-trained bigram LM, curation, negative sampling, PCA,
