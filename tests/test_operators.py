@@ -474,15 +474,22 @@ def test_minhash_releases_persisted_intermediates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     sc = spark.sparkContext._jsc.sc()
+    # assert on the DELTA, not global emptiness: other tests'
+    # localCheckpoint blocks (connected_components, pagerank) are
+    # reclaimed by the ContextCleaner on GC timing, so the session may
+    # legitimately hold unrelated residual blocks here
+    baseline = {info.id() for info in sc.getRDDStorageInfo()}
     for op in (
         lambda: minhash_near_dedup(df, threshold=0.5),
         lambda: ngram_jaccard_pairs(df, n=3, threshold=0.5),
     ):
         out = op()
         out.count()
-        assert sc.getRDDStorageInfo(), "operator should persist intermediates"
+        during = {info.id() for info in sc.getRDDStorageInfo()}
+        assert during - baseline, "operator should persist intermediates"
         release_intermediates(out)
-        assert not sc.getRDDStorageInfo(), "release must drop every cached block"
+        after = {info.id() for info in sc.getRDDStorageInfo()}
+        assert after <= baseline, "release must drop every cached block it added"
 
 
 def test_minhash_vectorized_signature_bit_exact(spark):
