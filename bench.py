@@ -117,6 +117,7 @@ EXTRA = [
     "feature_hash",
     "column_profile",
     "stream_cdc_state",
+    "audio_energy",
 ]
 
 

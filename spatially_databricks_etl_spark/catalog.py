@@ -2369,6 +2369,49 @@ FROM s
 SQL_MEDIA_FEATURES = _sql_media_features()
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: payload → mapInPandas fake decode (32
+    sha256-derived centered samples) → one row per 8-sample window
+    with its RMS energy. Deterministic decode means the oracle replays
+    every sample and every RMS in SQL — same contract as
+    media_features, for the audio column type."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = audio_window_energy(src, window=8)
+    return out.select("item_id", "window_idx", F.round("rms", 6).alias("rms"))
+
+
+def _sql_audio_energy(window: int = 8, n_samples: int = 32) -> str:
+    def byte(i: int) -> str:
+        return _HEXBYTE.format(o1=2 * i + 1, o2=2 * i + 2)
+
+    selects = []
+    for w in range(n_samples // window):
+        sq = " + ".join(
+            f"power({byte(w * window + j)} - 128.0, 2)" for j in range(window)
+        )
+        selects.append(
+            f"""SELECT item_id, {w} AS window_idx,
+       round(sqrt(({sq}) / {window}.0), 6) AS rms
+FROM s"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS h FROM documents)
+{body}
+"""
+
+
+SQL_AUDIO_ENERGY = _sql_audio_energy()
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: (item, duration) fans out to one row
     per sampled timestamp BEFORE any decode, so the expensive work
@@ -4031,6 +4074,7 @@ QUERIES: dict[str, QueryFn] = {
     "feature_hash": q_feature_hash,
     "column_profile": q_column_profile,
     "stream_cdc_state": q_stream_cdc_state,
+    "audio_energy": q_audio_energy,
 }
 
 ORACLES: dict[str, str] = {
@@ -4140,6 +4184,7 @@ ORACLES: dict[str, str] = {
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
+    "audio_energy": SQL_AUDIO_ENERGY,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

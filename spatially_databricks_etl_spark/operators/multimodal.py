@@ -210,3 +210,64 @@ def resize_media(
         .withField("width", F.lit(target_width))
         .withField("height", F.lit(target_height)),
     )
+
+
+AUDIO_ENERGY_SCHEMA = "item_id string, window_idx int, rms double"
+
+
+def fake_audio_decode(payload: bytes) -> "list[float]":
+    """Deterministic stand-in for an audio decoder: 32 centered
+    samples (byte − 128 ∈ [−128, 127]) from the sha256 of the bytes.
+    Replace with a real codec (soundfile/librosa) in production —
+    signature unchanged (bytes → sample list)."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [float(b) - 128.0 for b in h]
+
+
+def audio_window_energy(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    window: int = 8,
+    decode_fn: Callable[[bytes], "list[float]"] = fake_audio_decode,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Windowed RMS energy over decoded audio samples — the
+    frame-level feature pass of an audio pipeline (VAD, silence
+    trimming, loudness normalization all start here). One output row
+    per (item, window): rms = sqrt(mean(sample²)) over each
+    non-overlapping ``window``-sample block (a trailing partial block
+    is averaged over its own length).
+
+    Same plumbing contract as :func:`decode_features`: only
+    (id, payload) ship into Python, the decode runs inside
+    ``mapInPandas`` over Arrow batches, and per-item work fans out as
+    ROWS (windows), so downstream filters/aggregations distribute.
+    The default decoder is the deterministic fake (no codec libs in
+    this container), which is what lets the catalog query replay every
+    sample — and therefore every RMS value — in the DuckDB oracle.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    import math
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload"))
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, widx, rms = [], [], []
+            for item, p in zip(batch["item_id"], batch["payload"]):
+                samples = decode_fn(p if p is not None else b"")
+                for w in range(0, len(samples), window):
+                    block = samples[w : w + window]
+                    ids.append(item)
+                    widx.append(w // window)
+                    rms.append(math.sqrt(sum(s * s for s in block) / len(block)))
+            yield pd.DataFrame({"item_id": ids, "window_idx": widx, "rms": rms})
+
+    return src.mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)

@@ -403,3 +403,27 @@ def test_ivf_over_int8_quantized_corpus_keeps_recall(spark):
     # same floor as the float IVF test: quantization must not be the
     # thing that breaks retrieval
     assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
+
+
+def test_audio_window_energy_partial_block_and_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    # injected decoder: known samples, length NOT a multiple of the
+    # window -> trailing block averages over its own length
+    def fake(payload):
+        return [3.0, -4.0, 0.0, 12.0, 5.0]
+
+    df = spark.createDataFrame([("a", bytearray(b"x"))], "item_id: string, payload: binary")
+    out = {(r.window_idx): r.rms for r in
+           audio_window_energy(df, window=2, decode_fn=fake).collect()}
+    assert abs(out[0] - math.sqrt((9 + 16) / 2)) < 1e-12
+    assert abs(out[1] - math.sqrt((0 + 144) / 2)) < 1e-12
+    assert abs(out[2] - 5.0) < 1e-12  # partial block of one sample
+    with _pytest.raises(ValueError, match="window"):
+        audio_window_energy(df, window=0)
