@@ -118,6 +118,7 @@ EXTRA = [
     "column_profile",
     "stream_cdc_state",
     "audio_energy",
+    "window_time_range",
 ]
 
 

@@ -2369,6 +2369,38 @@ FROM s
 SQL_MEDIA_FEATURES = _sql_media_features()
 
 
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregation: per event, the count and value
+    sum of the SAME USER's events in the trailing hour — a
+    VALUE-based frame (rangeBetween over epoch seconds), not a
+    row-count frame, so gaps and bursts are handled correctly. Both
+    engines order by truncated epoch seconds, making peer-row
+    semantics identical."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+SQL_WINDOW_TIME_RANGE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       round(sum(value) OVER w, 2) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing: payload → mapInPandas fake decode (32
     sha256-derived centered samples) → one row per 8-sample window
@@ -4075,6 +4107,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_profile": q_column_profile,
     "stream_cdc_state": q_stream_cdc_state,
     "audio_energy": q_audio_energy,
+    "window_time_range": q_window_time_range,
 }
 
 ORACLES: dict[str, str] = {
@@ -4185,6 +4218,7 @@ ORACLES: dict[str, str] = {
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
     "audio_energy": SQL_AUDIO_ENERGY,
+    "window_time_range": SQL_WINDOW_TIME_RANGE,
     "sessionize": SQL_SESSIONIZE,
     "cdc_apply": SQL_CDC_APPLY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
