@@ -174,28 +174,34 @@ def heavy_hitters(
             }
         )
 
-    summary = df.select(kc).mapInPandas(mg_partition, schema=summary_schema)
+    from spatially_databricks_etl_spark.caching import register_persists
+
     # The summary is bounded at (capacity+1)·num_partitions rows by
-    # construction — a driver-side collect of index metadata, not data.
-    rows = summary.collect()
-    total = sum(r["__pn"] for r in rows if r["__is_total"])
-    cand_values = sorted({r[kc] for r in rows if not r["__is_total"]})
-    spark = df.sparkSession
-    if total == 0 or not cand_values:
-        empty = spark.createDataFrame([], summary_schema)
-        return empty.select(
-            kc, F.lit(0).cast("long").alias("n_rows"), F.lit(0.0).alias("share")
-        ).limit(0)
-    candidates = spark.createDataFrame(
-        [(v,) for v in cand_values], StructType([summary_schema.fields[0]])
+    # construction. It feeds two branches of the final plan (N and the
+    # candidate keys), so persist it — without this the map-only MG
+    # pass (the full scan of df) would execute once per branch. The
+    # candidate set never transits the driver: N rides along as a
+    # broadcast one-row frame and the candidates stay a DataFrame in a
+    # broadcast semi-join, so the operator is fully distributed — at
+    # 100 TB with ~1e5 tasks the ~capacity·tasks candidate rows move
+    # executor-to-executor, never through the driver.
+    summary = df.select(kc).mapInPandas(mg_partition, schema=summary_schema).persist()
+    totals = summary.filter(F.col("__is_total")).agg(
+        F.coalesce(F.sum("__pn"), F.lit(0)).alias("__total")
     )
+    candidates = summary.filter(~F.col("__is_total")).select(kc).distinct()
     counts = (
         df.join(F.broadcast(candidates), on=kc, how="left_semi")
         .groupBy(kc)
         .agg(F.count("*").alias("n_rows"))
     )
-    return counts.filter(F.col("n_rows") > threshold_fraction * total).select(
-        kc,
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("n_rows") / F.lit(float(total))).alias("share"),
+    result = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_rows") > F.lit(threshold_fraction) * F.col("__total"))
+        .select(
+            kc,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") / F.col("__total").cast("double")).alias("share"),
+        )
     )
+    return register_persists(result, [summary])
