@@ -119,6 +119,9 @@ EXTRA = [
     "stream_cdc_state",
     "audio_energy",
     "window_time_range",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q20_part_share_suppliers",
 ]
 
 
@@ -161,8 +164,12 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    extra_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ITERS", "3")))
+    # n=5 for extras too (round-5 verdict: n=3 medians land anywhere on
+    # the documented warm-up curve; same median quality as the headline
+    # set from round 6 on), plus [min, max] spreads for the record.
+    extra_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ITERS", "5")))
     extra_timings: dict[str, float] = {}
+    extra_spreads: dict[str, list[float]] = {}
     for name in EXTRA:
         fn = QUERIES.get(name)
         if fn is None:
@@ -176,8 +183,10 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         extra_timings[name] = round(statistics.median(runs), 3)
+        extra_spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         print(
-            f"# extra {name}: median {extra_timings[name]:.3f}s ({n} rows)",
+            f"# extra {name}: median {extra_timings[name]:.3f}s "
+            f"[{min(runs):.2f}..{max(runs):.2f}] ({n} rows)",
             file=sys.stderr,
         )
 
@@ -189,6 +198,7 @@ def main() -> int:
         "queries": timings,
         "spreads": spreads,
         "extra_queries": extra_timings,
+        "extra_spreads": extra_spreads,
         "extra_n": extra_iters,
         "n": iters,
         "sf": sf,

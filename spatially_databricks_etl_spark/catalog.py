@@ -3294,7 +3294,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR CAST(floor(epoch(ts)) AS BIGINT)
                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
@@ -3303,8 +3303,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- (ts, event_id) ordering matches the Spark operator's tie-break so
+  -- same-timestamp events number deterministically (ADVICE r5)
   SELECT user_id, ts, value,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
@@ -3404,21 +3406,25 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over a deliberately skewed derived key
-    (bucket = floor(sqrt(user_id)) — wider buckets hold more users, so
-    higher buckets are organically heavier). Misra–Gries candidates +
-    exact second pass make the result EXACTLY the keys with count
-    > N/(capacity+1), which is what the oracle computes."""
+    (bucket = floor(log2(user_id+1)) — bucket k holds ~2^k users, so
+    the top buckets carry a constant SHARE of all events at every
+    fixture scale and the result is non-empty at sf0.001/0.01/0.1
+    alike). Misra–Gries candidates + exact second pass make the result
+    EXACTLY the keys with count > N/(capacity+1), which is what the
+    oracle computes."""
     from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
-    keyed = ev.select(F.floor(F.sqrt(F.col("user_id"))).cast("long").alias("bucket"))
+    keyed = ev.select(
+        F.floor(F.log2(F.col("user_id") + 1)).cast("long").alias("bucket")
+    )
     hh = heavy_hitters(keyed, "bucket", capacity=15)
     return hh.select("bucket", "n_rows", F.round("share", 6).alias("share"))
 
 
 SQL_HEAVY_HITTERS = """
 WITH keyed AS (
-  SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS bucket FROM events
+  SELECT CAST(floor(log2(user_id + 1)) AS BIGINT) AS bucket FROM events
 ),
 t AS (SELECT count(*) AS total FROM keyed)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -3727,6 +3733,136 @@ WHERE c.c_acctbal > t.a
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-join-then-double-
+    aggregate decorrelation of ``count(SELECT ... WHERE o_custkey =
+    c_custkey)``. The non-key join predicate (priority filter) lives
+    on the orders side BEFORE the outer join, so it prunes at the scan
+    instead of nulling rows after the join — same semantics, pushed
+    down (fixture has no o_comment; the priority filter keeps the
+    shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer detail — the nested
+    ``IN (SELECT .. GROUP BY .. HAVING sum > T)`` decorrelated into a
+    plain inner join against the HAVING-filtered aggregate. The
+    re-aggregation the canonical query performs after the IN is
+    collapsed: the inner aggregate already carries sum_qty, so the
+    join both filters (IN) and provides the value — one shuffle
+    instead of two."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who ship a disproportionate share of
+    some (name-filtered) part — a double-nested correlated subquery
+    (IN over an aggregate whose HAVING references a correlated scalar
+    aggregate), decorrelated by hand: the correlated per-part scalar
+    becomes ``avg(sq) OVER (PARTITION BY part)`` on the ALREADY-
+    aggregated (supplier, part) frame — one lineitem scan total,
+    where the naive two-aggregate decorrelation reads the fact table
+    twice (Spark does not share common subplans). The fixture has no
+    partsupp, so availqty > 0.5·shipped becomes "supplier ships > 3×
+    the per-supplier average of that part" — selective but non-empty
+    at every fixture scale. The part filter is a broadcast semi-join
+    applied BEFORE the aggregate, so the big table is pruned first."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    red_li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    sp = red_li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    qual = (
+        sp.withColumn(
+            "avg_sq", F.avg("sq").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("sq") > 3.0 * F.col("avg_sq"))
+        .select("l_suppkey")
+    )
+    return s.join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey) sp
+  WHERE sp.sq > 3.0 * (SELECT avg(sq2.sq)
+                       FROM (SELECT sum(l_quantity) AS sq FROM lineitem l2
+                             WHERE l2.l_partkey = sp.l_partkey
+                             GROUP BY l_suppkey) sq2))
 """
 
 
@@ -4067,6 +4203,9 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -4223,7 +4362,10 @@ ORACLES: dict[str, str] = {
     "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
     "feature_hash": SQL_FEATURE_HASH,
     "q4_order_priority": SQL_Q4,
+    "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,
+    "q18_large_volume_customers": SQL_Q18,
+    "q20_part_share_suppliers": SQL_Q20,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
