@@ -120,6 +120,65 @@ def foreach_batch_writer(path: str, fmt: str = "parquet"):
     return write
 
 
+def incremental_rollup_sink(
+    path: str,
+    *,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` sink composing :func:`partial_aggregate` with
+    the idempotent batch writer: each micro-batch is reduced to a
+    PARTIAL aggregate (one row per key group, decomposable measures)
+    and landed as its own ``__batch_id`` partition under dynamic-
+    partition overwrite. A replayed micro-batch (same batch_id after
+    failure recovery — Spark's checkpoint guarantees identical batch
+    content) overwrites its own partial instead of double-counting,
+    so the rollup stays exactly-once.
+
+    Scale shape: the sink stores one key-group-sized partial per
+    micro-batch, never raw events — at 100 TB the serving rollup is
+    a merge-on-read over tiny partials (:func:`read_merged_rollup`),
+    or a periodic compaction via
+    ``operators.relational.merge_aggregate``. This is the streaming
+    half of the continuous-aggregate pattern the batch
+    ``incremental_rollup`` catalog query oracles.
+    """
+    from spatially_databricks_etl_spark.operators.relational import partial_aggregate
+
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        base(partial_aggregate(batch_df, keys=keys, measures=measures), batch_id)
+
+    return write
+
+
+def read_merged_rollup(
+    spark,
+    path: str,
+    *,
+    keys: list[str],
+    merges: dict[str, str],
+    fmt: str = "parquet",
+):
+    """Merge-on-read of an :func:`incremental_rollup_sink` store:
+    fold every per-batch partial into the current rollup with
+    :func:`operators.relational.merge_aggregate` (prior = all earlier
+    batches' partials, delta = the newest batch — the merge functions
+    are associative and commutative, so the split is presentational).
+    One groupBy over frames that are key-group-sized, not
+    event-sized."""
+    from spatially_databricks_etl_spark.operators.relational import merge_aggregate
+
+    parts = spark.read.format(fmt).load(path)
+    # max batch id is bounded metadata (one scalar), not data
+    newest = parts.agg(F.max("__batch_id")).first()[0]
+    prior = parts.filter(F.col("__batch_id") < newest).drop("__batch_id")
+    delta = parts.filter(F.col("__batch_id") == newest).drop("__batch_id")
+    return merge_aggregate(prior, delta, keys=keys, merges=merges)
+
+
 USER_FEATURES_OUTPUT = (
     "user_id bigint, n_events bigint, sum_value double, "
     "max_value double, min_value double"

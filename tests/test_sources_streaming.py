@@ -498,3 +498,78 @@ def test_latest_state_stream_matches_batch_under_out_of_order(spark, tmp_path):
         if cur is None or r["last_seq"] > cur[1]:
             final[r["entity_id"]] = tuple(r)
     assert set(final.values()) == batch_out
+
+
+def test_streaming_incremental_rollup_end_to_end(spark, tmp_path):
+    """Stream micro-batches -> partial_aggregate -> idempotent
+    batch_id-partitioned partial store -> merge-on-read rollup. The
+    merged rollup must equal the one-shot batch recompute after >=2
+    real micro-batches, and must be UNCHANGED after a replayed
+    (duplicate batch_id, identical content) micro-batch — the
+    checkpoint-recovery contract the __batch_id overwrite encodes."""
+    from spatially_databricks_etl_spark.operators.relational import partial_aggregate
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        incremental_rollup_sink,
+        read_merged_rollup,
+    )
+
+    keys = ["event_type"]
+    measures = {
+        "n_events": ("*", "count"),
+        "sum_value": ("value", "sum"),
+        "max_value": ("value", "max"),
+    }
+    merges = {"n_events": "count", "sum_value": "sum", "max_value": "max"}
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    src = str(tmp_path / "roll_src")
+    sink = str(tmp_path / "roll_sink")
+    ev.repartition(3).write.parquet(src)
+
+    # capture each micro-batch's raw rows so the replay below can
+    # reproduce Spark's recovery contract: same batch_id, same content
+    seen: list[tuple[int, list]] = []
+    inner = incremental_rollup_sink(sink, keys=keys, measures=measures)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    parts = spark.read.parquet(sink)
+    n_batches = parts.select("__batch_id").distinct().count()
+    assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+    assert len(seen) == n_batches
+
+    def rollup_dict(df):
+        return {
+            r["event_type"]: (r["n_events"], r["sum_value"], r["max_value"])
+            for r in df.collect()
+        }
+
+    expected = rollup_dict(partial_aggregate(ev, keys=keys, measures=measures))
+    merged = rollup_dict(read_merged_rollup(spark, sink, keys=keys, merges=merges))
+    assert set(merged) == set(expected)
+    for k, (n, s, m) in expected.items():
+        gn, gs, gm = merged[k]
+        assert gn == n
+        assert gs == pytest.approx(s, rel=1e-9)
+        assert gm == m
+
+    # replay the LAST micro-batch verbatim: the partial store must
+    # overwrite that batch's partition, leaving the rollup identical
+    bid, rows = seen[-1]
+    replay_df = spark.createDataFrame(rows, schema=ev.schema)
+    inner(replay_df, bid)
+    after = rollup_dict(read_merged_rollup(spark, sink, keys=keys, merges=merges))
+    assert set(after) == set(expected)
+    for k, (n, s, m) in expected.items():
+        gn, gs, gm = after[k]
+        assert gn == n
+        assert gs == pytest.approx(s, rel=1e-9)
+        assert gm == m
