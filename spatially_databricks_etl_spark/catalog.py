@@ -278,26 +278,43 @@ def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-        # 3 decimals for the higher moments: Spark's streaming
-        # central-moment update and DuckDB's formula legitimately
-        # diverge ~1e-4 on small groups (catastrophic cancellation at
-        # sf0.001); the oracle checks the statistic, not the noise.
-        F.round(F.skewness("l_extendedprice"), 3).alias("price_skew"),
-        F.round(F.kurtosis("l_extendedprice"), 3).alias("price_kurt"),
+        # Spark's skewness/kurtosis are POPULATION moments (g1,
+        # excess g2); DuckDB's built-ins are bias-corrected SAMPLE
+        # stats — a ~1e-4 definitional gap that forced 3-decimal
+        # rounding (still flake-prone at .xxx5 boundaries, ADVICE r5).
+        # The oracle now computes the population definition from
+        # two-pass central moments, which agrees with Spark's
+        # streaming update to ~1e-14 — so full 6-decimal checking.
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("price_kurt"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
     )
 
 
 SQL_STATS_AGGS = """
-SELECT l_returnflag,
+WITH mu AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS mean_price FROM lineitem GROUP BY 1
+),
+cm AS (
+  -- two-pass central moments: population g1 / excess g2, matching
+  -- Spark's definitions (DuckDB's skewness()/kurtosis() built-ins are
+  -- bias-corrected sample stats, a ~1e-4 definitional divergence)
+  SELECT l.l_returnflag,
+         avg(pow(l_extendedprice - mean_price, 2)) AS m2,
+         avg(pow(l_extendedprice - mean_price, 3)) AS m3,
+         avg(pow(l_extendedprice - mean_price, 4)) AS m4
+  FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag GROUP BY 1
+)
+SELECT l.l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
        round(stddev_samp(l_extendedprice), 4) AS price_stddev,
        round(var_samp(l_quantity), 6) AS qty_var,
-       round(skewness(l_extendedprice), 3) AS price_skew,
-       round(kurtosis(l_extendedprice), 3) AS price_kurt,
+       round(any_value(m3 / pow(m2, 1.5)), 6) AS price_skew,
+       round(any_value(m4 / pow(m2, 2) - 3), 6) AS price_kurt,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem l JOIN cm ON l.l_returnflag = cm.l_returnflag
+GROUP BY l.l_returnflag
 """
 
 
