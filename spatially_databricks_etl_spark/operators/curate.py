@@ -576,6 +576,7 @@ def curate_corpus(
     min_quality: float = 0.6,
     langs: list[str] | None = None,
     near_threshold: float = 0.7,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Training-data curation pipeline. Returns the KEPT rows of
     ``docs`` (original columns), after:
@@ -590,14 +591,35 @@ def curate_corpus(
     Each stage only shrinks the frame, so the expensive near-dup stage
     runs on the smallest candidate set. The survivor rule (min id) is
     deterministic end to end — required for the differential oracle.
+
+    ``near_pairs`` short-circuits stage 4's pair generation with a
+    precomputed (id_a, id_b, jaccard_sim) frame — typically
+    ``dedup.minhash_pairs_from_index`` over a corpus indexed at
+    ingest, so a re-curation never re-shingles 100 TB of text. Pairs
+    are restricted to ids that survive stages 1-3 (both endpoints)
+    and re-filtered at ``near_threshold``, so a whole-corpus index
+    serves any later gate/threshold combination. Caveat shared with
+    every reuse of a corpus-level LSH pass: the bucket cap was
+    evaluated on the FULL corpus, so pair recall near the cap can
+    differ marginally from a fresh pass over the filtered survivors
+    (``lsh_observation`` on the index pass reports whether the cap
+    fired at all).
     """
     d = docs.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
     if langs:
         d = d.filter(F.col("lang").isin(langs))
     d = exact_dedup(d, [text_col], keep_by=id_col)
-    pairs = minhash_near_dedup(
-        d, text_col=text_col, id_col=id_col, threshold=near_threshold
-    )
+    if near_pairs is not None:
+        ids = d.select(F.col(id_col).alias("__kid"))
+        pairs = (
+            near_pairs.filter(F.col("jaccard_sim") >= near_threshold)
+            .join(ids, near_pairs["id_a"] == ids["__kid"], "left_semi")
+            .join(ids, near_pairs["id_b"] == ids["__kid"], "left_semi")
+        )
+    else:
+        pairs = minhash_near_dedup(
+            d, text_col=text_col, id_col=id_col, threshold=near_threshold
+        )
     comp = connected_components(pairs)
     # connected_components eagerly localCheckpoints the edge list, so
     # the pair DAG (and the minhash persists behind it) is fully

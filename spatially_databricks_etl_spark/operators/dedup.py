@@ -399,12 +399,38 @@ def minhash_near_dedup(
 
     banded = _band_rows(sig, bands=bands, rows=rows)
 
-    # Bucket sizing runs as a WINDOW over the (band, band_hash)
-    # partitioning: rows buffer in a spillable sort buffer, so a
-    # degenerate mega-bucket costs disk, never heap — the cap fires
-    # BEFORE collect_list materializes any id array. The row_number
-    # marks one row per bucket so the Observation can count dropped
-    # BUCKETS (not just memberships) without a distinct aggregate.
+    out, obs, cap_fallback = _expand_verify_pairs(
+        banded, base, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+    # Persisted intermediates are released by the caller via
+    # caching.release_intermediates(out) once the result is
+    # materialized — long-lived sessions must not leak cached blocks.
+    out = register_persists(out, [base])
+    out.lsh_observation = _LshCapObservation(obs, cap_fallback)
+    return out
+
+
+def _expand_verify_pairs(
+    banded: DataFrame,
+    shingles: DataFrame,
+    *,
+    threshold: float,
+    max_bucket_size: int,
+):
+    """Shared LSH pair stage (steps 3-5 of :func:`minhash_near_dedup`'s
+    plan): bucket-size cap → in-array pair expansion → cross-band
+    dedup → exact-Jaccard verify. ``banded`` is (__id, __band, __bh)
+    rows; ``shingles`` is (__id, __h) with full 64-bit codes. Returns
+    (pairs_df, Observation, cap_fallback_df) — the caller attaches the
+    observation/persist bookkeeping.
+
+    Bucket sizing runs as a WINDOW over the (band, band_hash)
+    partitioning: rows buffer in a spillable sort buffer, so a
+    degenerate mega-bucket costs disk, never heap — the cap fires
+    BEFORE collect_list materializes any id array. The row_number
+    marks one row per bucket so the Observation can count dropped
+    BUCKETS (not just memberships) without a distinct aggregate.
+    """
     from pyspark.sql import Observation
 
     w_bucket = Window.partitionBy("__band", "__bh").orderBy("__id")
@@ -452,8 +478,8 @@ def minhash_near_dedup(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b"))
+    sh_a = shingles.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a"))
+    sh_b = shingles.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b"))
     out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -461,10 +487,46 @@ def minhash_near_dedup(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
-    # Persisted intermediates are released by the caller via
-    # caching.release_intermediates(out) once the result is
-    # materialized — long-lived sessions must not leak cached blocks.
-    out = register_persists(out, [base])
+    return out, obs, cap_fallback
+
+
+def minhash_pairs_from_index(
+    spark,
+    path: str,
+    *,
+    threshold: float = 0.7,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """All near-duplicate pairs of an INDEXED corpus, computed
+    entirely from the persisted stores of :func:`minhash_write_index`
+    — the corpus is never re-shingled or re-signed. This is the
+    re-clustering / re-curation shape: once a 100 TB corpus is
+    indexed at ingest, every later threshold sweep or cluster rebuild
+    pays only the LSH bucket shuffle over narrow (id, band, hash)
+    rows plus the verify joins against the stored shingle codes — the
+    dominant shingle+signature scan is paid exactly once, at ingest.
+
+    Bit-identical to :func:`minhash_near_dedup` run with the index's
+    recorded parameters (pinned by pytest): both feed the same banded
+    rows through the same capped pair stage; ``threshold`` and
+    ``max_bucket_size`` stay query-time knobs because neither is
+    baked into the stored layout. Returns (id_a, id_b, jaccard_sim),
+    ``id_a < id_b``, with the same ``lsh_observation`` cap-visibility
+    contract.
+    """
+    banded = spark.read.parquet(f"{path}/bands").select("__id", "__band", "__bh")
+    # persist the shingle store scan: both verify sides consume it, and
+    # one cached columnar read beats two passes over the 64-way
+    # partitioned directory tree (release via release_intermediates)
+    shingles = (
+        spark.read.parquet(f"{path}/shingles")
+        .select("__id", "__h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out, obs, cap_fallback = _expand_verify_pairs(
+        banded, shingles, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+    out = register_persists(out, [shingles])
     out.lsh_observation = _LshCapObservation(obs, cap_fallback)
     return out
 

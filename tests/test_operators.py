@@ -832,3 +832,44 @@ def test_snapshot_diff_roundtrip_reproduces_new(spark):
     norm = lambda df: sorted(((r.k, r.s, r.v) for r in df.collect()),
                              key=lambda t: (t[0] is None, t[0]))
     assert norm(replayed) == norm(new)
+
+
+def test_minhash_pairs_from_index_matches_fresh_pass(spark, tmp_path):
+    """Re-clustering without re-signing: the all-pairs result computed
+    from the persisted band/shingle stores must be BIT-IDENTICAL to a
+    fresh minhash_near_dedup pass with the same parameters, and
+    curate_corpus(near_pairs=...) must keep exactly the same rows as
+    the self-computing form."""
+    from spatially_databricks_etl_spark.caching import release_intermediates
+    from spatially_databricks_etl_spark.operators.curate import curate_corpus
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_pairs_from_index,
+        minhash_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "mhidx_pairs")
+    minhash_write_index(docs, path)
+
+    fresh = minhash_near_dedup(docs, threshold=0.7)
+    want = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in fresh.collect()}
+    release_intermediates(fresh)
+
+    idx_pairs = minhash_pairs_from_index(spark, path, threshold=0.7)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in idx_pairs.collect()}
+    assert got == want
+    assert idx_pairs.lsh_observation.get["dropped_buckets"] == 0
+
+    kept_self = sorted(
+        r["doc_id"] for r in curate_corpus(docs, min_quality=0.0).collect()
+    )
+    kept_idx = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs,
+            min_quality=0.0,
+            near_pairs=minhash_pairs_from_index(spark, path, threshold=0.7),
+        ).collect()
+    )
+    assert kept_idx == kept_self
+
