@@ -120,8 +120,10 @@ EXTRA = [
     "audio_energy",
     "window_time_range",
     "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

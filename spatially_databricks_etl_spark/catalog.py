@@ -3883,6 +3883,99 @@ WHERE s_suppkey IN (
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts — a correlated scalar aggregate (per-part average
+    quantity) in the WHERE clause, decorrelated as
+    ``avg(l_quantity) OVER (PARTITION BY l_partkey)``. Because
+    partkey determines brand, restricting the window to the
+    brand-filtered join is exactly the correlated subquery's scope —
+    lineitem is scanned once, pre-pruned by the broadcast part
+    filter, where the naive decorrelation computes a second global
+    per-part aggregate over the full fact table."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier to return
+    items on a multi-supplier finalized order — the double correlated
+    EXISTS / NOT EXISTS over the same fact table, decorrelated into
+    ONE per-order aggregate: EXISTS(other supplier) ⇔ the order has
+    ≥2 distinct suppliers; NOT EXISTS(other supplier with a return) ⇔
+    the order has exactly 1 distinct returning supplier (which must be
+    this line's, since this line returns). One extra aggregation
+    replaces two correlated semi/anti probes of lineitem — at scale
+    that's one shuffle on l_orderkey instead of two more fact-table
+    joins. Top 20 by (numwait DESC, s_name) — deterministic, names
+    are unique."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_rsupp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l1["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_rsupp") == 1))
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -4221,8 +4314,10 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_part_share_suppliers": q20_part_share_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -4381,8 +4476,10 @@ ORACLES: dict[str, str] = {
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,
+    "q17_small_quantity_revenue": SQL_Q17,
     "q18_large_volume_customers": SQL_Q18,
     "q20_part_share_suppliers": SQL_Q20,
+    "q21_waiting_suppliers": SQL_Q21,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,

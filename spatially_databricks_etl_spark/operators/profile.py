@@ -365,13 +365,28 @@ def exact_quantile_select(df: DataFrame, col: str, q: float) -> float:
     return exact_quantiles_select(df, col, [q])[0]
 
 
-def exact_quantiles_select(df: DataFrame, col: str, qs: list[float]) -> list[float]:
+def exact_quantiles_select(
+    df: DataFrame, col: str, qs: list[float], *, storage_level=None
+) -> list[float]:
     """Multi-quantile form of :func:`exact_quantile_select`: ALL
     requested quantiles share one range-partitioned sort and one
     per-partition size count; the bracketing ranks for every q are
     fetched in a single lookup job. Cost is therefore ~independent of
     ``len(qs)`` — the shape an equi-height binner needs.
+
+    Budget note for 100 TB callers: the sorted single-column frame is
+    persisted ACROSS THREE JOBS (sizes, rank lookup, release) and is
+    O(rows) — one 8-byte value plus partition/index bookkeeping per
+    non-null row. That persist is the operator's dominant memory/disk
+    line item at scale. The default ``MEMORY_AND_DISK`` spills
+    gracefully; pass ``storage_level=StorageLevel.DISK_ONLY`` to keep
+    a huge selection frame out of executor memory entirely (the two
+    follow-up jobs are a count and a point lookup — disk-resident is
+    fine), or pre-filter/sample the column if an approximate answer
+    suffices (``sketches.approx_quantiles`` is O(accuracy) state).
     """
+    from pyspark.storagelevel import StorageLevel
+
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"q must be in [0, 1], got {q}")
@@ -390,7 +405,7 @@ def exact_quantiles_select(df: DataFrame, col: str, qs: list[float]) -> list[flo
                 "__i"
             ),
         )
-        .persist()
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
     try:
         sizes = {

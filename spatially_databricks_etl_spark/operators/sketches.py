@@ -189,7 +189,10 @@ def heavy_hitters(
     totals = summary.filter(F.col("__is_total")).agg(
         F.coalesce(F.sum("__pn"), F.lit(0)).alias("__total")
     )
-    candidates = summary.filter(~F.col("__is_total")).select(kc).distinct()
+    # no distinct: a left-semi build side tolerates duplicate keys
+    # (the broadcast hash table dedups implicitly), and dropping it
+    # saves an Exchange on the summary frame
+    candidates = summary.filter(~F.col("__is_total")).select(kc)
     counts = (
         df.join(F.broadcast(candidates), on=kc, how="left_semi")
         .groupBy(kc)

@@ -94,6 +94,9 @@ def test_no_catalog_query_plans_a_smell(spark):
         "bloom_prune_join",
         "skew_profile",
         "bigram_lm",
+        # one-row broadcast totals frame (crossJoin against a scalar
+        # aggregate) — the accepted scalar-join pattern
+        "heavy_hitters",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
