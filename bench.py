@@ -124,6 +124,8 @@ EXTRA = [
     "q18_large_volume_customers",
     "q20_part_share_suppliers",
     "q21_waiting_suppliers",
+    "triangle_count",
+    "resample_interpolate",
 ]
 
 

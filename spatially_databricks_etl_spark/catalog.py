@@ -1692,6 +1692,63 @@ FROM j
 """
 
 
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with LINEAR interpolation across gap
+    days — the straight line between surrounding observations instead
+    of ffill's step function. No rounding: bucket means are
+    bit-reproducible and the interpolation arithmetic has the same
+    expression shape on both engines (long-seconds ratio, one
+    multiply-add), so values compare exactly."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        resample_interpolate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_interpolate(ev, ts_col="ts", key_col="user_id", value_col="value")
+    return out.select("user_id", "bucket", "filled_value", "is_gap")
+
+
+SQL_RESAMPLE_INTERPOLATE = r"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+), j AS (
+  SELECT g.user_id, g.bucket, d.v
+  FROM grid g LEFT JOIN daily d USING (user_id, bucket)
+), fb AS (
+  SELECT user_id, bucket, v,
+         last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+         first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER w_back AS prev_t,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             OVER w_fwd AS next_t
+  FROM j
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((CAST(floor(epoch(bucket)) AS BIGINT)
+                     - CAST(floor(epoch(prev_t)) AS BIGINT))
+                    / (CAST(floor(epoch(next_t)) AS BIGINT)
+                       - CAST(floor(epoch(prev_t)) AS BIGINT)))
+       END AS filled_value,
+       (v IS NULL) AS is_gap
+FROM fb
+"""
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension from the event change log: per user, how
     many event_type versions (consecutive-duplicate collapsed) and
@@ -4035,6 +4092,52 @@ GROUP BY idx
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph (parts appearing
+    in the same order are connected). Edges are generated WITHOUT a
+    self-join: parts collect per order and pairs expand inside the
+    array (orders are small sets, so the per-row expansion is
+    bounded), then the operator counts triangles under degree-ordered
+    orientation — wedge work is O(m^1.5) no matter how popular one
+    part is. The oracle is algorithm-independent: canonical edges via
+    a plain self-join and triangles via the naive triple join, which
+    DuckDB handles fine at fixture scale but a 100 TB engine could
+    not (Σdeg² wedge blow-up) — exactly the asymmetry an oracle
+    should have."""
+    from spatially_databricks_etl_spark.operators.curate import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "__ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ps"), i + 2, F.size("__ps")),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = per_order.select(F.explode(pair_structs).alias("__p")).select(
+        "__p.src", "__p.dst"
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e e1 JOIN e e2
+               ON e1.a = e2.a AND e1.b < e2.b
+             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (d=0.85, 5 iterations) over a
     deterministic directed graph derived from orders (customer-bucket
@@ -4369,6 +4472,8 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
+    "triangle_count": q_triangle_count,
+    "resample_interpolate": q_resample_interpolate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4441,6 +4546,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "interval_join": SQL_INTERVAL_JOIN,
     "resample_ffill": SQL_RESAMPLE_FFILL,
+    "resample_interpolate": SQL_RESAMPLE_INTERPOLATE,
     "scd2": SQL_SCD2,
     "fuzzy_join": SQL_FUZZY_JOIN,
     "user_feature_state": SQL_USER_FEATURE_STATE,
@@ -4471,6 +4577,7 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "skew_profile": SQL_SKEW_PROFILE,
     "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
     "feature_hash": SQL_FEATURE_HASH,
     "q4_order_priority": SQL_Q4,

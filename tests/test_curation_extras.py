@@ -546,3 +546,61 @@ def test_column_profile_single_pass_counts(spark):
     # single aggregation job: exactly one scan node in the plan
     plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_triangle_count_planted_graph(spark):
+    """Planted graph: K4 on {1,2,3,4} (4 triangles) plus a pendant
+    path 4-5-6 (0 triangles) plus a disconnected triangle {7,8,9} —
+    5 triangles total, 10 edges. Reversed duplicates and self-loops
+    must not change the counts."""
+    from spatially_databricks_etl_spark.operators.curate import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6), (7, 8), (8, 9), (7, 9)]
+    noisy = edges + [(b, a) for a, b in edges] + [(1, 1), (5, 5)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_edges"] == 11
+    assert row["n_triangles"] == 5
+
+
+def test_triangle_count_star_has_no_triangles(spark):
+    """A star (the degree-skew worst case for naive wedge counting)
+    has zero triangles; degree orientation emits no wedges from the
+    hub."""
+    from spatially_databricks_etl_spark.operators.curate import triangle_count
+
+    star = [(0, i) for i in range(1, 50)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_edges"] == 49
+    assert row["n_triangles"] == 0
+
+
+def test_resample_interpolate_linear_values(spark):
+    """A 3-day gap between observations 10.0 and 50.0 must fill with
+    the straight line (20, 30, 40); observed buckets keep their own
+    values and is_gap=False."""
+    import datetime as dt
+
+    from spatially_databricks_etl_spark.operators.relational import (
+        resample_interpolate,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 10.0),
+        (1, dt.datetime(2024, 1, 5, 9), 50.0),
+        (1, dt.datetime(2024, 1, 7, 1), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = {
+        r["bucket"].day: (r["filled_value"], r["is_gap"])
+        for r in resample_interpolate(df).collect()
+    }
+    assert out[1] == (10.0, False)
+    assert out[2] == (20.0, True)
+    assert out[3] == (30.0, True)
+    assert out[4] == (40.0, True)
+    assert out[5] == (50.0, False)
+    assert out[6] == (40.0, True)
+    assert out[7] == (30.0, False)
