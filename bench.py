@@ -126,6 +126,7 @@ EXTRA = [
     "q21_waiting_suppliers",
     "triangle_count",
     "resample_interpolate",
+    "ann_pq_topk",
 ]
 
 

@@ -2896,6 +2896,47 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX: dict[tuple, list] = {}
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (16 subspaces × 16 codes = 16 code
+    bytes/vector, 16× vs float32) with ADC shortlist + exact-cosine
+    rerank, over the planted corpus: exact duplicates encode to
+    IDENTICAL codes, so every planted clone shares the query's own
+    (minimal) ADC distance, lands in the 100-wide shortlist, and the
+    exact rerank pins the closed-form top-10. Organic recall@10 vs
+    brute force is property-tested (0.98 at these settings on the
+    structureless gaussian fixture — PQ's worst case). Codebook
+    training is index-ingest work, memoized like the IVF centroids;
+    the measured query is encode + ADC + rerank."""
+    import os as _os
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_topk, pq_train
+    from spatially_databricks_etl_spark.session import table_path
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = _planted_ann_corpus(emb, queries)
+    try:
+        mtime = _os.path.getmtime(table_path(sf_dir, "embeddings"))
+    except OSError:
+        mtime = -1.0
+    key = (sf_dir, mtime, 16, 16, 1, 42)
+    if key not in _PQ_INDEX:
+        _PQ_INDEX.clear()
+        _PQ_INDEX[key] = pq_train(corpus, m=16, k=16, kmeans_iters=1, seed=42)
+    out = pq_topk(corpus, queries, codebooks=_PQ_INDEX[key], k=10, shortlist=100)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: Planted corpus for the line-dedup oracle: two boilerplate lines
 #: (doc-frequency 6 and 7 — above the threshold of 2), one line shared
 #: by exactly 2 docs (at the threshold — must SURVIVE), and per-doc
@@ -4474,6 +4515,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "triangle_count": q_triangle_count,
     "resample_interpolate": q_resample_interpolate,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4562,6 +4604,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "ann_lsh_topk": SQL_ANN_PLANTED,
     "ann_ivf_topk": SQL_ANN_PLANTED,
+    "ann_pq_topk": SQL_ANN_PLANTED,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "pca_project": SQL_PCA_PROJECT,
     "dedup_lines": SQL_DEDUP_LINES,

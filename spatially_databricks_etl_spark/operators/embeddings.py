@@ -15,6 +15,7 @@ shuffle, map-only.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,3 +167,239 @@ def dequantize_int8(
         out_col,
         F.transform(F.col(q_col), lambda qv: (qv * F.col(scale_col)).cast("double")),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook TRAIN (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces and train ``k`` centroids
+    per subspace with Lloyd iterations. Returns codebooks shaped
+    (m, k, dim/m) — a driver-side object of O(m·k·dim/m) = O(k·dim)
+    floats, independent of corpus size, persistable as a JSON sidecar
+    like the IVF centroids.
+
+    Why PQ after int8: int8 is 4–8×; PQ stores ``m`` code BYTES per
+    vector — 32× for dim=64/m=8 vs float32 — which is what makes a
+    billion-vector index fit in cluster memory. Search uses
+    asymmetric distance (exact query vs quantized corpus) so accuracy
+    degrades gracefully and a shortlist+exact-rerank recovers exact
+    top-k on well-separated neighbors (:func:`pq_topk`).
+
+    Scale shape: initialization samples ``k`` corpus vectors by
+    hashed id (deterministic, one tiny collect). Each Lloyd iteration
+    is ONE corpus pass: the Arrow kernel assigns all m sub-codes per
+    row, the per-(subspace, code) sub-vector means come from a single
+    explode + hash-aggregate whose shuffle carries only
+    (m·k, dim/m-sums, count) rows, and the collect stays O(k·dim).
+    Empty cells keep their previous centroid (same contract as
+    ``ivf_build``).
+    """
+    sample = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_train: empty corpus — no centroids to sample")
+    dim = len(sample[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    codebooks = [
+        [[float(x) for x in r["__v"][j * subdim : (j + 1) * subdim]] for r in sample]
+        for j in range(m)
+    ]
+    if len(sample) < k:
+        raise ValueError(
+            f"pq_train: corpus has only {len(sample)} vectors, need k={k}"
+        )
+
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(max(0, kmeans_iters)):
+        enc = pq_encode(vecs, codebooks, vec_col="__v", out_col="__code")
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.get("__code", j).alias("code"),
+                    F.slice("__v", j * subdim + 1, subdim).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        stats = (
+            enc.select(F.explode(sub_structs).alias("__s"))
+            .select("__s.j", "__s.code", "__s.sub")
+            .groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(F.get("sub", i)).alias(f"__s{i}") for i in range(subdim)],
+            )
+            .collect()
+        )
+        for r in stats:
+            j, c, n = r["j"], r["code"], r["__n"]
+            if n > 0:
+                codebooks[j][c] = [float(r[f"__s{i}"]) / n for i in range(subdim)]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codes (nearest codebook entry
+    per subspace, squared-L2, ties to the lowest index — numpy argmin,
+    deterministic). Arrow-batched kernel; the codebook ships in the
+    UDF closure (O(k·dim) — broadcast-sized by construction). The
+    code column is ``array<int>`` of length m: at rest that is m
+    bytes/vector in parquet after byte-packing, the 100 TB index
+    representation."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, subdim)
+    m, _, subdim = cb.shape
+
+    @pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy())  # (n, dim)
+        codes = np.empty((X.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = X[:, j * subdim : (j + 1) * subdim]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance with exact-cosine
+    rerank. Per micro-batch of corpus codes, the Arrow kernel looks up
+    each sub-code's precomputed distance to every query
+    (LUT[q, j, code] = ||q_sub − centroid||², built once per task from
+    the broadcast-sized query set) and emits (query, id, adc_dist)
+    rows; a per-query window keeps the ``shortlist`` best (default
+    4·k), and ONLY those join back to their exact vectors for the
+    cosine rerank — the standard IVF-PQ refine step. Returns
+    (query_id, neighbor_id, cosine_sim, rank), ties on neighbor id.
+
+    Scale shape: the corpus is scanned once as CODES (m bytes/vector,
+    not dim·4) — at 100 TB that is the difference between scanning
+    3 TB and 100 TB; the rerank touches shortlist·n_queries full
+    vectors only. No corpus shuffle before the (tiny) shortlist
+    window.
+    """
+    from spatially_databricks_etl_spark.functions.vectors import cosine_similarity
+    from spatially_databricks_etl_spark.operators.relational import (
+        ensure_parallelism,
+        top_k_per_group,
+    )
+
+    if shortlist is None:
+        shortlist = 4 * k
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, kk, subdim)
+    m, _, subdim = cb.shape
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_topk: empty query set")
+    qids = np.asarray([r["__qid"] for r in qrows])
+    Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    # LUT[q, j, c] = ||Q[q, sub_j] - cb[j, c]||^2  — O(nq·k·dim)
+    lut = np.stack(
+        [
+            ((Q[:, j * subdim : (j + 1) * subdim][:, None, :] - cb[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    enc = pq_encode(
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            "neighbor_id",
+        ),
+        codebooks,
+        vec_col=vec_col,
+        out_col="__code",
+    ).select("neighbor_id", "__code")
+
+    def adc(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["__code"].to_numpy())  # (n, m)
+            # dists[q, n] = sum_j LUT[q, j, codes[n, j]]
+            dists = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            n = codes.shape[0]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), len(qids)),
+                    "adc_dist": dists.reshape(-1),
+                }
+            )
+
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    scored = enc.mapInPandas(
+        adc, schema=f"query_id {qid_t}, neighbor_id {nid_t}, adc_dist double"
+    )
+    short = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist"), F.col("neighbor_id")],
+        shortlist,
+        rank_col="__adc_rank",
+    ).select("query_id", "neighbor_id")
+    exact = (
+        short.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("cosine_sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    out = top_k_per_group(
+        exact,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
