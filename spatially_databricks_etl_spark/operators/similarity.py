@@ -684,3 +684,185 @@ def semantic_dedup(
     )
     drops = pairs.select(F.col("drop_id").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF-PQ index (the FAISS ``IVFx,PQy``
+    shape): every vector is coarse-assigned to its IVF cell AND
+    PQ-encoded, written as parquet partitioned by cell with both
+    models as a ``_ivfpq_meta`` sidecar. The table stores
+    (vec_id, pq_code, embedding): a search reads the PROBED cells
+    only (partition pruning) and, within them, the ADC pass reads the
+    code COLUMN only (parquet column pruning) — the full vectors are
+    touched just for the shortlist rerank. Both prunings are free
+    consequences of the layout; neither needs runtime machinery.
+
+    At 100 TB this is the deployment shape: assignment + encoding
+    (the only full-corpus passes) happen once at ingest; a query
+    reads nprobe/n_cells of the corpus as m-byte codes, ~a 10⁴×
+    scan reduction for nprobe=4/256 cells and 16-byte codes vs
+    256-byte float vectors.
+    """
+    import json
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_encode
+
+    cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
+    assigned = pq_encode(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        codebooks,
+        vec_col="embedding",
+        out_col="pq_code",
+    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(json.dumps({"centroids": centroids, "codebooks": codebooks}),)],
+        "ivfpq_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
+
+
+def ivfpq_search_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe the ``nprobe`` nearest
+    cells per query (STATIC partition filter — unprobed directories
+    are never listed), run the PQ asymmetric-distance pass over the
+    probed cells' code column, keep a per-query ``shortlist``
+    (default 4·k), and exact-cosine rerank only the shortlist against
+    the stored vectors. Returns (query_id, neighbor_id, cosine_sim,
+    rank), ties on neighbor id — the same contract as every other
+    ANN entry point.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    if shortlist is None:
+        shortlist = 4 * k
+    spark = queries.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
+    )
+    cents, codebooks = meta["centroids"], meta["codebooks"]
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, subdim = cb.shape
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("ivfpq_search_index: empty query set")
+    qids = np.asarray([r["__qid"] for r in qrows])
+    Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    lut = np.stack(
+        [
+            (
+                (Q[:, j * subdim : (j + 1) * subdim][:, None, :] - cb[j][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    # probed cells per query, driver-side (centroids are a driver
+    # object; O(queries·cells) work on the already-collected batch)
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    sims = Qn @ Cn.T
+    probe_sets = {
+        int(qids[i]): sorted(np.argsort(-sims[i], kind="stable")[:nprobe].tolist())
+        for i in range(len(qids))
+    }
+    cells = sorted({c for cs in probe_sets.values() for c in cs})
+
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col("__cell").isin(cells))
+        .select("vec_id", "pq_code", "__cell")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            codes_np = np.stack(pdf["pq_code"].to_numpy())
+            dists = lut[:, np.arange(m)[None, :], codes_np].sum(axis=2)
+            cell_np = pdf["__cell"].to_numpy()
+            out = []
+            for i, qid in enumerate(qids):
+                probed = np.isin(cell_np, probe_sets[int(qid)])
+                if not probed.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf["vec_id"].to_numpy()[probed],
+                            "adc_dist": dists[i][probed],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame({"query_id": [], "vec_id": [], "adc_dist": []})
+            )
+
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    scored = codes.mapInPandas(
+        adc, schema=f"query_id {qid_t}, vec_id long, adc_dist double"
+    )
+    short = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist"), F.col("vec_id")],
+        shortlist,
+        rank_col="__adc_rank",
+    ).select("query_id", "vec_id")
+    vecs = (
+        spark.read.parquet(path)
+        .filter(F.col("__cell").isin(cells))
+        .select("vec_id", "embedding")
+    )
+    exact = (
+        short.join(vecs, "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qvec"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding")))
+    )
+    out = top_k_per_group(
+        exact,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id")],
+        k,
+        rank_col="rank",
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim", "rank"
+    )

@@ -467,3 +467,40 @@ def test_pq_roundtrip_codes_and_recall(spark):
     }
     assert all(ranks.get((q, q)) == 1 for q in range(5))
     assert len(a & b) / len(b) >= 0.5, f"recall {len(a & b) / len(b)}"
+
+
+def test_ivfpq_persisted_index_prunes_and_recalls(spark, tmp_path):
+    """Composed IVF-PQ index: (a) the ADC scan reads only probed cell
+    partitions (non-empty PartitionFilters on __cell), (b) the exact
+    self-match survives probing+quantization+rerank and ranks first,
+    (c) recall@10 vs brute force clears the floor for the gaussian
+    fixture at nprobe=8/16 cells."""
+    from spatially_databricks_etl_spark.operators.embeddings import pq_train
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=16, kmeans_iters=1)
+    cb = pq_train(emb, m=16, k=16, kmeans_iters=1)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, centroids=cents, codebooks=cb)
+
+    out = ivfpq_search_index(queries, path, k=10, nprobe=8, shortlist=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__cell" in ln for ln in pf), pf
+
+    rows = out.collect()
+    ranks = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in rows}
+    assert all(ranks.get((q, q)) == 1 for q in range(5))
+
+    brute = brute_force_topk(emb, queries, k=10)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
