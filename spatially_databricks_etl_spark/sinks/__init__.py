@@ -2,6 +2,7 @@ from spatially_databricks_etl_spark.sinks.layout import (
     compact_files,
     write_bucketed,
     write_range_sorted,
+    write_similarity_clustered,
     write_zordered,
 )
 from spatially_databricks_etl_spark.sinks.writers import (
@@ -17,5 +18,6 @@ __all__ = [
     "write_bucketed",
     "write_parquet",
     "write_range_sorted",
+    "write_similarity_clustered",
     "write_zordered",
 ]

@@ -188,3 +188,44 @@ def test_compact_files_refuses_overwrite_and_bad_target(spark, tmp_path):
     compact_files(spark, src, dest)
     with _pytest.raises(Exception):
         compact_files(spark, src, dest)  # mode("error"): no silent clobber
+
+
+def test_similarity_clustered_write_compresses_better(spark, tmp_path):
+    """Same rows written in similarity order must compress at least as
+    well as a similarity-hostile order (near-dups round-robin
+    scattered), and the content must round-trip identically. The
+    fixture documents carry organic near-dup groups, so the clustered
+    order has real redundancy to exploit."""
+    import os
+
+    from spatially_databricks_etl_spark.sinks.layout import (
+        write_similarity_clustered,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_similarity_clustered(docs, clustered, num_files=2)
+    # hostile order: hash-scatter so near-dup twins land apart
+    (
+        docs.withColumn("__r", F.xxhash64("doc_id"))
+        .repartitionByRange(2, "__r")
+        .sortWithinPartitions("__r")
+        .drop("__r")
+        .write.mode("overwrite")
+        .parquet(scattered)
+    )
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(clustered).collect()}
+    want = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    assert got == want
+    cb, sb = tree_bytes(clustered), tree_bytes(scattered)
+    assert cb <= sb, f"clustered {cb} > scattered {sb}"
