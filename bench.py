@@ -127,6 +127,7 @@ EXTRA = [
     "triangle_count",
     "resample_interpolate",
     "ann_pq_topk",
+    "range_bin_join",
 ]
 
 

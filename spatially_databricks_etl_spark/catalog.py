@@ -577,6 +577,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key) via the range-bin rewrite:
+    customers whose account balance falls inside each supplier's
+    ±100 balance band, aggregated per supplier. Without binning Spark
+    plans this as a BroadcastNestedLoopJoin (|c|·|s| comparisons and
+    a broadcast ceiling); with bins it is one hash shuffle on the bin
+    id — the shape pinned by the plan test. The oracle is the naive
+    theta join, which DuckDB's IEJoin handles at fixture scale."""
+    from spatially_databricks_etl_spark.operators.relational import binned_range_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("lo"),
+        (F.col("s_acctbal") + 100).alias("hi"),
+    )
+    joined = binned_range_join(
+        c.select("c_custkey", "c_acctbal"),
+        s,
+        point_col="c_acctbal",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=200.0,
+    )
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+SQL_RANGE_BIN_JOIN = """
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN supplier
+  ON c_acctbal >= s_acctbal - 100 AND c_acctbal < s_acctbal + 100
+GROUP BY s_suppkey
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward): each event annotated with the most
     recent 'error' event time of the same user at-or-before it.
@@ -4516,6 +4555,7 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count": q_triangle_count,
     "resample_interpolate": q_resample_interpolate,
     "ann_pq_topk": q_ann_pq_topk,
+    "range_bin_join": q_range_bin_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -4538,6 +4578,7 @@ ORACLES: dict[str, str] = {
     "anti_join": SQL_ANTI_JOIN,
     "outer_join": SQL_OUTER_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "range_bin_join": SQL_RANGE_BIN_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "window_topk": SQL_WINDOW_TOPK,
     "window_lag": SQL_WINDOW_LAG,

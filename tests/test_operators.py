@@ -873,3 +873,29 @@ def test_minhash_pairs_from_index_matches_fresh_pass(spark, tmp_path):
     )
     assert kept_idx == kept_self
 
+
+
+def test_binned_range_join_matches_theta_and_avoids_nested_loop(spark):
+    """The range-bin rewrite must return exactly the naive theta
+    join's rows (bin-edge intervals included) and must plan as a hash
+    join on the bin id, never a BroadcastNestedLoopJoin."""
+    from spatially_databricks_etl_spark.operators.relational import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 99.9, 100.0, 150.0, 250.0, -50.0])],
+        "pid long, x double",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 100.0, 200.0), (3, -100.0, 300.0), (4, 400.0, 500.0)],
+        "iid long, lo double, hi double",
+    )
+    got = binned_range_join(
+        pts, iv, point_col="x", lo_col="lo", hi_col="hi", bin_width=100.0
+    )
+    want = pts.join(iv, (pts["x"] >= iv["lo"]) & (pts["x"] < iv["hi"]))
+    g = {(r["pid"], r["iid"]) for r in got.collect()}
+    w = {(r["pid"], r["iid"]) for r in want.collect()}
+    assert g == w
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
