@@ -4187,8 +4187,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatially_databricks_etl_spark.operators.curate import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    # small orders only (≤4 lines): the full co-purchase graph is
+    # DENSE (avg part degree ~180 at sf0.1) and its O(m^1.5) wedge
+    # volume is graph cost, not engine cost — the bench query keeps a
+    # sparse graph so it measures the operator, while the operator's
+    # degree-ordering handles dense skew by construction
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
+        .filter(F.size("__ps") <= 4)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -4206,10 +4213,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TRIANGLE_COUNT = """
-WITH e AS (
+WITH small AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) <= 4
+),
+e AS (
   SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey IN (SELECT l_orderkey FROM small)
 )
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM e e1 JOIN e e2
