@@ -30,6 +30,7 @@ def interval_join(
     right_ts: str = "r_ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Rows of ``right`` that occur in ``(left_ts, left_ts + within]``
     for the same ``key``. Column names for the two timestamp columns
@@ -40,14 +41,42 @@ def interval_join(
     eviction); on batch inputs the identical condition runs as a plain
     equi+range join, which Catalyst executes as a hash join on the key
     with the range as a post-filter.
+
+    ``how`` extends to ``left_outer`` / ``right_outer`` / ``full_outer``
+    (the audit/attribution shape: clicks that never converted). For
+    OUTER stream-stream joins the interval condition must live in the
+    JOIN condition, not a post-filter — a filter after an outer join
+    would silently drop the null-padded rows — so the condition moves
+    inside the join for every mode, and Structured Streaming emits an
+    unmatched row only once the watermark proves no future match can
+    arrive: null-padded results trail the watermark delay, and rows
+    still inside the horizon when the query stops are withheld (the
+    documented engine contract, pinned by the outer-join test).
     """
-    cond = (
-        (F.col(right_ts) > F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}"))
-    )
+    allowed = {"inner", "left_outer", "right_outer", "full_outer"}
+    if how not in allowed:
+        raise ValueError(f"interval_join: how must be one of {sorted(allowed)}")
     if left.isStreaming or right.isStreaming:
         from spatially_databricks_etl_spark.streaming.windows import ensure_event_time
 
         left = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
         right = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
-    return left.join(right, on=key, how="inner").filter(cond)
+    # alias-qualified references: both sides may share lineage (e.g.
+    # two filters of one source), which makes bare attribute refs
+    # ambiguous under the self-join check
+    lcols, rcols = left.columns, right.columns
+    la, ra = left.alias("__ij_l"), right.alias("__ij_r")
+    lc = lambda c: F.col(f"__ij_l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__ij_r.{c}")  # noqa: E731
+    cond = (
+        (lc(key) == rc(key))
+        & (rc(right_ts) > lc(left_ts))
+        & (rc(right_ts) <= lc(left_ts) + F.expr(f"interval {within}"))
+    )
+    joined = la.join(ra, on=cond, how=how)
+    # collapse the duplicated key column (null-safe for outer modes)
+    return joined.select(
+        F.coalesce(lc(key), rc(key)).alias(key),
+        *[lc(c) for c in lcols if c != key],
+        *[rc(c) for c in rcols if c != key],
+    )

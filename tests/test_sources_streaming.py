@@ -573,3 +573,91 @@ def test_streaming_incremental_rollup_end_to_end(spark, tmp_path):
         assert gn == n
         assert gs == pytest.approx(s, rel=1e-9)
         assert gm == m
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: a click with no
+    purchase inside its interval must emit null-padded — but only
+    after the watermark proves no future match can arrive. A later
+    watermark-pusher batch on both sides closes the horizon; rows
+    still inside the horizon at query stop stay withheld (engine
+    contract). Also checks the matched pair emits exactly once and
+    the batch path returns the identical row set."""
+    import datetime as dt
+
+    from spatially_databricks_etl_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def mk(rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    old_clicks = mk(
+        [(1, 10, t0), (2, 20, t0)], "user_id long, click_id long, l_ts timestamp"
+    )
+    old_purch = mk(
+        [(1, 100, t0 + dt.timedelta(minutes=30))],
+        "user_id long, purchase_id long, r_ts timestamp",
+    )
+    push_clicks = mk(
+        [(99, 90, t0 + dt.timedelta(hours=10))],
+        "user_id long, click_id long, l_ts timestamp",
+    )
+    push_purch = mk(
+        [(99, 900, t0 + dt.timedelta(hours=10, minutes=1))],
+        "user_id long, purchase_id long, r_ts timestamp",
+    )
+
+    lsrc, rsrc = str(tmp_path / "loj_left"), str(tmp_path / "loj_right")
+    old_clicks.write.parquet(lsrc)
+    old_purch.write.parquet(rsrc)
+    # second write = later mtime = later micro-batch (oldest-first file
+    # ordering), so the pusher advances the watermark AFTER the old
+    # rows are in state
+    push_clicks.write.mode("append").parquet(lsrc)
+    push_purch.write.mode("append").parquet(rsrc)
+
+    ls = (
+        spark.readStream.schema(old_clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc)
+    )
+    rs = (
+        spark.readStream.schema(old_purch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+    )
+    out = interval_join(
+        ls, rs, key="user_id", within="1 hour", watermark="1 hour", how="left_outer"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("loj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql(
+            "select user_id, click_id, purchase_id from loj_test"
+        ).collect()
+    }
+    assert (1, 10, 100) in got, got          # matched pair
+    assert (2, 20, None) in got, got         # unmatched click, null-padded
+    assert (1, 10, None) not in got, got     # matched left never null-pads
+
+    # batch path: identical semantics as a plain outer join
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in interval_join(
+            old_clicks.unionByName(push_clicks),
+            old_purch.unionByName(push_purch),
+            key="user_id",
+            within="1 hour",
+            how="left_outer",
+        ).collect()
+    }
+    assert (2, 20, None) in batch and (1, 10, 100) in batch
