@@ -128,6 +128,7 @@ EXTRA = [
     "resample_interpolate",
     "ann_pq_topk",
     "range_bin_join",
+    "curate_funnel",
 ]
 
 

@@ -2809,7 +2809,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
-SQL_CURATE_CORPUS = (
+_SQL_CURATE_CTES_HEAD = (
     r"""
 WITH RECURSIVE
 m AS (
@@ -2856,11 +2856,43 @@ reach AS (
   SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
 ),
 comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+"""
+)
+
+SQL_CURATE_CORPUS = (
+    _SQL_CURATE_CTES_HEAD
+    + """
 SELECT e.doc_id, e.lang, e.n_chars
 FROM e LEFT JOIN comp ON e.doc_id = comp.id
 WHERE comp.id IS NULL OR comp.component = e.doc_id
 """
 )
+
+SQL_CURATE_FUNNEL = (
+    _SQL_CURATE_CTES_HEAD
+    + """
+, kept AS (
+  SELECT e.doc_id FROM e LEFT JOIN comp ON e.doc_id = comp.id
+  WHERE comp.id IS NULL OR comp.component = e.doc_id
+)
+SELECT 'input' AS stage, CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM q) AS BIGINT)
+UNION ALL SELECT 'exact_dedup', CAST((SELECT count(*) FROM e) AS BIGINT)
+UNION ALL SELECT 'near_dedup', CAST((SELECT count(*) FROM kept) AS BIGINT)
+"""
+)
+
+
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survival counts of the curation pipeline (input →
+    quality → exact dedup → near-dup clustering) — the observability
+    report a 100 TB curation run reads before anything else. The
+    oracle replays every gate (including the recursive-CTE component
+    resolution) and counts each stage independently."""
+    from spatially_databricks_etl_spark.operators.curate import curate_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_funnel(d, min_quality=0.6, near_threshold=0.7)
 
 
 def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4568,6 +4600,7 @@ QUERIES: dict[str, QueryFn] = {
     "resample_interpolate": q_resample_interpolate,
     "ann_pq_topk": q_ann_pq_topk,
     "range_bin_join": q_range_bin_join,
+    "curate_funnel": q_curate_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -4652,6 +4685,7 @@ ORACLES: dict[str, str] = {
     "time_rollup_cascade": SQL_TIME_ROLLUP_CASCADE,
     "array_fns": SQL_ARRAY_FNS,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "curate_funnel": SQL_CURATE_FUNNEL,
     "stateful_running_totals": SQL_STATEFUL_RUNNING_TOTALS,
     "sketch_profile": SQL_SKETCH_PROFILE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -605,12 +605,47 @@ def curate_corpus(
     (``lsh_observation`` on the index pass reports whether the cap
     fired at all).
     """
-    d = docs.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    _, _, kept = _curation_stages(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        langs=langs,
+        near_threshold=near_threshold,
+        near_pairs=near_pairs,
+    )
+    return kept
+
+
+def _curation_stages(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    min_quality: float,
+    langs: list[str] | None,
+    near_threshold: float,
+    near_pairs: DataFrame | None,
+    persist_stages: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared stage chain for :func:`curate_corpus` /
+    :func:`curate_funnel`: returns (quality_survivors,
+    exact_survivors, near_dedup_survivors). With ``persist_stages``
+    the first two are persisted BEFORE the next stage derives from
+    them, so a multi-consumer caller (the funnel's count branches)
+    computes each gate once."""
+    from pyspark.storagelevel import StorageLevel
+
+    d1 = docs.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
     if langs:
-        d = d.filter(F.col("lang").isin(langs))
-    d = exact_dedup(d, [text_col], keep_by=id_col)
+        d1 = d1.filter(F.col("lang").isin(langs))
+    if persist_stages:
+        d1 = d1.persist(StorageLevel.MEMORY_AND_DISK)
+    d2 = exact_dedup(d1, [text_col], keep_by=id_col)
+    if persist_stages:
+        d2 = d2.persist(StorageLevel.MEMORY_AND_DISK)
     if near_pairs is not None:
-        ids = d.select(F.col(id_col).alias("__kid"))
+        ids = d2.select(F.col(id_col).alias("__kid"))
         pairs = (
             near_pairs.filter(F.col("jaccard_sim") >= near_threshold)
             .join(ids, near_pairs["id_a"] == ids["__kid"], "left_semi")
@@ -618,7 +653,7 @@ def curate_corpus(
         )
     else:
         pairs = minhash_near_dedup(
-            d, text_col=text_col, id_col=id_col, threshold=near_threshold
+            d2, text_col=text_col, id_col=id_col, threshold=near_threshold
         )
     comp = connected_components(pairs)
     # connected_components eagerly localCheckpoints the edge list, so
@@ -628,7 +663,57 @@ def curate_corpus(
     non_reps = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return d.join(non_reps, on=id_col, how="left_anti")
+    kept = d2.join(non_reps, on=id_col, how="left_anti")
+    return d1, d2, kept
+
+
+def curate_funnel(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.6,
+    langs: list[str] | None = None,
+    near_threshold: float = 0.7,
+    near_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-stage funnel report for the curation pipeline: one row per
+    stage (input → quality → exact_dedup → near_dedup) with the
+    surviving row count — the observability a 100 TB curation run
+    needs to see WHERE its data went without re-running anything.
+
+    The quality- and exact-survivor frames are persisted because each
+    feeds both its own count branch and the next stage (a real
+    pipeline would checkpoint these stage boundaries anyway — the
+    persist is the in-session stand-in). Release via
+    ``caching.release_intermediates(result)``. Counts are plain
+    aggregates unioned into one frame — no driver-side loops.
+    """
+    from spatially_databricks_etl_spark.caching import register_persists
+
+    d1, d2, kept = _curation_stages(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        langs=langs,
+        near_threshold=near_threshold,
+        near_pairs=near_pairs,
+        persist_stages=True,
+    )
+
+    def stage_count(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    result = (
+        stage_count(docs, "input")
+        .unionByName(stage_count(d1, "quality"))
+        .unionByName(stage_count(d2, "exact_dedup"))
+        .unionByName(stage_count(kept, "near_dedup"))
+    )
+    return register_persists(result, [d1, d2])
 
 
 def bigram_lm_score(
