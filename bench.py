@@ -24,10 +24,11 @@ value = sum of per-query medians. ALL cached blocks are released
 between iterations (clearCache), so no query inherits another's
 persisted intermediates.
 
-Measurement asymmetry note: ``ann_ivf_topk`` memoizes its trained
-centroids across iterations (keyed on fixture path + mtime — see
-``catalog._IVF_INDEX``), so its median measures SEARCH cost only;
-the one-time Lloyd build is index-ingest work, reported by the
+Measurement asymmetry note: ``ann_ivf_topk`` and ``ann_pq_topk``
+memoize their trained models across iterations (keyed on fixture
+path + mtime — see ``catalog._IVF_INDEX`` / ``catalog._PQ_INDEX``),
+so their medians measure SEARCH cost only; the one-time Lloyd /
+codebook builds are index-ingest work, reported by the
 first-iteration spread ceiling.
 """
 
