@@ -300,3 +300,97 @@ def test_dedup_lines_matches_python_reference(spark, docs, max_df):
         assert got[i] == (want_text, len(ls) - len(kept)), (
             i, ls, got[i], want_text, dfreq,
         )
+
+
+@given(
+    points=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=12
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bin_width=st.sampled_from([1.0, 7.0, 50.0, 1000.0]),
+)
+@SETTINGS
+def test_binned_range_join_matches_theta_on_arbitrary_inputs(
+    spark, points, intervals, bin_width
+):
+    """The range-bin rewrite must return exactly the naive theta
+    join's pairs for arbitrary points, interval placements (including
+    empty, point-width, bin-edge-straddling), and bin widths both
+    finer and coarser than the intervals."""
+    from spatially_databricks_etl_spark.operators.relational import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in binned_range_join(
+            pts, iv, point_col="x", lo_col="lo", hi_col="hi", bin_width=bin_width
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, v in enumerate(points)
+        for iid, (lo, ln) in enumerate(intervals)
+        if lo <= v < lo + ln
+    }
+    assert got == want, (got, want)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # day offset
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_resample_interpolate_bounded_and_exact_on_observations(spark, obs):
+    """Interpolated fills must (a) reproduce every observed bucket
+    exactly, (b) stay within [min, max] of the surrounding
+    observations (linear interpolation never overshoots), and (c)
+    produce a gapless daily grid between the first and last
+    observation."""
+    import datetime as dt
+
+    from spatially_databricks_etl_spark.operators.relational import (
+        resample_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0 + dt.timedelta(days=d, hours=3), float(v)) for d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = sorted(
+        (r["bucket"], r["filled_value"], r["is_gap"])
+        for r in resample_interpolate(df).collect()
+    )
+    by_day = dict(sorted(obs))
+    days = sorted(by_day)
+    assert len(out) == days[-1] - days[0] + 1  # gapless grid
+    vals = [v for _, v in sorted(by_day.items())]
+    lo, hi = min(vals), max(vals)
+    for bucket, filled, is_gap in out:
+        d = (bucket - t0).days
+        if d in by_day:
+            assert not is_gap
+            assert filled == float(by_day[d])
+        else:
+            assert is_gap
+            assert lo - 1e-9 <= filled <= hi + 1e-9
