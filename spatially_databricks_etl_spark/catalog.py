@@ -4447,29 +4447,28 @@ WHERE f.rn = f.n
 #: tests/`).
 QUERIES: dict[str, QueryFn] = {
     # The driver grades the FIRST 50 entries; the rest are judge-
-    # attested via tools/diffcheck.py. Round-6 rotation (VERDICT r5
-    # item 1 + ADVICE auditability note): the 13 round-5 operators
-    # (q4/q14/q22, histogram_equiheight, column_profile, skew_profile,
-    # bloom_prune_join, stream_cdc_state, audio_energy,
-    # window_time_range, pagerank, feature_hash, quantize_embeddings)
-    # move INTO the prefix; 13 same-family twins (filter_range_in_rlike,
-    # histogram, corr_matrix, sketch_profile, fuzzy_join,
-    # rolling_features, doc_fingerprint, pack_sequences,
-    # negative_samples, funnel, cohort_retention, ann_ivf_topk,
-    # stateful_running_totals) move to 51+ and remain fully oracled.
+    # attested via tools/diffcheck.py. Round-7 rotation (VERDICT r6
+    # item 1): the 10 round-6 operators (q13/q17/q18/q20/q21,
+    # resample_interpolate, range_bin_join, ann_pq_topk, curate_funnel,
+    # triangle_count) move INTO the prefix; 10 same-family twins already
+    # driver-attested in earlier rounds (q4_order_priority, q5_star_join,
+    # q14_promo_revenue, q22_dormant_balances, robust_zscore,
+    # resample_ffill, asof_join, pca_project, curate_corpus, pagerank)
+    # move to 51+ and remain fully oracled. Prior rotations: r6 moved 13
+    # round-5 operators in (see git history of this comment).
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
-    "q4_order_priority": q4_order_priority,
-    "q5_star_join": q5_star_join,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q22_dormant_balances": q22_dormant_balances,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
     "histogram_equiheight": q_histogram_equiheight,
     "column_profile": q_column_profile,
     "skew_profile": q_skew_profile,
-    "robust_zscore": q_robust_zscore,
     # -- sketches / sampling ----------------------------------------------
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample_by_lang": q_weighted_sample_by_lang,
@@ -4480,13 +4479,13 @@ QUERIES: dict[str, QueryFn] = {
     "window_time_range": q_window_time_range,
     "union_by_name": q_union_by_name,
     # -- time-series / sequence ------------------------------------------
-    "resample_ffill": q_resample_ffill,
+    "resample_interpolate": q_resample_interpolate,
     "scd2": q_scd2,
     "sessionize": q_sessionize,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
-    "asof_join": q_asof_join,
+    "range_bin_join": q_range_bin_join,
     "bloom_prune_join": q_bloom_prune_join,
     # -- pandas UDF / UDAF / grouped-map / UDTF --------------------------
     "pandas_sigmoid": q_pandas_sigmoid,
@@ -4502,7 +4501,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- similarity / ANN / embeddings -----------------------------------
     "ann_brute_topk": q_ann_brute_topk,
     "quantize_embeddings": q_quantize_embeddings,
-    "pca_project": q_pca_project,
+    "ann_pq_topk": q_ann_pq_topk,
     # -- text analysis / featurization -----------------------------------
     "pii_redact": q_pii_redact,
     "feature_hash": q_feature_hash,
@@ -4510,8 +4509,8 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "tfidf": q_tfidf,
     "bigram_lm": q_bigram_lm,
-    "curate_corpus": q_curate_corpus,
-    "pagerank": q_pagerank,
+    "curate_funnel": q_curate_funnel,
+    "triangle_count": q_triangle_count,
     # -- MERGE / incremental ---------------------------------------------
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
@@ -4524,6 +4523,16 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "audio_energy": q_audio_energy,
     # ==== position 51+: same-family variants + rows-only queries ========
+    "q4_order_priority": q4_order_priority,
+    "q5_star_join": q5_star_join,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q22_dormant_balances": q22_dormant_balances,
+    "robust_zscore": q_robust_zscore,
+    "resample_ffill": q_resample_ffill,
+    "asof_join": q_asof_join,
+    "pca_project": q_pca_project,
+    "curate_corpus": q_curate_corpus,
+    "pagerank": q_pagerank,
     "filter_range_in_rlike": q_filter_range_in_rlike,
     "histogram": q_histogram,
     "corr_matrix": q_corr_matrix,
@@ -4540,11 +4549,6 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q20_part_share_suppliers": q20_part_share_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -4596,11 +4600,6 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
-    "triangle_count": q_triangle_count,
-    "resample_interpolate": q_resample_interpolate,
-    "ann_pq_topk": q_ann_pq_topk,
-    "range_bin_join": q_range_bin_join,
-    "curate_funnel": q_curate_funnel,
 }
 
 ORACLES: dict[str, str] = {
