@@ -871,7 +871,7 @@ def triangle_count(
     *,
     src: str = "src",
     dst: str = "dst",
-    broadcast_edges_limit: int = 20_000_000,
+    broadcast_bytes_limit: int = 256 << 20,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge list
     (reversed duplicates and self-loops tolerated — edges are
@@ -893,6 +893,12 @@ def triangle_count(
     then two equi-joins — wedge generation on the shared out-source,
     wedge closing against the oriented edge list. No cartesian, no
     per-vertex collect; all frames are edge- or wedge-sized.
+
+    ``broadcast_bytes_limit`` gates the forced broadcast of the
+    closing edge list (~64 B/edge as an in-memory hash relation —
+    every executor AND the driver must hold that much; the 256 MB
+    default ≈ 4M edges assumes ≥4 GB executors). Larger graphs take
+    the shuffled-closing fallback, announced via a log warning.
     """
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
@@ -942,14 +948,35 @@ def triangle_count(
     n_edges = e.count()
     # The closing check probes the O(m^1.5) wedge frame against the
     # O(m) edge list — NEVER shuffle the wedges: when the edge list
-    # fits (default ≤20M edges ≈ 320 MB of (long, long) rows), force
-    # it broadcast so the wedge side stays map-only; Spark's size
-    # estimate won't auto-broadcast a frame this side of a shuffle.
-    # Above the limit, fall back to the shuffled join (at that scale a
-    # graph-partitioned algorithm is the right tool anyway). Measured
-    # at sf0.1 (1.2M edges, dense co-purchase graph): 46 s → 6 s.
-    if n_edges <= broadcast_edges_limit:
+    # fits, force it broadcast so the wedge side stays map-only;
+    # Spark's size estimate won't auto-broadcast a frame this side of
+    # a shuffle. The gate is on ESTIMATED HASH-RELATION BYTES, not raw
+    # rows: a (long, long) row is 16 B of data but ~64 B as an
+    # in-memory BroadcastHashJoin relation (UnsafeRow header + hash
+    # map entry + pointer overhead), so the default 256 MB limit
+    # admits ~4M edges — sized for a modest 4 GB executor, not just
+    # this box. Above the limit, fall back to the shuffled join (at
+    # that scale a graph-partitioned algorithm is the right tool
+    # anyway) and LOG the mode switch so a 100× run can see which
+    # plan it got instead of silently crossing the cliff. Measured at
+    # sf0.1 (1.2M edges, dense co-purchase graph): 46 s → 6 s
+    # broadcast vs shuffled.
+    est_bytes = n_edges * 64
+    if est_bytes <= broadcast_bytes_limit:
         closing = F.broadcast(closing)
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "triangle_count: closing edge list (%d edges, ~%d MB as a "
+            "hash relation) exceeds broadcast_bytes_limit=%d MB — "
+            "falling back to a SHUFFLED closing join over the O(m^1.5) "
+            "wedge frame; consider a graph-partitioned algorithm at "
+            "this scale",
+            n_edges,
+            est_bytes >> 20,
+            broadcast_bytes_limit >> 20,
+        )
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     result = tri.agg(
         F.lit(n_edges).cast("long").alias("n_edges"),

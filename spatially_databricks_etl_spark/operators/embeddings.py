@@ -211,6 +211,15 @@ def pq_train(
     )
     if not sample:
         raise ValueError("pq_train: empty corpus — no centroids to sample")
+    # validate the sample BEFORE deriving dim / building codebooks —
+    # a short sample must fail on its own error, not on a downstream
+    # IndexError from indexing an invalid row
+    if len(sample) < k:
+        raise ValueError(
+            f"pq_train: corpus has only {len(sample)} vectors, need k={k}"
+        )
+    if not sample[0]["__v"]:
+        raise ValueError("pq_train: empty embedding vector in corpus")
     dim = len(sample[0]["__v"])
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
@@ -219,10 +228,6 @@ def pq_train(
         [[float(x) for x in r["__v"][j * subdim : (j + 1) * subdim]] for r in sample]
         for j in range(m)
     ]
-    if len(sample) < k:
-        raise ValueError(
-            f"pq_train: corpus has only {len(sample)} vectors, need k={k}"
-        )
 
     vecs = corpus.select(F.col(vec_col).alias("__v"))
     for _ in range(max(0, kmeans_iters)):
@@ -296,31 +301,41 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance with exact-cosine
     rerank. Per micro-batch of corpus codes, the Arrow kernel looks up
     each sub-code's precomputed distance to every query
     (LUT[q, j, code] = ||q_sub − centroid||², built once per task from
-    the broadcast-sized query set) and emits (query, id, adc_dist)
-    rows; a per-query window keeps the ``shortlist`` best (default
-    4·k), and ONLY those join back to their exact vectors for the
-    cosine rerank — the standard IVF-PQ refine step. Returns
+    the broadcast-sized query set), pre-reduces the batch to each
+    query's LOCAL ``shortlist`` best (numpy argpartition + exact
+    (dist, id) tie-sort — bit-identical to the unreduced form because
+    the global top-``shortlist`` under (adc_dist, neighbor_id) is a
+    subset of the union of per-batch top-``shortlist``s), and emits
+    only those rows; the global per-query window then merges
+    O(shortlist · n_batches) rows per query — never a corpus-sized
+    frame — and ONLY the survivors join back to their exact vectors
+    for the cosine rerank, the standard IVF-PQ refine step. Returns
     (query_id, neighbor_id, cosine_sim, rank), ties on neighbor id.
 
     Scale shape: the corpus is scanned once as CODES (m bytes/vector,
     not dim·4) — at 100 TB that is the difference between scanning
     3 TB and 100 TB; the rerank touches shortlist·n_queries full
-    vectors only. No corpus shuffle before the (tiny) shortlist
-    window.
+    vectors only. The query set is COLLECTED to build the LUT, so the
+    broadcast-batch contract is enforced (``check_query_batch``,
+    default ceiling ``ANN_MAX_QUERIES`` = 10⁴ — at dim 64 that is a
+    ~5 MB LUT per task).
     """
     from spatially_databricks_etl_spark.functions.vectors import cosine_similarity
     from spatially_databricks_etl_spark.operators.relational import (
         ensure_parallelism,
         top_k_per_group,
     )
+    from spatially_databricks_etl_spark.operators.similarity import check_query_batch
 
     if shortlist is None:
         shortlist = 4 * k
+    check_query_batch(queries, "pq_topk", max_queries)
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, kk, subdim)
     m, _, subdim = cb.shape
     qrows = queries.select(
@@ -353,15 +368,33 @@ def pq_topk(
 
     def adc(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             codes = np.stack(pdf["__code"].to_numpy())  # (n, m)
             # dists[q, n] = sum_j LUT[q, j, codes[n, j]]
             dists = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
-            n = codes.shape[0]
+            nid = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for i in range(len(qids)):
+                d, v = dists[i], nid
+                # local per-batch shortlist: argpartition to the
+                # `shortlist` smallest, widen to every row tying the
+                # cut distance so boundary ties resolve by id exactly
+                # as the global (adc_dist, neighbor_id) window would,
+                # then exact (dist, id) order on the slice.
+                if d.shape[0] > shortlist:
+                    cut = d[np.argpartition(d, shortlist - 1)[:shortlist]].max()
+                    cand = d <= cut
+                    d, v = d[cand], v[cand]
+                keep = np.lexsort((v, d))[:shortlist]
+                out_q.append(np.repeat(qids[i], keep.shape[0]))
+                out_n.append(v[keep])
+                out_d.append(d[keep])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, n),
-                    "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), len(qids)),
-                    "adc_dist": dists.reshape(-1),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
                 }
             )
 

@@ -149,7 +149,7 @@ def binned_range_join(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_width: float,
+    bin_width: float | None = None,
     equi: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Scale path for the PURE range join (``lo <= point < hi`` with
@@ -168,9 +168,27 @@ def binned_range_join(
     improves as bins shrink. Set it near the TYPICAL interval length
     so most intervals explode to 1-2 bins; a pathological giant
     interval degrades gracefully into many narrow bin rows (rows,
-    not a cross product). Composes with ``equi`` keys when present.
-    Returns the joined frame with both sides' columns.
+    not a cross product). When omitted (None), the width is derived
+    as the MEDIAN interval length (one ``percentile_approx``
+    aggregate over the interval frame — a single cheap pre-pass):
+    the median pins per-interval fanout to ~2 bins for at least half
+    the intervals and bounds expected fanout by
+    E[len]/median + 1, while outlier-giant intervals still degrade
+    into rows, not products. Composes with ``equi`` keys when
+    present. Returns the joined frame with both sides' columns.
     """
+    if bin_width is None:
+        row = intervals.agg(
+            F.percentile_approx(
+                F.col(hi_col).cast("double") - F.col(lo_col).cast("double"), 0.5
+            ).alias("__w")
+        ).first()
+        bin_width = row["__w"] if row and row["__w"] else None
+        if not bin_width or bin_width <= 0:
+            # empty interval frame or degenerate (all zero-length)
+            # intervals: any positive width is correct (zero-length
+            # intervals match nothing under lo <= p < hi)
+            bin_width = 1.0
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
     w = F.lit(float(bin_width))

@@ -30,6 +30,37 @@ from spatially_databricks_etl_spark.operators.relational import (
     top_k_per_group,
 )
 
+#: Default ceiling for the broadcast-sized query-batch contract every
+#: ANN entry point shares. Above this, the collected/broadcast query
+#: set stops being "tiny metadata" (10⁴ queries × dim 64 float64 ≈
+#: 5 MB — safe; 10⁶ would be 500 MB and a driver OOM risk on the
+#: collect-based paths). The guard makes the documented contract
+#: ENFORCED: oversized batches fail fast with a pointer to the
+#: batched/indexed alternative instead of OOMing mid-job.
+ANN_MAX_QUERIES = 10_000
+
+
+def check_query_batch(
+    queries: DataFrame, op: str, max_queries: int | None = ANN_MAX_QUERIES
+) -> None:
+    """Enforce the broadcast-sized query-batch contract: raise when
+    ``queries`` holds more than ``max_queries`` rows. One cheap
+    ``limit(n+1).count()`` job — it never materializes more than
+    ``max_queries + 1`` rows regardless of the input size. Pass
+    ``max_queries=None`` to opt out (e.g. when the caller has already
+    counted the batch)."""
+    if max_queries is None:
+        return
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{op}: query batch exceeds {max_queries} rows — the batch is "
+            "collected/broadcast by contract. Split the queries into "
+            "batches, raise max_queries explicitly, or use a persisted "
+            "index path (lsh_search_index / ivf_search_index / "
+            "ivfpq_search_index) with batched query sets."
+        )
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -39,13 +70,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` must be small (it is broadcast); the corpus scan is a
+    ``queries`` must be small (it is broadcast — enforced by
+    ``check_query_batch``, default ceiling 10⁴); the corpus scan is a
     single pass. Ties break on neighbor id for determinism.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
+    check_query_batch(queries, "brute_force_topk", max_queries)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
@@ -141,6 +175,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.
 
@@ -155,6 +190,7 @@ def lsh_bucketed_topk(
     exactly one bucket. 8 planes ≈ 256 buckets is a reasonable sf0.1
     default.
     """
+    check_query_batch(queries, "lsh_bucketed_topk", max_queries)
     hp = _hyperplanes(dim, planes, seed)
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
@@ -211,6 +247,7 @@ def lsh_search_index(
     k: int = 10,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted LSH index (see :func:`lsh_write_index`):
     queries bucket with the sidecar's hyperplanes, the distinct query
@@ -221,6 +258,7 @@ def lsh_search_index(
     (pinned by test)."""
     import json
 
+    check_query_batch(queries, "lsh_search_index", max_queries)
     spark = queries.sparkSession
     meta = json.loads(
         spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
@@ -366,6 +404,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k SEARCH: partition the
     corpus by nearest coarse centroid, probe only the ``nprobe``
@@ -391,6 +430,7 @@ def ivf_topk(
     ingest for repeated querying: probes then become partition-pruned
     scans.
     """
+    check_query_batch(queries, "ivf_topk", max_queries)
     cents = centroids if centroids is not None else ivf_build(
         corpus,
         n_centroids=n_centroids,
@@ -483,6 +523,7 @@ def ivf_search_index(
     centroids: list[list[float]] | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted IVF index (see :func:`ivf_write_index`).
 
@@ -495,6 +536,7 @@ def ivf_search_index(
     test). The collect is O(queries·nprobe) — the query batch is
     broadcast anyway, so driver-side cell routing adds no new scale
     constraint."""
+    check_query_batch(queries, "ivf_search_index", max_queries)
     spark = queries.sparkSession
     cents = centroids if centroids is not None else ivf_read_centroids(spark, path)
     cell_sims = _cell_sims(_scaled_centroid_lit(cents))
@@ -739,6 +781,7 @@ def ivfpq_search_index(
     shortlist: int | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index: probe the ``nprobe`` nearest
     cells per query (STATIC partition filter — unprobed directories
@@ -748,6 +791,16 @@ def ivfpq_search_index(
     the stored vectors. Returns (query_id, neighbor_id, cosine_sim,
     rank), ties on neighbor id — the same contract as every other
     ANN entry point.
+
+    The ADC kernel pre-reduces each Arrow batch to its per-query
+    local shortlist (numpy argpartition + exact (dist, id) sort of
+    the partitioned slice), so the frame that reaches the global
+    shortlist window is O(shortlist · n_batches) rows per query, not
+    the probed-cell row count — the window shuffle never carries a
+    corpus-sized frame. The global top-``shortlist`` under the total
+    order (adc_dist, vec_id) is a subset of the union of per-batch
+    top-``shortlist``s, so the result is bit-identical to the
+    unreduced form.
     """
     import json
 
@@ -758,6 +811,7 @@ def ivfpq_search_index(
 
     if shortlist is None:
         shortlist = 4 * k
+    check_query_batch(queries, "ivfpq_search_index", max_queries)
     spark = queries.sparkSession
     meta = json.loads(
         spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
@@ -790,11 +844,14 @@ def ivfpq_search_index(
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
     sims = Qn @ Cn.T
-    probe_sets = {
-        int(qids[i]): sorted(np.argsort(-sims[i], kind="stable")[:nprobe].tolist())
+    # probe sets keyed by QUERY INDEX (never by a cast of the id
+    # value) so non-integer query ids — strings, uuids — work
+    # unchanged; the id itself only rides along in the output column.
+    probe_sets = [
+        sorted(np.argsort(-sims[i], kind="stable")[:nprobe].tolist())
         for i in range(len(qids))
-    }
-    cells = sorted({c for cs in probe_sets.values() for c in cs})
+    ]
+    cells = sorted({c for cs in probe_sets for c in cs})
 
     codes = (
         spark.read.parquet(path)
@@ -804,20 +861,34 @@ def ivfpq_search_index(
 
     def adc(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             codes_np = np.stack(pdf["pq_code"].to_numpy())
             dists = lut[:, np.arange(m)[None, :], codes_np].sum(axis=2)
             cell_np = pdf["__cell"].to_numpy()
+            vid_np = pdf["vec_id"].to_numpy()
             out = []
-            for i, qid in enumerate(qids):
-                probed = np.isin(cell_np, probe_sets[int(qid)])
+            for i in range(len(qids)):
+                probed = np.isin(cell_np, probe_sets[i])
                 if not probed.any():
                     continue
+                d, v = dists[i][probed], vid_np[probed]
+                # local per-batch shortlist: argpartition to the
+                # `shortlist` smallest, widen to every row tying the
+                # cut distance (so boundary ties resolve by id exactly
+                # as the global window's (adc_dist, vec_id) sort
+                # would), then exact (dist, id) order on the slice.
+                if d.shape[0] > shortlist:
+                    cut = d[np.argpartition(d, shortlist - 1)[:shortlist]].max()
+                    cand = d <= cut
+                    d, v = d[cand], v[cand]
+                keep = np.lexsort((v, d))[:shortlist]
                 out.append(
                     pd.DataFrame(
                         {
-                            "query_id": qid,
-                            "vec_id": pdf["vec_id"].to_numpy()[probed],
-                            "adc_dist": dists[i][probed],
+                            "query_id": qids[i],
+                            "vec_id": v[keep],
+                            "adc_dist": d[keep],
                         }
                     )
                 )
@@ -828,8 +899,11 @@ def ivfpq_search_index(
             )
 
     qid_t = queries.schema[query_id_col].dataType.simpleString()
+    # the corpus id type comes from the STORED index schema, not a
+    # hardcoded long — string/int ids round-trip through the index
+    vid_t = codes.schema["vec_id"].dataType.simpleString()
     scored = codes.mapInPandas(
-        adc, schema=f"query_id {qid_t}, vec_id long, adc_dist double"
+        adc, schema=f"query_id {qid_t}, vec_id {vid_t}, adc_dist double"
     )
     short = top_k_per_group(
         scored,

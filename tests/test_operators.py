@@ -899,3 +899,40 @@ def test_binned_range_join_matches_theta_and_avoids_nested_loop(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_default_width_matches_explicit(spark):
+    """Omitting bin_width derives it from the median interval length;
+    the result must equal the theta join (same contract as any
+    explicit width — the property suite already pins arbitrary
+    widths) and zero-length/empty interval frames must not crash the
+    derivation."""
+    from spatially_databricks_etl_spark.operators.relational import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 99.9, 100.0, 150.0, 250.0, -50.0])],
+        "pid long, x double",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 100.0, 200.0), (3, -100.0, 300.0), (4, 400.0, 500.0)],
+        "iid long, lo double, hi double",
+    )
+    got = binned_range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi")
+    want = pts.join(iv, (pts["x"] >= iv["lo"]) & (pts["x"] < iv["hi"]))
+    g = {(r["pid"], r["iid"]) for r in got.collect()}
+    w = {(r["pid"], r["iid"]) for r in want.collect()}
+    assert g == w
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # degenerate interval frames: all zero-length -> no matches, no crash
+    zero = spark.createDataFrame([(1, 5.0, 5.0)], "iid long, lo double, hi double")
+    assert (
+        binned_range_join(pts, zero, point_col="x", lo_col="lo", hi_col="hi").count()
+        == 0
+    )
+    empty = zero.filter("iid < 0")
+    assert (
+        binned_range_join(pts, empty, point_col="x", lo_col="lo", hi_col="hi").count()
+        == 0
+    )

@@ -469,6 +469,87 @@ def test_pq_roundtrip_codes_and_recall(spark):
     assert len(a & b) / len(b) >= 0.5, f"recall {len(a & b) / len(b)}"
 
 
+def test_ann_query_batch_guard_raises_on_oversized_batch(spark):
+    """Every ANN entry point collects or broadcasts the query set
+    under a size contract; the contract is ENFORCED, not just
+    documented — an oversized batch must fail fast with a pointer to
+    the batched/indexed alternative, never OOM mid-job."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_topk
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    for fn, kwargs in (
+        (brute_force_topk, {}),
+        (lsh_bucketed_topk, {}),
+        (ivf_topk, {"n_centroids": 4}),
+    ):
+        with pytest.raises(ValueError, match="query batch exceeds"):
+            fn(emb, queries, k=3, max_queries=10, **kwargs)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        pq_topk(
+            emb,
+            queries,
+            codebooks=[[[0.0] * 32] * 4] * 2,
+            k=3,
+            max_queries=10,
+        )
+    # within the ceiling, the guard is invisible
+    assert brute_force_topk(emb, queries, k=1, max_queries=20).count() == 20
+
+
+def test_pq_train_short_corpus_raises_cleanly(spark):
+    """A corpus smaller than k must raise the dedicated ValueError —
+    validation runs BEFORE dim derivation / codebook construction, so
+    no IndexError can pre-empt it."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_train
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(3)
+    with pytest.raises(ValueError, match="need k=16"):
+        pq_train(emb, m=4, k=16)
+
+
+def test_ivfpq_index_string_ids_roundtrip(spark, tmp_path):
+    """IVF-PQ index + search with STRING corpus and query ids: the
+    mapInPandas schema derives the corpus id type from the stored
+    index and probe routing is keyed by query index, so non-integer
+    ids round-trip; the planted self-match still ranks first."""
+    import numpy as np
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_train
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(f"doc-{i:03d}", rng.randn(8).tolist()) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(f"q-{vid}", v) for vid, v in rows[:3]],
+        "query_id string, embedding array<double>",
+    )
+    cents = ivf_build(corpus, n_centroids=2, kmeans_iters=1)
+    cb = pq_train(corpus, m=4, k=8, kmeans_iters=1)
+    path = str(tmp_path / "ivfpq_str")
+    ivfpq_write_index(corpus, path, centroids=cents, codebooks=cb)
+
+    out = ivfpq_search_index(queries, path, k=5, nprobe=2, shortlist=40).collect()
+    assert out, "search returned no rows"
+    assert all(isinstance(r["neighbor_id"], str) for r in out)
+    top = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    for vid, _ in rows[:3]:
+        assert top[f"q-{vid}"] == vid
+
+
 def test_ivfpq_persisted_index_prunes_and_recalls(spark, tmp_path):
     """Composed IVF-PQ index: (a) the ADC scan reads only probed cell
     partitions (non-empty PartitionFilters on __cell), (b) the exact
