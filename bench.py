@@ -130,6 +130,13 @@ EXTRA = [
     "ann_pq_topk",
     "range_bin_join",
     "curate_funnel",
+    # round 7: the dense (unfiltered) triangle graph so the artifact
+    # shows the O(m^1.5) cost honestly, plus the three new TPC-H
+    # planner stressors
+    "triangle_count_dense",
+    "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
 ]
 
 

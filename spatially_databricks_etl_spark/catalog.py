@@ -4145,6 +4145,157 @@ LIMIT 20
 """
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three brand/size/quantity bands,
+    expressed as ONE join whose condition is the raw OR-of-ANDs
+    (equi key + common conjunct + three disjuncts mixing both sides)
+    — THE disjunctive-pushdown planner stressor. Declared naively on
+    purpose: Spark's ``PushExtraPredicateThroughJoin`` (SPARK-32302)
+    splits the disjunction into per-side convertible residuals, so
+    the committed plan shows the part scan's PushedFilters carrying
+    ``Or(And(p_brand=..., p_size<=...), ...)``, the lineitem scan
+    carrying the quantity-band Or AND the factored-out common
+    conjunct ``l_linestatus = 'F'``, the join reduced to a broadcast
+    hash join on the equi key, and the exact disjunction kept as the
+    join residual. No manual DNF splitting needed — the engine does
+    the rewrite (evidence in PLANS.md). The fixture has no
+    p_container/l_shipmode, so size bands stand in for containers and
+    the linestatus flag for the shipmode/shipinstruct common
+    conjunct."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    t1 = (p["p_brand"] == "Brand#12") & p["p_size"].between(1, 5) & li[
+        "l_quantity"
+    ].between(1, 11)
+    t2 = (p["p_brand"] == "Brand#23") & p["p_size"].between(1, 10) & li[
+        "l_quantity"
+    ].between(10, 20)
+    t3 = (p["p_brand"] == "Brand#3") & p["p_size"].between(1, 15) & li[
+        "l_quantity"
+    ].between(20, 30)
+    common = li["l_linestatus"] == "F"
+    j = li.join(p, (li["l_partkey"] == p["p_partkey"]) & common & (t1 | t2 | t3))
+    return j.agg(
+        F.round(F.sum(li["l_extendedprice"] * (1 - li["l_discount"])), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND l_linestatus = 'F'
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — the view-reuse + max-scalar-subquery stressor. The
+    canonical form materializes a ``revenue`` view and reads it TWICE
+    (once joined, once under ``max()``); Spark does not share common
+    subplans, so the naive translation scans lineitem twice. Here the
+    view is aggregated ONCE and the scalar max decorrelates into
+    ``max() OVER ()`` on the already-aggregated frame — the window's
+    single-partition shuffle carries |suppliers| rows (the view), not
+    the fact table, and TIES at the max all survive, exactly the
+    correlated form's semantics. Supplier attaches last via a
+    broadcast join."""
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+    )
+    best = rev.withColumn(
+        "__mx", F.max("__rev").over(Window.partitionBy())
+    ).filter(F.col("__rev") == F.col("__mx"))
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("__rev", 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, excluding a NOT-IN dimension subquery — the null-aware
+    anti-join + count-distinct stressor. The part predicates (<>,
+    NOT LIKE, IN-list) all land in the part scan's PushedFilters; the
+    exclusion list (suppliers in deficit — the fixture has no
+    s_comment, so ``s_acctbal < 0`` stands in for the complaints
+    filter) is dimension-sized and the NOT IN becomes a BROADCAST
+    anti join on the fact side (s_suppkey is non-nullable here, so
+    plain anti ≡ null-aware anti); count(DISTINCT) then runs as the
+    standard two-phase expand+aggregate. The fixture has no partsupp
+    table, so lineitem's (l_partkey, l_suppkey) pairs stand in as the
+    part-supplier relation."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad_s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad_s),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -4254,6 +4405,48 @@ e AS (
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
   WHERE l1.l_orderkey IN (SELECT l_orderkey FROM small)
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e e1 JOIN e e2
+               ON e1.a = e2.a AND e1.b < e2.b
+             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles
+"""
+
+
+def q_triangle_count_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the UNFILTERED co-purchase graph — the
+    dense companion to ``triangle_count``, here so the committed
+    bench artifact shows the O(m^1.5) wedge cost on a dense skewed
+    graph honestly instead of only the sparsified (≤4-line orders)
+    form. Same operator, same oracle style; at sf0.1 this graph has
+    ~1.2M edges and avg part degree ~180, which is the regime the
+    degree-ordered orientation exists for."""
+    from spatially_databricks_etl_spark.operators.curate import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("__ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "__ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ps"), i + 2, F.size("__ps")),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = per_order.select(F.explode(pair_structs).alias("__p")).select(
+        "__p.src", "__p.dst"
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT_DENSE = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
 )
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM e e1 JOIN e e2
@@ -4549,6 +4742,9 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_counts": q16_supplier_counts,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -4600,6 +4796,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
+    "triangle_count_dense": q_triangle_count_dense,
 }
 
 ORACLES: dict[str, str] = {
@@ -4707,6 +4904,7 @@ ORACLES: dict[str, str] = {
     "skew_profile": SQL_SKEW_PROFILE,
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "triangle_count_dense": SQL_TRIANGLE_COUNT_DENSE,
     "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
     "feature_hash": SQL_FEATURE_HASH,
     "q4_order_priority": SQL_Q4,
@@ -4716,6 +4914,9 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_customers": SQL_Q18,
     "q20_part_share_suppliers": SQL_Q20,
     "q21_waiting_suppliers": SQL_Q21,
+    "q19_disjunctive_revenue": SQL_Q19,
+    "q15_top_supplier": SQL_Q15,
+    "q16_supplier_counts": SQL_Q16,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
