@@ -575,6 +575,97 @@ def test_streaming_incremental_rollup_end_to_end(spark, tmp_path):
         assert gm == m
 
 
+def test_stateful_checkpoint_restart_state_continuity(spark, tmp_path):
+    """The failure-recovery contract a production stream depends on:
+    STOP a stateful ``applyInPandasWithState`` query, RESTART it from
+    the same checkpoint directory, and the recovered run must (a)
+    resume batch ids where the first run stopped instead of
+    reprocessing phase-1 files, (b) carry the per-key state across
+    the restart (running totals keep counting from phase-1 values —
+    every user is split across BOTH phases, so a state wipe would
+    undercount every key), (c) leave phase-1 sink partitions
+    byte-identical, and (d) converge to exactly the uninterrupted
+    batch aggregate over all the data."""
+    from pyspark.sql.window import Window
+
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        foreach_batch_writer,
+        running_totals_stateful,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    # split EVERY user's events across the two phases (odd/even event
+    # rank per user), so state continuity is load-bearing for every key
+    w = Window.partitionBy("user_id").orderBy("value")
+    ranked = ev.withColumn("__rn", F.row_number().over(w))
+    t1 = ranked.filter(F.col("__rn") % 2 == 1).drop("__rn")
+    t2 = ranked.filter(F.col("__rn") % 2 == 0).drop("__rn")
+    assert t1.select("user_id").distinct().count() > 0
+    assert t2.select("user_id").distinct().count() > 0
+
+    src = str(tmp_path / "ckpt_src")
+    sink = str(tmp_path / "ckpt_sink")
+    cp = str(tmp_path / "ckpt_cp")
+    t1.repartition(2).write.parquet(src)
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.foreachBatch(foreach_batch_writer(sink))
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_until_drained()  # phase 1: totals over t1 only
+    phase1 = spark.read.parquet(sink).collect()
+    phase1_batches = {r["__batch_id"] for r in phase1}
+    assert len(phase1_batches) >= 2, "expected >=2 phase-1 micro-batches"
+    phase1_rows = {
+        (r["user_id"], r["n_events"], round(r["sum_value"], 4), r["__batch_id"])
+        for r in phase1
+    }
+
+    # land phase-2 files, then RESTART from the same checkpoint
+    t2.repartition(2).write.mode("append").parquet(src)
+    run_until_drained()
+
+    after = spark.read.parquet(sink).collect()
+    after_batches = {r["__batch_id"] for r in after}
+    # (a) restart resumed the offset/commit log: new batch ids only
+    new_batches = after_batches - phase1_batches
+    assert new_batches, "restart processed no new micro-batches"
+    assert min(new_batches) > max(phase1_batches)
+    # (c) phase-1 partitions untouched by the restarted run
+    assert {
+        (r["user_id"], r["n_events"], round(r["sum_value"], 4), r["__batch_id"])
+        for r in after
+        if r["__batch_id"] in phase1_batches
+    } == phase1_rows
+    # (b)+(d) state carried across the restart: the max-n_events row
+    # per key (update mode, monotone totals) equals the uninterrupted
+    # batch aggregate over ALL events — a wiped state would undercount
+    # every user, since each has events in both phases
+    final = {}
+    for r in after:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            final[r["user_id"]] = (
+                r["user_id"],
+                r["n_events"],
+                round(r["sum_value"], 4),
+            )
+    batch_out = {tuple(r) for r in running_totals_stateful(ev).collect()}
+    assert set(final.values()) == batch_out
+
+
 def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: a click with no
     purchase inside its interval must emit null-padded — but only
