@@ -137,6 +137,9 @@ EXTRA = [
     "q19_disjunctive_revenue",
     "q15_top_supplier",
     "q16_supplier_counts",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
 ]
 
 

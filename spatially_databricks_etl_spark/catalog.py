@@ -4296,6 +4296,203 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    a five-way join with a SYMMETRIC disjunctive nation-pair
+    predicate ((n1=A AND n2=B) OR (n1=B AND n2=A)) that can only be
+    applied after both nation joins. Planner stressor: all three
+    dimension joins (supplier, customer via orders, nation×2)
+    broadcast; the nation-pair disjunction partially pushes into each
+    broadcast nation scan as ``n_name IN (A, B)`` (the convertible
+    residual of the OR), so the fact table is filtered by two
+    two-nation semi-filters before the residual pair check."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # orders/customer are FACT-class tables at scale: plain equi
+        # joins (AQE broadcasts them at fixture scale on its own)
+        .join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"])
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("__n1key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("__n2key"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+  AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+  AND c.c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's
+    type-filtered part volume by order year — the deepest join tree
+    in the suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation ⋈ nation ⋈ region, 8 relations) with a conditional-sum
+    ratio on top. Every dimension broadcasts; the region filter
+    reaches the region scan and prunes the customer-nation side
+    BEFORE the fact join via the n1⋈region broadcast chain; the
+    share is sum(CASE)/sum — one aggregation, no self-join of the
+    volume frame."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_regionkey").alias("__n1reg")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        # orders/customer are fact-class: no forced broadcast (AQE
+        # upgrades the join at fixture scale)
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__n1key"))
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("__n1reg") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__n2key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_Q8 = """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY extract(year FROM o_orderdate)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over
+    name-matched parts. The fixture has no partsupp, so supply cost
+    is modeled as 60% of ``p_retailprice`` — the join tree
+    (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation) and the
+    expression-heavy aggregate are the planner content, not the cost
+    constant. The part-name LIKE lands in the part scan's
+    PushedFilters (contains → StringContains) and prunes the fact
+    table through the broadcast semi chain."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    j = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        # orders is fact-class: plain equi join on the shared orderkey
+        .join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n_name, extract(year FROM o_orderdate)
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -4745,6 +4942,9 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_counts": q16_supplier_counts,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -4917,6 +5117,9 @@ ORACLES: dict[str, str] = {
     "q19_disjunctive_revenue": SQL_Q19,
     "q15_top_supplier": SQL_Q15,
     "q16_supplier_counts": SQL_Q16,
+    "q7_nation_volume": SQL_Q7,
+    "q8_market_share": SQL_Q8,
+    "q9_product_profit": SQL_Q9,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
