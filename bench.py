@@ -140,6 +140,8 @@ EXTRA = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
 ]
 
 

@@ -4493,6 +4493,152 @@ GROUP BY n_name, extract(year FROM o_orderdate)
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region's
+    suppliers offering exactly the MINIMUM unit cost — the correlated
+    min-subquery over a dimension join chain (the subquery re-joins
+    supplier→nation→region per outer part). The fixture has no
+    partsupp, so unit cost is the observed minimum
+    ``l_extendedprice / l_quantity`` per (part, supplier) — a
+    deterministic double (min is order-independent), so the
+    cost-equality correlation replays exactly in any engine.
+    Decorrelated Spark-first: ONE aggregate builds the (part,
+    supplier, cost) frame, the region restriction applies via a
+    broadcast semi-chain BEFORE the window, and the correlated
+    ``= (SELECT min ...)`` becomes ``min() OVER (PARTITION BY
+    partkey)`` — the naive form re-aggregates lineitem per outer row.
+    Ties at the minimum all survive, as in the correlated form.
+
+    The emitted cost is ``floor(cost·10⁴ + 0.5)`` (an exact integer,
+    same explicit half-up both engines replay bit-identically — the
+    ``quantize_int8`` determinism idiom) rather than ``round(·, 4)``:
+    price/quantity divisions land EXACTLY on .xxxx5 decimal
+    boundaries, where Spark's BigDecimal-via-shortest-repr HALF_UP
+    and DuckDB's binary-value rounding disagree (3 such rows at
+    sf0.1)."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_n = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        n["n_regionkey"] == F.col("r_regionkey"),
+        "left_semi",
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    eu_s = s.join(
+        F.broadcast(eu_n), s["s_nationkey"] == eu_n["n_nationkey"]
+    ).select("s_suppkey", "s_name", "s_acctbal", "nation")
+    sc = (
+        li.join(
+            F.broadcast(eu_s.select("s_suppkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost"))
+    )
+    best = (
+        sc.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            sc["l_partkey"] == F.col("p_partkey"),
+        )
+        .withColumn("__mn", F.min("__cost").over(Window.partitionBy("l_partkey")))
+        .filter(F.col("__cost") == F.col("__mn"))
+    )
+    return best.join(
+        F.broadcast(eu_s), best["l_suppkey"] == eu_s["s_suppkey"]
+    ).select(
+        "s_acctbal",
+        "s_name",
+        "nation",
+        "p_partkey",
+        "p_name",
+        F.floor(F.col("__cost") * 10000 + F.lit(0.5)).cast("long").alias("min_cost_e4"),
+    )
+
+
+SQL_Q2 = """
+WITH eu_s AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+sc AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM eu_s)
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, nation, p_partkey, p_name,
+       CAST(floor(sc.cost * 10000 + 0.5) AS BIGINT) AS min_cost_e4
+FROM part p
+JOIN sc ON p.p_partkey = sc.l_partkey
+JOIN eu_s ON eu_s.s_suppkey = sc.l_suppkey
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'ECONOMY'
+  AND sc.cost = (SELECT min(sc2.cost) FROM sc sc2
+                 WHERE sc2.l_partkey = p.p_partkey)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value over one region's
+    suppliers, keeping parts whose value exceeds a GLOBAL scalar
+    subquery over the same aggregated frame (here 1.5× the average
+    part value — scale-free where the canonical fixed fraction
+    empties or floods at different SFs). Planner content: the scalar
+    subquery of a different aggregate over the SAME view. Spark-first
+    the view aggregates once, the one-row global average rides a
+    broadcast cross join onto the kept frame — no second lineitem
+    scan, no correlated re-aggregation. The supplier restriction is a
+    broadcast semi-chain applied before the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_n = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        n["n_regionkey"] == F.col("r_regionkey"),
+        "left_semi",
+    )
+    eu_s = s.join(
+        F.broadcast(eu_n.select("n_nationkey")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    v = (
+        li.join(
+            F.broadcast(eu_s), li["l_suppkey"] == F.col("s_suppkey"), "left_semi"
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_extendedprice").alias("__value"))
+    )
+    total = v.agg(F.avg("__value").alias("__avg_value"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > 1.5 * F.col("__avg_value"))
+        .select("p_partkey", F.round("__value", 2).alias("value"))
+    )
+
+
+SQL_Q11 = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey, sum(l_extendedprice) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey
+                      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+                      WHERE r.r_name = 'EUROPE')
+  GROUP BY l_partkey)
+SELECT p_partkey, round(value, 2) AS value
+FROM v
+WHERE value > 1.5 * (SELECT avg(value) FROM v)
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -4945,6 +5091,8 @@ QUERIES: dict[str, QueryFn] = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -5120,6 +5268,8 @@ ORACLES: dict[str, str] = {
     "q7_nation_volume": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q9_product_profit": SQL_Q9,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q11_important_stock": SQL_Q11,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,
