@@ -80,3 +80,49 @@ def interval_join(
         *[lc(c) for c in lcols if c != key],
         *[rc(c) for c in rcols if c != key],
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach a dimension frame's
+    columns to every stream row — the bread-and-butter production
+    shape (events × user profile, clicks × campaign metadata).
+
+    Structured Streaming supports stream-static joins only with the
+    STREAM on the left for outer/semi/anti shapes, so ``how`` is
+    restricted to ``inner``/``left``/``left_semi``/``left_anti`` and
+    the dim must be a batch frame (a streaming dim needs
+    :func:`interval_join` and watermarked state instead). The dim is
+    broadcast by default — per micro-batch the join is then map-only
+    on the stream side, no stream shuffle; pass
+    ``broadcast_dim=False`` for a big dim (shuffled hash join per
+    batch; at that size consider snapshotting the dim to a bucketed
+    table co-bucketed with the stream's shuffle instead).
+
+    Slowly-changing dims: the static side's DATA is re-read every
+    micro-batch, but a file source's file LISTING is resolved when
+    the query starts — so an overwritten dim directory is only
+    guaranteed to be picked up by a RESTARTED query (the checkpoint
+    carries offsets, not the dim). The restart-refresh contract is
+    pinned by test; for intra-query dim refresh use a Delta/catalog
+    table, whose snapshot resolves per batch.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"stream_static_enrich: how must be one of {sorted(allowed)} "
+            "(stream-static joins require the stream on the left)"
+        )
+    if dim.isStreaming:
+        raise ValueError(
+            "stream_static_enrich: dim must be a static (batch) frame — "
+            "for stream-stream joins use interval_join"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

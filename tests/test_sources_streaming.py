@@ -666,6 +666,79 @@ def test_stateful_checkpoint_restart_state_continuity(spark, tmp_path):
     assert set(final.values()) == batch_out
 
 
+def test_stream_static_enrich_and_dim_refresh_on_restart(spark, tmp_path):
+    """Stream-static enrichment: (a) every stream row picks up its
+    dim columns (left join keeps dim-less rows with nulls), (b) the
+    per-batch result matches the batch join, and (c) an OVERWRITTEN
+    dim is picked up by a restarted query from the same checkpoint —
+    the documented slowly-changing-dim refresh contract."""
+    from spatially_databricks_etl_spark.streaming.joins import stream_static_enrich
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value").limit(200)
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    known, unknown = users[: len(users) // 2], users[len(users) // 2 :]
+    assert known and unknown
+
+    src, dim_path, sink, cp = (
+        str(tmp_path / p) for p in ("ss_src", "ss_dim", "ss_sink", "ss_cp")
+    )
+    ev.repartition(2).write.parquet(src)
+    dim_v1 = spark.createDataFrame([(u, "tier_v1") for u in known], "user_id long, tier string")
+    dim_v1.write.parquet(dim_path)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stream on the left"):
+        stream_static_enrich(ev, dim_v1, on="user_id", how="right")
+    with _pytest.raises(ValueError, match="static"):
+        stream_static_enrich(
+            ev,
+            spark.readStream.schema(ev.schema).parquet(src),
+            on="user_id",
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        dim = spark.read.parquet(dim_path)
+        out = stream_static_enrich(stream, dim, on="user_id", how="left")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    want = {
+        (r["user_id"], round(r["value"], 6), r["tier"])
+        for r in ev.join(F.broadcast(dim_v1), "user_id", "left").collect()
+    }
+    assert {
+        (r["user_id"], round(r["value"], 6), r["tier"]) for r in got.collect()
+    } == want
+    # dim-less rows survive with null tier
+    assert any(t is None for (_, _, t) in want)
+
+    # overwrite the dim, land new stream files, RESTART from the same
+    # checkpoint: only the new files are processed, against the NEW dim
+    dim_v2 = spark.createDataFrame(
+        [(u, "tier_v2") for u in users], "user_id long, tier string"
+    )
+    dim_v2.write.mode("overwrite").parquet(dim_path)
+    more = ev.limit(50)
+    more.repartition(1).write.mode("append").parquet(src)
+    before = spark.read.parquet(sink).count()
+    run_once()
+    after = spark.read.parquet(sink)
+    new_rows = after.count() - before
+    assert new_rows == 50, f"restart should process exactly the new file, got {new_rows}"
+    tiers = {r["tier"] for r in after.collect()}
+    assert "tier_v2" in tiers, "restarted query must see the overwritten dim"
+
+
 def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: a click with no
     purchase inside its interval must emit null-padded — but only
