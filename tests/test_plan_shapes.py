@@ -97,6 +97,9 @@ def test_no_catalog_query_plans_a_smell(spark):
         # one-row broadcast totals frame (crossJoin against a scalar
         # aggregate) — the accepted scalar-join pattern
         "heavy_hitters",
+        # TPC-H Q11's global scalar subquery: the one-row average
+        # rides a broadcast cross join onto the aggregated view
+        "q11_important_stock",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -109,6 +112,62 @@ def test_no_catalog_query_plans_a_smell(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_q19_disjunction_splits_into_pushed_residuals(spark):
+    """The OR-of-ANDs join condition must be split by the optimizer
+    (SPARK-32302) into per-side convertible residuals pushed into
+    BOTH parquet scans, with the factored common conjunct in the
+    lineitem scan and the join reduced to a broadcast hash join — the
+    difference between scanning three brand/size bands and scanning
+    everything at 100 TB."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("Or(" in ln and "p_brand" in ln for ln in pushed), pushed
+    assert any("Or(" in ln and "l_quantity" in ln for ln in pushed), pushed
+    assert any("EqualTo(l_linestatus,F)" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q15_and_q17_scan_lineitem_once(spark):
+    """View-reuse / correlated-scalar decorrelation must not re-scan
+    the fact table: Q15's max-revenue view aggregates lineitem ONCE
+    (max() OVER () on the aggregated frame), and Q17's per-part
+    average rides a window on the already-joined scan."""
+    for name in ("q15_top_supplier", "q17_small_quantity_revenue"):
+        plan = _plan(spark, name)
+        li_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "Location:" in ln and "lineitem.parquet" in ln
+        ]
+        assert len(li_scans) == 1, (name, li_scans)
+
+
+def test_q16_not_in_plans_as_broadcast_anti(spark):
+    """The NOT-IN exclusion over the supplier dimension must plan as
+    a broadcast ANTI join on the fact side with the part predicates
+    (<>, NOT LIKE, IN-list) in the part scan's PushedFilters."""
+    plan = _plan(spark, "q16_supplier_counts")
+    assert "BuildRight" in plan and "LeftAnti" in plan
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "Not(EqualTo(p_brand,Brand#3))" in pushed
+    assert "Not(StringStartsWith(p_type,SMALL))" in pushed
+    assert "In(p_size," in pushed
+
+
+def test_q7_nation_pair_residual_pushes_into_both_nation_scans(spark):
+    """The symmetric nation-pair disjunction's convertible residual
+    (n_name IN (A, B)) must reach BOTH broadcast nation scans."""
+    plan = _plan(spark, "q7_nation_volume")
+    nation_or = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "n_name" in ln and "Or(" in ln
+    ]
+    assert len(nation_or) >= 2, nation_or
+    assert "CartesianProduct" not in plan
 
 
 def test_round5_operators_keep_their_shuffle_budget(spark):
