@@ -142,6 +142,7 @@ EXTRA = [
     "q9_product_profit",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    "q12_late_shipments",
 ]
 
 

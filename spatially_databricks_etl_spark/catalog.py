@@ -4639,6 +4639,54 @@ WHERE value > 1.5 * (SELECT avg(value) FROM v)
 """
 
 
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-category counts of late shipments split
+    into high/low-priority CASE sums — the conditional-aggregation
+    two-table shape that completes the full 22-query TPC-H suite
+    here. The fixture has no l_shipmode/commitdate/receiptdate, so
+    the category is ``l_returnflag`` (IN ('A','R')) and "late" is a
+    ship lag of >30 days past the order date; the planner content —
+    the IN-list and date-range predicates landing in the lineitem
+    scan, the lag predicate as the join residual, CASE sums in one
+    aggregation — is unchanged. orders is fact-class: plain equi
+    join (AQE broadcasts at fixture scale)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 30 days"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+"""
+
+
 def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-height (quantile) binning of l_extendedprice into 8
     buckets. The cutpoints come from the distributed-selection exact
@@ -5093,6 +5141,7 @@ QUERIES: dict[str, QueryFn] = {
     "q9_product_profit": q9_product_profit,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
+    "q12_late_shipments": q12_late_shipments,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -5270,6 +5319,7 @@ ORACLES: dict[str, str] = {
     "q9_product_profit": SQL_Q9,
     "q2_min_cost_supplier": SQL_Q2,
     "q11_important_stock": SQL_Q11,
+    "q12_late_shipments": SQL_Q12,
     "q22_dormant_balances": SQL_Q22,
     "column_profile": SQL_COLUMN_PROFILE,
     "stream_cdc_state": SQL_STREAM_CDC_STATE,

@@ -88,6 +88,27 @@ def read_text(
     return reader.text(path, wholetext=whole_text)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan (Spark 4 NATIVE ``xml`` source — no external package):
+    one row per ``row_tag`` element, attributes surfaced with the
+    ``_`` prefix. Same explicit-schema contract as the other readers —
+    inference costs a full extra pass, so 100 TB scans must pass
+    ``schema``. XML is splittable by row tag in the native source, so
+    a big file still parallelizes; prefer converting to parquet at
+    landing all the same (XML parse cost is paid per scan)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

@@ -355,6 +355,33 @@ def test_read_text_lines_and_whole(spark, tmp_path):
     assert sorted(r["value"] for r in whole.collect()) == ["line1\nline2\n", "solo\n"]
 
 
+def test_read_xml_roundtrip(spark, tmp_path):
+    """Spark 4's native XML source: schema-explicit read returns the
+    written rows (attributes and nested elements both land), and the
+    schemaless read infers the same values."""
+    from spatially_databricks_etl_spark.sources.files import read_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "<&beta>", -2.0)], "id long, name string, score double"
+    )
+    p = str(tmp_path / "xmlsrc")
+    (
+        df.write.format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .save(p)
+    )
+    got = read_xml(
+        spark, p, row_tag="row", schema="id long, name string, score double"
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in df.collect()}
+    inferred = read_xml(spark, p, row_tag="row")
+    assert {(r["id"], r["name"]) for r in inferred.collect()} == {
+        (1, "alpha"),
+        (2, "<&beta>"),
+    }
+
+
 def test_read_binary_files(spark, tmp_path):
     from spatially_databricks_etl_spark.sources.files import read_binary_files
 
