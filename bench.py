@@ -143,6 +143,8 @@ EXTRA = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q12_late_shipments",
+    "sample_mixture",
+    "score_linear",
 ]
 
 

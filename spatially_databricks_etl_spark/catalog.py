@@ -4717,6 +4717,91 @@ GROUP BY bucket
 SQL_HISTOGRAM_EQUIHEIGHT = _equiheight_oracle_sql(8)
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling of documents by language: en upweighted
+    to 2.25 epochs, zh/fr downsampled, de dropped entirely. Output
+    pins, per language, the emitted row count, distinct-doc count and
+    max copy index — the oracle replays the exact md5 coin and the
+    floor(rate)+Bernoulli(frac) copy count, so every emitted copy is
+    verified, not just the totals' shape."""
+    from spatially_databricks_etl_spark.operators.curate import sample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = sample_mixture(
+        d,
+        {"en": 2.25, "zh": 0.4, "es": 1.0, "de": 0.0, "fr": 0.6},
+        group_col="lang",
+        key_col="doc_id",
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("copy_idx").cast("long").alias("max_copy"),
+    )
+
+
+SQL_SAMPLE_MIXTURE = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2.25 WHEN 'zh' THEN 0.4 WHEN 'es' THEN 1.0
+                   WHEN 'de' THEN 0.0 WHEN 'fr' THEN 0.6 ELSE 1.0 END AS rate,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6)) AS BIGINT)
+           / 16777216.0 AS frac
+  FROM documents),
+copies AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate) + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END
+              AS BIGINT) AS n
+  FROM base),
+expanded AS (
+  SELECT doc_id, lang, unnest(range(n)) AS copy_idx FROM copies WHERE n > 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(copy_idx) AS BIGINT) AS max_copy
+FROM expanded GROUP BY lang
+"""
+
+
+def q_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear-model scoring over events with a
+    deterministic 64-dim weight table (w[i] = ((37i+11) mod 97)/97 −
+    0.5): per event type, the mean sigmoid score and count. The
+    oracle recomputes the md5 feature indexes AND the analytic weight
+    formula, so the whole model application — hashing, lookup, dot
+    product, sigmoid — is value-verified."""
+    from spatially_databricks_etl_spark.operators.curate import score_linear
+
+    ev = _t(spark, sf_dir, "events")
+    weights = [((i * 37 + 11) % 97) / 97 - 0.5 for i in range(64)]
+    scored = score_linear(
+        ev, cols=["event_type", "user_id"], weights=weights, bias=0.1
+    )
+    return scored.groupBy("event_type").agg(
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+SQL_SCORE_LINEAR = """
+WITH f AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5('event_type=' || event_type), 1, 13)) AS BIGINT)
+           % 64 AS i1,
+         CAST(concat('0x', substr(md5('user_id=' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           % 64 AS i2
+  FROM events),
+s AS (
+  SELECT event_type,
+         1.0 / (1.0 + exp(-(0.1
+           + (CAST((i1 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5)
+           + (CAST((i2 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5)))) AS score
+  FROM f)
+SELECT event_type, round(avg(score), 6) AS avg_score,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY event_type
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5194,6 +5279,8 @@ QUERIES: dict[str, QueryFn] = {
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
     "triangle_count_dense": q_triangle_count_dense,
+    "sample_mixture": q_sample_mixture,
+    "score_linear": q_score_linear,
 }
 
 ORACLES: dict[str, str] = {
@@ -5304,6 +5391,8 @@ ORACLES: dict[str, str] = {
     "triangle_count_dense": SQL_TRIANGLE_COUNT_DENSE,
     "histogram_equiheight": SQL_HISTOGRAM_EQUIHEIGHT,
     "feature_hash": SQL_FEATURE_HASH,
+    "sample_mixture": SQL_SAMPLE_MIXTURE,
+    "score_linear": SQL_SCORE_LINEAR,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

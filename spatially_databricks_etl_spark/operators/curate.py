@@ -182,6 +182,112 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+    copy_idx_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic data-MIXTURE resampling: each group (source,
+    language, domain …) gets a target rate, and every row is emitted
+    ``floor(rate)`` times plus one more with probability
+    ``frac(rate)`` — so rates below 1 downsample, above 1 upsample
+    with repetition, which is exactly the mixture-weighting knob an
+    LLM pretraining pipeline turns (e.g. 2.3 epochs of wiki, 0.5 of
+    common crawl). No reference analog.
+
+    Determinism contract (same as ``hash_split``): the fractional
+    coin is the first 6 hex chars of ``md5(key || salt)`` over 16⁶ —
+    a uniform double any engine reproduces bit-for-bit, so the exact
+    multiset of emitted rows is stable under reordering,
+    repartitioning, and re-runs, and the DuckDB oracle replays it.
+    Emitted copies carry ``copy_idx`` (0-based) so downstream shuffles
+    can treat repeats as distinct rows.
+
+    Scale shape: pure codegen projection + ``posexplode`` of an
+    ``array_repeat`` — map-only, no shuffle, no UDF; rows with a zero
+    copy count disappear in the explode. Rates ship as a literal CASE
+    chain over the group column (vocabulary-sized by construction).
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError(f"mixture rates must be >= 0, got {rates}")
+    rate = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = (
+        rate.otherwise(float(default_rate))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**6))
+    )
+    n_copies = (
+        F.floor(rate) + F.when(frac < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
+    return (
+        docs.withColumn("__n_copies", n_copies)
+        .select(
+            "*",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("__n_copies"))).alias(
+                copy_idx_col, "__one"
+            ),
+        )
+        .drop("__one", "__n_copies")
+    )
+
+
+def score_linear(
+    df: DataFrame,
+    *,
+    cols: list[str],
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "score",
+) -> DataFrame:
+    """Hashed-feature LINEAR model scoring (the fastText-style quality
+    classifier a curation pipeline runs over every document): each
+    (column, value) pair hashes into the weight table via the
+    :func:`feature_hash` md5 index, and the score is
+    ``sigmoid(bias + Σ_j W[h(col_j=value_j)])``. The weight table
+    ships as a literal array (O(dims) — model-sized, not data-sized)
+    and the whole expression is codegen: a 100 TB scoring pass is
+    map-only with no UDF, no shuffle, no model server. For dims past
+    ~10⁵ move the table to a broadcast (idx → weight) join instead of
+    a literal. Null feature values contribute 0 (the null slot from
+    ``feature_hash`` is skipped via coalesce), matching the common
+    "missing feature" convention.
+
+    Determinism: md5 indexing is engine-reproducible (same contract
+    as ``hash_split``/``feature_hash``), and the dot product is a
+    fixed-order sum over ``cols``, so any engine replays the exact
+    score."""
+    dims = len(weights)
+    if dims < 1:
+        raise ValueError("weights must be non-empty")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    scored = feature_hash(df, cols=cols, dims=dims, out_col="__fidx")
+    z = F.lit(float(bias))
+    for j in range(len(cols)):
+        z = z + F.coalesce(F.get(w_lit, F.get("__fidx", j)), F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return scored.withColumn(out_col, score).drop("__fidx")
+
+
 def hash_split_edges(splits: dict[str, float]) -> list[tuple[str, str]]:
     """(name, exclusive upper hex edge) pairs for the md5 method —
     exported so oracle SQL can be built from the same arithmetic."""

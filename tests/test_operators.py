@@ -901,6 +901,75 @@ def test_binned_range_join_matches_theta_and_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sample_mixture_copy_counts_and_determinism(spark):
+    """Mixture resampling: rate 0 drops the group, rate 1.0 keeps
+    exactly one copy of every row, integer rates emit exactly that
+    many copies (0-based copy_idx), fractional rates land within a
+    loose Chernoff band of n·frac extra copies, the emitted multiset
+    is identical across re-runs (md5 determinism), and negative rates
+    raise."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.curate import sample_mixture
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    n_by_lang = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rates = {"en": 2.0, "zh": 0.0, "es": 1.0, "de": 0.5, "fr": 1.5}
+    out = sample_mixture(d, rates, group_col="lang").collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["copy_idx"]))
+    assert "zh" not in by_lang
+    assert sorted(c for _, c in by_lang["es"]) == [0] * n_by_lang["es"]
+    assert len(by_lang["en"]) == 2 * n_by_lang["en"]
+    assert {c for _, c in by_lang["en"]} == {0, 1}
+    for lang, frac, base in (("de", 0.5, 0), ("fr", 0.5, 1)):
+        n = n_by_lang[lang]
+        extra = len(by_lang[lang]) - base * n
+        margin = 4 * math.sqrt(n)  # ~4 sigma
+        assert abs(extra - frac * n) <= margin, (lang, extra, frac * n)
+    again = sample_mixture(d, rates, group_col="lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match=">= 0"):
+        sample_mixture(d, {"en": -0.1}, group_col="lang")
+
+
+def test_score_linear_matches_python_replay(spark):
+    """The hashed-feature linear scorer must equal the closed-form
+    Python replay (same md5 indexing as feature_hash, fixed-order
+    dot product, sigmoid) on every row."""
+    import hashlib
+    import math
+
+    from spatially_databricks_etl_spark.operators.curate import score_linear
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("cc", 33), (None, 4)], "k string, v int"
+    )
+    weights = [((i * 7 + 3) % 13) / 13 - 0.5 for i in range(32)]
+
+    def idx(col, val):
+        if val is None:
+            return None
+        h = hashlib.md5(f"{col}={val}".encode()).hexdigest()[:13]
+        return int(h, 16) % 32
+
+    got = {
+        (r["k"], r["v"]): r["score"]
+        for r in score_linear(df, cols=["k", "v"], weights=weights, bias=0.25).collect()
+    }
+    for k, v in [("a", 1), ("b", 2), ("cc", 33), (None, 4)]:
+        z = 0.25
+        for col, val in (("k", k), ("v", v)):
+            i = idx(col, val)
+            if i is not None:
+                z += weights[i]
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[(k, v)] - want) < 1e-12, (k, v)
+    with pytest.raises(ValueError, match="non-empty"):
+        score_linear(df, cols=["k"], weights=[])
+
+
 def test_binned_range_join_default_width_matches_explicit(spark):
     """Omitting bin_width derives it from the median interval length;
     the result must equal the theta join (same contract as any
