@@ -145,6 +145,7 @@ EXTRA = [
     "q12_late_shipments",
     "sample_mixture",
     "score_linear",
+    "bm25_topk",
 ]
 
 

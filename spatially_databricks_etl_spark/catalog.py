@@ -4802,6 +4802,65 @@ FROM s GROUP BY event_type
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for three fixed queries over the
+    documents corpus, with the score quantized to 10⁻⁶ so the ranking
+    replays bit-identically in any engine (float sum-order ulp noise
+    collapses; see operators/retrieval.py). The oracle recomputes the
+    ENTIRE pipeline — tokenizer, postings, df/N/avgdl, idf, the
+    saturation term, quantization, ranking — in SQL."""
+    from spatially_databricks_etl_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [
+            (1, "spark window join"),
+            (2, "fast hash scan"),
+            (3, "customer order group"),
+        ],
+        "query_id int, query string",
+    )
+    return bm25_topk(d, q, k=10, quantize=6)
+
+
+SQL_BM25_TOPK = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+post AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+  GROUP BY doc_id, dl, term),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+q(query_id, query) AS (VALUES (1, 'spark window join'), (2, 'fast hash scan'),
+                              (3, 'customer order group')),
+qt AS (SELECT DISTINCT query_id,
+              unnest(list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'),
+                                 x -> x <> '')) AS term
+       FROM q),
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS raw
+  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, post.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(raw * 1000000 + 0.5) AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(raw * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5281,6 +5340,7 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count_dense": q_triangle_count_dense,
     "sample_mixture": q_sample_mixture,
     "score_linear": q_score_linear,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5393,6 +5453,7 @@ ORACLES: dict[str, str] = {
     "feature_hash": SQL_FEATURE_HASH,
     "sample_mixture": SQL_SAMPLE_MIXTURE,
     "score_linear": SQL_SCORE_LINEAR,
+    "bm25_topk": SQL_BM25_TOPK,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -1,0 +1,137 @@
+"""BM25 full-text retrieval over a document corpus (north-star
+extension; the reference has no text search at all — its only string
+ops are scalar recodes, `Spatially ETL test.py:120-168`).
+
+Okapi BM25 (Robertson & Zaragoza, "The Probabilistic Relevance
+Framework: BM25 and Beyond", 2009) re-expressed as DataFrame algebra:
+
+- postings build: tokenize → explode → per-(doc, term) tf + per-doc
+  length — one shuffle on (doc, term), the classic inverted-index
+  map-reduce;
+- corpus statistics (N, avgdl) ride a ONE-ROW broadcast frame, and
+  per-term document frequencies join the postings on the term key;
+- query matching: the (small) query-term set broadcasts into an
+  equi-join against the postings — the corpus never shuffles for a
+  query batch, only the MATCHED postings shuffle into the per-(query,
+  doc) score sum;
+- ranking: windowed top-k per query, ties on doc id.
+
+Everything is codegen expressions (no UDF); the tokenizer is a plain
+lowercase + non-alphanumeric split chosen precisely because any engine
+reproduces it, which is what lets the DuckDB oracle replay the whole
+scoring pipeline value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenizer contract shared with the SQL oracle: lowercase, split on
+#: runs of non-[a-z0-9], drop empties. Deliberately engine-portable.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """``array<string>`` of lowercase alphanumeric tokens."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+                  (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl)),
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))  (Lucene form,
+    never negative). Repeated query terms count once (set semantics —
+    the common practical choice; duplicate a term in the query frame
+    to weight it).
+
+    Returns (query_id, doc_id, score, rank), rank by (score DESC,
+    doc_id) so exact-duplicate documents order deterministically.
+
+    ``quantize=q`` ranks by — and emits — the exact integer
+    ``floor(score·10^q + 0.5)`` instead of the raw double. The score
+    is a float SUM whose addend order is engine- and partition-
+    dependent, so two documents with identical term statistics (exact
+    duplicates exist in any real corpus) can land 1 ulp apart in one
+    engine and exactly equal in another, flipping their rank order;
+    quantizing collapses ulp noise so the ranking replays
+    bit-identically anywhere (the cross-engine determinism idiom used
+    throughout this repo for derived continuous scores).
+
+    Scale shape: the postings build is one shuffle of (doc, term)
+    pairs; df is one aggregate over distinct postings; N/avgdl ride a
+    one-row broadcast frame (never a driver round-trip); the query
+    terms broadcast into the postings join, so per-batch cost is
+    proportional to MATCHED postings, not the corpus. For a standing
+    corpus, persist the postings + stats frames once (index build)
+    and reuse across query batches — the same build-once/search-many
+    split as the ANN index paths.
+    """
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    post = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+        )
+        .withColumn("__dl", F.size("__toks"))
+        .select("doc_id", "__dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg(F.size(tokens_col(text_col))).alias("__avgdl"),
+    )
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(query_col)).alias("term"),
+        )
+        .distinct()
+    )
+    matched = (
+        post.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        matched.withColumn("__c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").alias("score"))
+    )
+    if quantize is not None:
+        scored = scored.withColumn(
+            "score",
+            F.floor(F.col("score") * F.lit(float(10**quantize)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id")],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "doc_id", "score", "rank")

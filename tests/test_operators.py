@@ -970,6 +970,45 @@ def test_score_linear_matches_python_replay(spark):
         score_linear(df, cols=["k"], weights=[])
 
 
+def test_bm25_topk_relevance_and_python_replay(spark):
+    """BM25: scores must equal a closed-form Python replay of the
+    Okapi formula on a tiny corpus, full-match docs must outrank
+    partial matches, exact-duplicate docs take adjacent ranks in
+    doc_id order under quantization, and k bounds the output."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join window"),
+            (2, "spark table scan"),
+            (3, "totally unrelated words here"),
+            (4, "spark window join window"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(7, "spark window join")], "query_id int, query string")
+    rows = bm25_topk(docs, qs, k=10, quantize=6).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in rows}
+    assert 3 not in got  # no shared terms -> never scored
+    assert got[1][0] == got[4][0] and got[4][1] == got[1][1] + 1  # dup tie, id order
+    assert got[1][1] == 1 and got[2][1] == 3
+
+    # closed-form replay for doc 2 ('spark' is the only match)
+    k1, b = 1.2, 0.75
+    n_docs, dls = 4.0, [4, 3, 4, 4]
+    avgdl = sum(dls) / 4.0
+    df_spark = 3.0
+    idf = math.log(1 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+    tf, dl = 1.0, 3.0
+    want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert got[2][0] == math.floor(want * 1e6 + 0.5)
+
+    raw = bm25_topk(docs, qs, k=2).collect()
+    assert len(raw) == 2 and all(isinstance(r["score"], float) for r in raw)
+
+
 def test_binned_range_join_default_width_matches_explicit(spark):
     """Omitting bin_width derives it from the median interval length;
     the result must equal the theta join (same contract as any
