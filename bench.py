@@ -146,6 +146,7 @@ EXTRA = [
     "sample_mixture",
     "score_linear",
     "bm25_topk",
+    "drift_psi",
 ]
 
 

@@ -4861,6 +4861,51 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift of event values: first two weeks of
+    January vs the rest of the month, 10 shared equal-width bins.
+    The oracle replays the combined-span edges, the eps-floored
+    proportions and the log contributions bin by bin."""
+    from spatially_databricks_etl_spark.operators.profile import drift_psi
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00")
+    out = drift_psi(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        col="value",
+        bins=10,
+    )
+    return out.select(
+        "bin",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH t AS (
+  SELECT value AS x, CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END AS side
+  FROM events WHERE value IS NOT NULL),
+span AS (SELECT min(x) AS lo, max(x) AS hi FROM t),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(floor((x - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
+         END AS bin,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM t CROSS JOIN span GROUP BY 1),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM binned)
+SELECT bin,
+       round(greatest(na / ta, 1e-6), 6) AS p_a,
+       round(greatest(nb / tb, 1e-6), 6) AS p_b,
+       round((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
+             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6)), 6) AS psi_contrib
+FROM binned CROSS JOIN tot
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5341,6 +5386,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_mixture": q_sample_mixture,
     "score_linear": q_score_linear,
     "bm25_topk": q_bm25_topk,
+    "drift_psi": q_drift_psi,
 }
 
 ORACLES: dict[str, str] = {
@@ -5454,6 +5500,7 @@ ORACLES: dict[str, str] = {
     "sample_mixture": SQL_SAMPLE_MIXTURE,
     "score_linear": SQL_SCORE_LINEAR,
     "bm25_topk": SQL_BM25_TOPK,
+    "drift_psi": SQL_DRIFT_PSI,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -536,3 +536,82 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "p.n_nulls",
         F.round(F.col("p.n_nulls") / F.col("p.n_rows"), 6).alias("null_frac"),
     )
+
+
+def drift_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift monitor a production
+    pipeline runs between yesterday's and today's data (PSI < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+
+    Equal-width bins span the COMBINED min/max of both sides (so both
+    histograms share edges); each side's bin proportions are
+    ``eps``-floored before the log so empty bins contribute a large
+    finite penalty instead of ±inf. Returns one row per non-empty
+    bin: (bin, p_a, p_b, psi_contrib) with
+    psi_contrib = (p_a − p_b)·ln(p_a/p_b); sum the column for the
+    headline PSI.
+
+    Scale shape: one min/max aggregate per side (map-side combine),
+    the shared edges ride a ONE-ROW broadcast frame onto a tagged
+    union, bucket assignment is a codegen floor expression, and the
+    histogram is a single groupBy(bin) over (side, bin) partial
+    counts — two scans, one small shuffle, no driver data collect.
+    Degenerate input (all values equal → zero width) lands everything
+    in bin 0 on both sides, PSI 0 — the correct "no drift" answer.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    a = df_a.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    b = df_b.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    tagged = a.withColumn("__side", F.lit("a")).unionByName(
+        b.withColumn("__side", F.lit("b"))
+    )
+    span = tagged.agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    binned = (
+        tagged.crossJoin(F.broadcast(span))
+        .withColumn(
+            "bin",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("__x") - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
+                    ),
+                    F.lit(bins - 1),
+                )
+            ).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
+        )
+    )
+    totals = binned.agg(
+        F.sum("__na").cast("double").alias("__ta"),
+        F.sum("__nb").cast("double").alias("__tb"),
+    )
+    e = F.lit(float(eps))
+    out = (
+        binned.crossJoin(F.broadcast(totals))
+        .withColumn("p_a", F.greatest(F.col("__na") / F.col("__ta"), e))
+        .withColumn("p_b", F.greatest(F.col("__nb") / F.col("__tb"), e))
+        .withColumn(
+            "psi_contrib", (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
+        )
+    )
+    return out.select("bin", "p_a", "p_b", "psi_contrib")

@@ -970,6 +970,31 @@ def test_score_linear_matches_python_replay(spark):
         score_linear(df, cols=["k"], weights=[])
 
 
+def test_drift_psi_detects_shift_and_reports_stability(spark):
+    """PSI: identical distributions score ~0, a hard location shift
+    crosses the 0.25 'investigate' threshold, a degenerate all-equal
+    column lands in one bin with PSI 0, and bins < 1 raises."""
+    from spatially_databricks_etl_spark.operators.profile import drift_psi
+
+    a = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = sum(
+        r["psi_contrib"] for r in drift_psi(a, a, col="v", bins=10).collect()
+    )
+    assert abs(same) < 1e-12
+    b = spark.range(0, 2000).select(
+        ((F.col("id") % 100) * 0.3 + 70.0).alias("v")
+    )  # mass squeezed into the top bins
+    shifted = sum(
+        r["psi_contrib"] for r in drift_psi(a, b, col="v", bins=10).collect()
+    )
+    assert shifted > 0.25, shifted
+    flat = spark.range(0, 10).select(F.lit(5.0).alias("v"))
+    rows = drift_psi(flat, flat, col="v", bins=10).collect()
+    assert [r["bin"] for r in rows] == [0] and abs(rows[0]["psi_contrib"]) < 1e-12
+    with pytest.raises(ValueError, match="bins"):
+        drift_psi(a, b, col="v", bins=0)
+
+
 def test_bm25_topk_relevance_and_python_replay(spark):
     """BM25: scores must equal a closed-form Python replay of the
     Okapi formula on a tiny corpus, full-match docs must outrank
