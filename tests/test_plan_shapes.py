@@ -100,6 +100,10 @@ def test_no_catalog_query_plans_a_smell(spark):
         # TPC-H Q11's global scalar subquery: the one-row average
         # rides a broadcast cross join onto the aggregated view
         "q11_important_stock",
+        # one-row corpus-stats frames (N/avgdl; bin span + totals)
+        # attached via broadcast cross join — same scalar-join pattern
+        "bm25_topk",
+        "drift_psi",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
