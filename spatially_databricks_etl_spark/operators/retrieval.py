@@ -135,3 +135,122 @@ def bm25_topk(
         rank_col="rank",
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 inverted index: the postings
+    (term, doc_id, dl, tf) RANGE-SORTED by term so every parquet
+    file's footer min/max spans a narrow term range and a query's
+    ``term IN (...)`` scan filter skips whole files, plus the
+    per-term document frequencies (same layout) and the scalar
+    corpus stats (N, avgdl) as a one-row ``_bm25_meta`` sidecar.
+
+    This is the ingest-time half of the retrieval story — the same
+    build-once / search-many split as the LSH/IVF/IVF-PQ indexes:
+    tokenization and the (doc, term) shuffle happen once at write;
+    a search touches only the postings files whose term range
+    overlaps the query's terms.
+    """
+    import json
+
+    post = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+        )
+        .withColumn("dl", F.size("__toks"))
+        .select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    (
+        post.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    spark = docs.sparkSession
+    post_idx = spark.read.parquet(f"{path}/postings")
+    (
+        post_idx.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/df")
+    )
+    row = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
+    ).first()
+    spark.createDataFrame(
+        [(json.dumps({"n_docs": row["n_docs"], "avgdl": row["avgdl"]}),)],
+        "bm25_meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+
+
+def bm25_search_index(
+    queries: DataFrame,
+    path: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Search a persisted BM25 index (see :func:`bm25_write_index`):
+    the query-term set becomes an ``IN`` filter PUSHED into the
+    postings and df scans (range-sorted layout → footer min/max file
+    skipping), the scalar stats come from the sidecar, and scoring +
+    ranking match :func:`bm25_topk` exactly over the same corpus
+    (pinned by test). The distinct-term collect is query-batch-sized
+    — the same bounded-metadata contract as the ANN index routers."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    spark = queries.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens_col(query_col)).alias("term"),
+        )
+        .distinct()
+    )
+    terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
+    post = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
+    df_t = spark.read.parquet(f"{path}/df").filter(F.col("term").isin(terms))
+    matched = post.join(F.broadcast(qterms), "term").join(F.broadcast(df_t), "term")
+    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    scored = (
+        matched.withColumn("__c", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__c").alias("score"))
+    )
+    if quantize is not None:
+        scored = scored.withColumn(
+            "score",
+            F.floor(F.col("score") * F.lit(float(10**quantize)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id")],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "doc_id", "score", "rank")

@@ -970,6 +970,32 @@ def test_score_linear_matches_python_replay(spark):
         score_linear(df, cols=["k"], weights=[])
 
 
+def test_bm25_persisted_index_matches_in_memory_and_pushes_terms(spark, tmp_path):
+    """The persisted BM25 index must return exactly the in-memory
+    bm25_topk result over the same corpus, and the search must push
+    the query-term IN filter into the postings scan (the file-skip
+    path of the range-sorted-by-term layout)."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_search_index,
+        bm25_topk,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")], "query_id int, query string"
+    )
+    path = str(tmp_path / "bm25_idx")
+    bm25_write_index(docs, path)
+    got = bm25_search_index(qs, path, k=10, quantize=6)
+    want = bm25_topk(docs, qs, k=10, quantize=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln or "EqualTo(term" in ln for ln in pushed), pushed
+
+
 def test_drift_psi_detects_shift_and_reports_stability(spark):
     """PSI: identical distributions score ~0, a hard location shift
     crosses the 0.25 'investigate' threshold, a degenerate all-equal
