@@ -5229,6 +5229,10 @@ QUERIES: dict[str, QueryFn] = {
     # resample_ffill, asof_join, pca_project, curate_corpus, pagerank)
     # move to 51+ and remain fully oracled. Prior rotations: r6 moved 13
     # round-5 operators in (see git history of this comment).
+    # Round-8 rotation candidates (judge-attested in r7, diffcheck-green
+    # at sf0.001/sf0.01-vanilla/sf0.1): q2/q7/q8/q9/q11/q12/q15/q16/q19,
+    # triangle_count_dense, sample_mixture, score_linear, bm25_topk,
+    # drift_psi.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,

@@ -394,3 +394,62 @@ def test_resample_interpolate_bounded_and_exact_on_observations(spark, obs):
         else:
             assert is_gap
             assert lo - 1e-9 <= filled <= hi + 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    query=st.text(
+        alphabet=st.sampled_from("ab c1"), min_size=1, max_size=12
+    ),
+)
+@SETTINGS
+def test_bm25_matches_python_reference(spark, texts, query):
+    """bm25_topk must reproduce a plain-Python Okapi BM25 reference on
+    arbitrary tiny corpora — including empty/token-free docs (excluded
+    from postings but counted in N/avgdl), repeated query terms (set
+    semantics), and unmatched queries (empty result)."""
+    import math
+    import re
+
+    from spatially_databricks_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(0, query)], "query_id int, query string")
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(docs, qs, k=100, quantize=6).collect()
+    }
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    tokenized = [toks(t) for t in texts]
+    n = float(len(texts))
+    avgdl = sum(len(t) for t in tokenized) / n
+    qterms = set(toks(query))
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, tk in enumerate(tokenized):
+        score = 0.0
+        for term in sorted(qterms):
+            tf = float(tk.count(term))
+            if tf == 0:
+                continue
+            df = float(sum(1 for t2 in tokenized if term in t2))
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if score > 0:
+            want[d] = math.floor(score * 1e6 + 0.5)
+    assert set(got) == set(want)
+    for d, q6 in want.items():
+        # 1-ulp slack at the floor boundary: python's sum order can
+        # differ from Spark's
+        assert abs(got[d][0] - q6) <= 1, (d, got[d][0], q6)
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
