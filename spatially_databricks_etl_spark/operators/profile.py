@@ -545,6 +545,7 @@ def drift_psi(
     col: str,
     bins: int = 10,
     eps: float = 1e-6,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Population Stability Index between two snapshots of a numeric
     column — the standard distribution-drift monitor a production
@@ -566,6 +567,12 @@ def drift_psi(
     counts — two scans, one small shuffle, no driver data collect.
     Degenerate input (all values equal → zero width) lands everything
     in bin 0 on both sides, PSI 0 — the correct "no drift" answer.
+
+    ``span=(lo, hi)`` pins the bin edges instead of deriving them from
+    the combined data — REQUIRED when the same bins must hold across
+    calls (a streaming monitor scoring every micro-batch against one
+    reference histogram; see ``streaming.stateful.drift_monitor_sink``).
+    Out-of-span values clamp into the edge bins.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -578,20 +585,31 @@ def drift_psi(
     tagged = a.withColumn("__side", F.lit("a")).unionByName(
         b.withColumn("__side", F.lit("b"))
     )
-    span = tagged.agg(
-        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
-    )
+    if span is not None:
+        lo, hi = float(span[0]), float(span[1])
+        if not hi >= lo:
+            raise ValueError(f"span must satisfy hi >= lo, got {span}")
+        span_df = tagged.sparkSession.createDataFrame(
+            [(lo, hi)], "__lo double, __hi double"
+        )
+    else:
+        span_df = tagged.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
     binned = (
-        tagged.crossJoin(F.broadcast(span))
+        tagged.crossJoin(F.broadcast(span_df))
         .withColumn(
             "bin",
             F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-                F.least(
-                    F.floor(
-                        (F.col("__x") - F.col("__lo"))
-                        / ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
+                F.greatest(
+                    F.least(
+                        F.floor(
+                            (F.col("__x") - F.col("__lo"))
+                            / ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
+                        ),
+                        F.lit(bins - 1),
                     ),
-                    F.lit(bins - 1),
+                    F.lit(0),
                 )
             ).cast("long"),
         )

@@ -343,3 +343,55 @@ def latest_state_stateful(changelog: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def drift_monitor_sink(
+    path: str,
+    reference: DataFrame,
+    *,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` drift monitor: score every micro-batch's
+    ``col`` distribution against a STATIC reference histogram with
+    :func:`operators.profile.drift_psi` and land one (psi, n_rows)
+    row per micro-batch through the idempotent batch_id-partitioned
+    writer — the streaming observability loop a training-data
+    pipeline runs so a drifting upstream (schema holds, distribution
+    doesn't) pages before the model quality does.
+
+    The bin EDGES come from the reference's min/max, computed once at
+    sink construction and pinned for the query's lifetime — per-batch
+    edges would make PSI values incomparable across batches (and
+    nondeterministic under replay). Out-of-span batch values clamp
+    into the edge bins, which is exactly the "mass appearing outside
+    the reference's support" signal PSI should see. Replayed batches
+    overwrite their own partition (same contract as
+    :func:`foreach_batch_writer`), so recovery never double-counts a
+    monitoring row.
+    """
+    from spatially_databricks_etl_spark.operators.profile import drift_psi
+
+    row = reference.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).first()
+    if row["lo"] is None:
+        raise ValueError("drift_monitor_sink: reference has no non-null values")
+    span = (float(row["lo"]), float(row["hi"]))
+    ref = reference.select(F.col(col).cast("double").alias(col)).persist()
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = drift_psi(ref, batch_df, col=col, bins=bins, eps=eps, span=span)
+        base(
+            scored.agg(
+                F.sum("psi_contrib").alias("psi"),
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+            ),
+            batch_id,
+        )
+
+    return write

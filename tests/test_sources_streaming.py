@@ -693,6 +693,60 @@ def test_stateful_checkpoint_restart_state_continuity(spark, tmp_path):
     assert set(final.values()) == batch_out
 
 
+def test_drift_monitor_sink_scores_each_batch_against_fixed_reference(
+    spark, tmp_path
+):
+    """Streaming drift monitor: every micro-batch lands exactly one
+    PSI row computed against the FIXED reference bins (per-batch
+    recompute with the same span must agree), and a replayed batch
+    overwrites its own partition leaving the monitor history
+    unchanged."""
+    from spatially_databricks_etl_spark.operators.profile import drift_psi
+    from spatially_databricks_etl_spark.streaming.stateful import drift_monitor_sink
+
+    ev = load_table(spark, SF_DIR, "events").select("value")
+    ref = ev.limit(400)
+    src = str(tmp_path / "dm_src")
+    sink = str(tmp_path / "dm_sink")
+    ev.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = drift_monitor_sink(sink, ref, col="value", bins=8)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == len(seen) >= 2
+    span_row = ref.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    span = (span_row["lo"], span_row["hi"])
+    by_batch = {r["__batch_id"]: r["psi"] for r in rows}
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
+        want = sum(
+            r["psi_contrib"]
+            for r in drift_psi(ref, batch_df, col="value", bins=8, span=span).collect()
+        )
+        assert abs(by_batch[bid] - want) < 1e-9, (bid, by_batch[bid], want)
+
+    # replay the last batch verbatim: history must be unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    after = {r["__batch_id"]: r["psi"] for r in spark.read.parquet(sink).collect()}
+    assert after.keys() == by_batch.keys()
+    for k in by_batch:
+        assert abs(after[k] - by_batch[k]) < 1e-12
+
+
 def test_stream_static_enrich_and_dim_refresh_on_restart(spark, tmp_path):
     """Stream-static enrichment: (a) every stream row picks up its
     dim columns (left join keeps dim-less rows with nulls), (b) the
