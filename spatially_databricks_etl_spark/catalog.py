@@ -4176,15 +4176,20 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = li["l_linestatus"] == "F"
     j = li.join(p, (li["l_partkey"] == p["p_partkey"]) & common & (t1 | t2 | t3))
     return j.agg(
-        F.round(F.sum(li["l_extendedprice"] * (1 - li["l_discount"])), 2).alias(
-            "revenue"
-        ),
+        # e4-integer revenue — same boundary-proof idiom as q9
+        F.floor(
+            F.sum(li["l_extendedprice"] * (1 - li["l_discount"])) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("revenue_e4"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
 
 
 SQL_Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+            AS BIGINT) AS revenue_e4,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND l_linestatus = 'F'
@@ -4229,7 +4234,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("__rev", 2).alias("total_revenue"),
+            # e4-integer revenue — same boundary-proof idiom as q9
+            F.floor(F.col("__rev") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("total_revenue_e4"),
         )
     )
 
@@ -4242,7 +4250,8 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name,
+       CAST(floor(total_revenue * 10000 + 0.5) AS BIGINT) AS total_revenue_e4
 FROM supplier, revenue
 WHERE s_suppkey = supplier_no
   AND total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -4341,9 +4350,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # e4-integer revenue — same boundary-proof idiom as q9
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("revenue_e4")
         )
     )
 
@@ -4351,7 +4364,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+            AS BIGINT) AS revenue_e4
 FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
 WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
   AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
@@ -4472,17 +4486,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
     )
+    # e4-integer output (floor(sum·10⁴ + 0.5)): the summands carry
+    # exactly 4 decimals, so the true scaled sum is an INTEGER and the
+    # half-up floor is immune both to sum-order ulp noise and to the
+    # round() half-boundary divergence between engines — round(·, 2)
+    # landed exactly on 686823.585 at sf0.001 and Spark/DuckDB split.
     return (
         j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.floor(F.sum(amount) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("sum_profit_e4")
+        )
     )
 
 
 SQL_Q9 = """
 SELECT n_name AS nation,
        CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)
+                      - 0.6 * p_retailprice * l_quantity) * 10000 + 0.5)
+            AS BIGINT) AS sum_profit_e4
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
