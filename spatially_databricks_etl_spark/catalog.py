@@ -4423,24 +4423,31 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__n2key"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # e6 floor-idiom quantization (not round): round() is BigDecimal
+    # HALF_UP on the shortest repr in Spark but binary in DuckDB —
+    # the same cross-engine boundary class the fixed-decimal money
+    # sums hit; floor(x*1e6 + 0.5) is pure double arithmetic that
+    # both engines evaluate identically on the same input double.
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    ) / F.sum(vol)
     return (
         j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
+            F.floor(share * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("mkt_share_e6")
         )
     )
 
 
 SQL_Q8 = """
 SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       CAST(floor(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount))
+                  * 1000000 + 0.5) AS BIGINT) AS mkt_share_e6
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -4800,8 +4807,12 @@ def q_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_linear(
         ev, cols=["event_type", "user_id"], weights=weights, bias=0.1
     )
+    # e6 floor idiom, not round(): cross-engine boundary safety for
+    # continuous scores (see q8_market_share note).
     return scored.groupBy("event_type").agg(
-        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.floor(F.avg("score") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("avg_score_e6"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 
@@ -4809,18 +4820,24 @@ def q_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCORE_LINEAR = """
 WITH f AS (
   SELECT event_type,
-         CAST(concat('0x', substr(md5('event_type=' || event_type), 1, 13)) AS BIGINT)
+         CAST('0x' || substr(md5('event_type=' || event_type), 1, 13) AS BIGINT)
            % 64 AS i1,
-         CAST(concat('0x', substr(md5('user_id=' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+         CAST('0x' || substr(md5('user_id=' || CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
            % 64 AS i2
   FROM events),
+-- a NULL feature value hashes to a NULL slot; the operator's
+-- convention is "missing feature contributes 0" (coalesce in
+-- score_linear), so each weight term coalesces to 0 here too —
+-- NULL must not propagate into z and silently drop the row from
+-- avg(). ('0x' || NULL is NULL, unlike concat('0x', NULL) = '0x'.)
 s AS (
   SELECT event_type,
          1.0 / (1.0 + exp(-(0.1
-           + (CAST((i1 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5)
-           + (CAST((i2 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5)))) AS score
+           + coalesce(CAST((i1 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5, 0)
+           + coalesce(CAST((i2 * 37 + 11) % 97 AS DOUBLE) / 97 - 0.5, 0)))) AS score
   FROM f)
-SELECT event_type, round(avg(score), 6) AS avg_score,
+SELECT event_type,
+       CAST(floor(avg(score) * 1000000 + 0.5) AS BIGINT) AS avg_score_e6,
        CAST(count(*) AS BIGINT) AS n
 FROM s GROUP BY event_type
 """
@@ -4900,11 +4917,22 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         col="value",
         bins=10,
     )
+    # e6 floor idiom, not round(): cross-engine boundary safety for
+    # continuous scores (see q8_market_share note); the raw bin
+    # counts are exact longs and pin bin membership directly.
     return out.select(
         "bin",
-        F.round("p_a", 6).alias("p_a"),
-        F.round("p_b", 6).alias("p_b"),
-        F.round("psi_contrib", 6).alias("psi_contrib"),
+        "n_a",
+        "n_b",
+        F.floor(F.col("p_a") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p_a_e6"),
+        F.floor(F.col("p_b") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p_b_e6"),
+        F.floor(F.col("psi_contrib") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("psi_contrib_e6"),
     )
 
 
@@ -4922,10 +4950,13 @@ binned AS (
   FROM t CROSS JOIN span GROUP BY 1),
 tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM binned)
 SELECT bin,
-       round(greatest(na / ta, 1e-6), 6) AS p_a,
-       round(greatest(nb / tb, 1e-6), 6) AS p_b,
-       round((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
-             * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6)), 6) AS psi_contrib
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(greatest(na / ta, 1e-6) * 1000000 + 0.5) AS BIGINT) AS p_a_e6,
+       CAST(floor(greatest(nb / tb, 1e-6) * 1000000 + 0.5) AS BIGINT) AS p_b_e6,
+       CAST(floor((greatest(na / ta, 1e-6) - greatest(nb / tb, 1e-6))
+                  * ln(greatest(na / ta, 1e-6) / greatest(nb / tb, 1e-6))
+                  * 1000000 + 0.5) AS BIGINT) AS psi_contrib_e6
 FROM binned CROSS JOIN tot
 """
 

@@ -546,6 +546,8 @@ def drift_psi(
     bins: int = 10,
     eps: float = 1e-6,
     span: tuple[float, float] | None = None,
+    binning: str = "width",
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Population Stability Index between two snapshots of a numeric
     column — the standard distribution-drift monitor a production
@@ -556,9 +558,12 @@ def drift_psi(
     histograms share edges); each side's bin proportions are
     ``eps``-floored before the log so empty bins contribute a large
     finite penalty instead of ±inf. Returns one row per non-empty
-    bin: (bin, p_a, p_b, psi_contrib) with
+    bin: (bin, n_a, n_b, p_a, p_b, psi_contrib) with
     psi_contrib = (p_a − p_b)·ln(p_a/p_b); sum the column for the
-    headline PSI.
+    headline PSI. The raw per-bin counts (n_a, n_b) are emitted so a
+    monitor can report batch sizes and so bin membership is directly
+    observable (sum(n_b) = the comparison side's non-null row count —
+    every value lands in some bin).
 
     Scale shape: one min/max aggregate per side (map-side combine),
     the shared edges ride a ONE-ROW broadcast frame onto a tagged
@@ -573,9 +578,31 @@ def drift_psi(
     calls (a streaming monitor scoring every micro-batch against one
     reference histogram; see ``streaming.stateful.drift_monitor_sink``).
     Out-of-span values clamp into the edge bins.
+
+    ``binning="quantile"`` is the industry-canonical PSI form: the bin
+    edges are the REFERENCE side's i/bins quantiles (deciles for
+    bins=10, via :func:`exact_quantiles_select` — one shared sort),
+    bucket rule = number of cutpoints <= x, ties right (the
+    :func:`histogram_equiheight` contract). Because the edges come
+    only from ``df_a``, a stray outlier in the comparison side cannot
+    stretch the span and dilute every bin the way equal-width binning
+    lets it — it just clamps into the top/bottom bucket, which is
+    exactly the out-of-support mass PSI should see. ``span`` is a
+    width-binning concept and is rejected with quantile binning; to
+    pin quantile edges across calls (streaming), pass
+    ``edges=[...]`` computed once from the reference.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if binning not in ("width", "quantile"):
+        raise ValueError(f"binning must be 'width' or 'quantile', got {binning!r}")
+    if binning == "quantile" and span is not None:
+        raise ValueError(
+            "span pins equal-WIDTH edges; with binning='quantile' pass "
+            "edges=[...] to pin cutpoints instead"
+        )
+    if edges is not None and binning != "quantile":
+        raise ValueError("edges=[...] requires binning='quantile'")
     a = df_a.select(F.col(col).cast("double").alias("__x")).filter(
         F.col("__x").isNotNull()
     )
@@ -585,6 +612,22 @@ def drift_psi(
     tagged = a.withColumn("__side", F.lit("a")).unionByName(
         b.withColumn("__side", F.lit("b"))
     )
+    if binning == "quantile":
+        if edges is not None:
+            cuts = [float(c) for c in edges]
+        else:
+            cuts = exact_quantiles_select(a, "__x", [i / bins for i in range(1, bins)])
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + (F.col("__x") >= F.lit(float(cut))).cast("int")
+        binned = (
+            tagged.groupBy(bucket.cast("long").alias("bin"))
+            .agg(
+                F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
+                F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
+            )
+        )
+        return _psi_from_counts(binned, eps)
     if span is not None:
         lo, hi = float(span[0]), float(span[1])
         if not hi >= lo:
@@ -619,6 +662,13 @@ def drift_psi(
             F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
         )
     )
+    return _psi_from_counts(binned, eps)
+
+
+def _psi_from_counts(binned: DataFrame, eps: float) -> DataFrame:
+    """(bin, __na, __nb) → (bin, n_a, n_b, p_a, p_b, psi_contrib):
+    the eps-floored proportion + log-contribution tail shared by both
+    binning strategies. Totals ride a one-row broadcast frame."""
     totals = binned.agg(
         F.sum("__na").cast("double").alias("__ta"),
         F.sum("__nb").cast("double").alias("__tb"),
@@ -632,4 +682,11 @@ def drift_psi(
             "psi_contrib", (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
         )
     )
-    return out.select("bin", "p_a", "p_b", "psi_contrib")
+    return out.select(
+        "bin",
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "p_a",
+        "p_b",
+        "psi_contrib",
+    )

@@ -27,6 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spatially_databricks_etl_spark.operators.similarity import (
+    ANN_MAX_QUERIES,
+    check_query_batch,
+)
+
 #: Tokenizer contract shared with the SQL oracle: lowercase, split on
 #: runs of non-[a-z0-9], drop empties. Deliberately engine-portable.
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -50,6 +55,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_col: str = "query",
     quantize: int | None = None,
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
@@ -81,8 +87,16 @@ def bm25_topk(
     corpus, persist the postings + stats frames once (index build)
     and reuse across query batches — the same build-once/search-many
     split as the ANN index paths.
+
+    The query-term frame BROADCASTS, so the batch is bounded by the
+    same contract as the ANN entry points: ``max_queries`` (default
+    ``similarity.ANN_MAX_QUERIES``) fails fast on an oversized batch
+    instead of letting the broadcast blow up — split the batch or
+    raise the ceiling explicitly (``None`` opts out).
     """
     from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    check_query_batch(queries, "bm25_topk", max_queries)
 
     post = (
         docs.select(
@@ -204,18 +218,24 @@ def bm25_search_index(
     query_id_col: str = "query_id",
     query_col: str = "query",
     quantize: int | None = None,
+    max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted BM25 index (see :func:`bm25_write_index`):
     the query-term set becomes an ``IN`` filter PUSHED into the
     postings and df scans (range-sorted layout → footer min/max file
     skipping), the scalar stats come from the sidecar, and scoring +
     ranking match :func:`bm25_topk` exactly over the same corpus
-    (pinned by test). The distinct-term collect is query-batch-sized
-    — the same bounded-metadata contract as the ANN index routers."""
+    (pinned by test). The distinct-term collect is query-batch-sized,
+    and the batch size is ENFORCED, not just documented:
+    ``check_query_batch`` (default ceiling
+    ``similarity.ANN_MAX_QUERIES``) raises before the collect on a
+    degenerate mega-batch — the same contract as the LSH/IVF/IVF-PQ
+    index routers."""
     import json
 
     from spatially_databricks_etl_spark.operators.relational import top_k_per_group
 
+    check_query_batch(queries, "bm25_search_index", max_queries)
     spark = queries.sparkSession
     meta = json.loads(
         spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]

@@ -356,8 +356,12 @@ def drift_monitor_sink(
 ):
     """``foreachBatch`` drift monitor: score every micro-batch's
     ``col`` distribution against a STATIC reference histogram with
-    :func:`operators.profile.drift_psi` and land one (psi, n_rows)
-    row per micro-batch through the idempotent batch_id-partitioned
+    :func:`operators.profile.drift_psi` and land one
+    (psi, n_rows, n_bins) row per micro-batch — ``n_rows`` is the
+    batch's non-null ``col`` count (every such value lands in some
+    clamped bin, so it is exactly sum(n_b) of the binned frame; no
+    second pass over the batch), ``n_bins`` the non-empty bin count —
+    through the idempotent batch_id-partitioned
     writer — the streaming observability loop a training-data
     pipeline runs so a drifting upstream (schema holds, distribution
     doesn't) pages before the model quality does.
@@ -389,6 +393,7 @@ def drift_monitor_sink(
         base(
             scored.agg(
                 F.sum("psi_contrib").alias("psi"),
+                F.sum("n_b").cast("long").alias("n_rows"),
                 F.count(F.lit(1)).cast("long").alias("n_bins"),
             ),
             batch_id,

@@ -996,6 +996,34 @@ def test_bm25_persisted_index_matches_in_memory_and_pushes_terms(spark, tmp_path
     assert any("In(term" in ln or "EqualTo(term" in ln for ln in pushed), pushed
 
 
+def test_bm25_query_batch_guard_raises_on_oversized_batch(spark, tmp_path):
+    """Both BM25 entry points broadcast/collect query-derived term
+    sets under the ANN query-batch contract; round 8 made the
+    ceiling ENFORCED (check_query_batch), matching the five ANN
+    entry points — an oversized batch fails fast, within the ceiling
+    the guard is invisible."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_search_index,
+        bm25_topk,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    qs = spark.createDataFrame(
+        [(i, "spark join") for i in range(12)], "query_id int, query string"
+    )
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        bm25_topk(docs, qs, k=3, max_queries=10)
+    path = str(tmp_path / "bm25_guard_idx")
+    bm25_write_index(docs, path)
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        bm25_search_index(qs, path, k=3, max_queries=10)
+    assert bm25_topk(docs, qs, k=1, max_queries=12).count() > 0
+    assert bm25_search_index(qs, path, k=1, max_queries=12).count() > 0
+
+
 def test_drift_psi_detects_shift_and_reports_stability(spark):
     """PSI: identical distributions score ~0, a hard location shift
     crosses the 0.25 'investigate' threshold, a degenerate all-equal

@@ -730,6 +730,7 @@ def test_drift_monitor_sink_scores_each_batch_against_fixed_reference(
     ).first()
     span = (span_row["lo"], span_row["hi"])
     by_batch = {r["__batch_id"]: r["psi"] for r in rows}
+    nrows_by_batch = {r["__batch_id"]: r["n_rows"] for r in rows}
     for bid, batch_rows in seen:
         batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
         want = sum(
@@ -737,6 +738,10 @@ def test_drift_monitor_sink_scores_each_batch_against_fixed_reference(
             for r in drift_psi(ref, batch_df, col="value", bins=8, span=span).collect()
         )
         assert abs(by_batch[bid] - want) < 1e-9, (bid, by_batch[bid], want)
+        # n_rows is the batch's actual non-null value count, not a
+        # bin count (the round-7 docstring/value mismatch)
+        want_n = sum(1 for r in batch_rows if r["value"] is not None)
+        assert nrows_by_batch[bid] == want_n, (bid, nrows_by_batch[bid], want_n)
 
     # replay the last batch verbatim: history must be unchanged
     bid, batch_rows = seen[-1]
