@@ -151,6 +151,74 @@ def bm25_topk(
     return out.select("query_id", "doc_id", "score", "rank")
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    k: int = 60,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of two ranked retrieval lists — the standard hybrid-search
+    combiner (lexical BM25 ⊕ vector ANN) every RAG / data-curation
+    retrieval stack runs: score(d) = Σ_lists 1/(k + rank_list(d)),
+    with a document missing from one list contributing 0 from it.
+    ``k=60`` is the canonical damping constant from the paper.
+
+    Inputs are rank frames (query_id, doc_id, rank) — e.g.
+    :func:`bm25_topk` output and ``similarity.brute_force_topk`` /
+    any ANN top-k with its id column aliased. The fusion is ONE
+    full-outer equi-join on (query_id, doc_id) over two already
+    per-query-bounded lists (≤ per-side k rows per query), so the
+    joined frame is tiny regardless of corpus size — all the heavy
+    lifting stays in the per-modality retrievers. Ranks are small
+    exact integers, so both engines derive bit-identical 1/(k+rank)
+    doubles in a fixed addition order; ``quantize`` additionally pins
+    the e6 floor-idiom integer so the fused ranking replays anywhere
+    (ties break on doc id).
+
+    Returns (query_id, doc_id, score, rank) with rank ≤ ``topk``.
+    """
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ra = a.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("__ra"),
+    )
+    rb = b.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("__rb"),
+    )
+    fused = ra.join(rb, ["query_id", "doc_id"], "full_outer").withColumn(
+        "score",
+        F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("__ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("__rb")), F.lit(0.0)),
+    )
+    if quantize is not None:
+        fused = fused.withColumn(
+            "score",
+            F.floor(F.col("score") * F.lit(float(10**quantize)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    out = top_k_per_group(
+        fused,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id")],
+        topk,
+        rank_col="rank",
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
 def bm25_write_index(
     docs: DataFrame,
     path: str,

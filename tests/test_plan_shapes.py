@@ -104,6 +104,10 @@ def test_no_catalog_query_plans_a_smell(spark):
         # attached via broadcast cross join — same scalar-join pattern
         "bm25_topk",
         "drift_psi",
+        "drift_psi_quantile",
+        # RRF fusion composes bm25_topk + brute-force cosine top-k,
+        # inheriting both scalar-join sites
+        "hybrid_topk",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
