@@ -147,7 +147,71 @@ EXTRA = [
     "score_linear",
     "bm25_topk",
     "drift_psi",
+    # round 8: canonical quantile PSI + BM25 ⊕ ANN fusion
+    "drift_psi_quantile",
+    "hybrid_topk",
 ]
+
+# Second frozen headline set (round-8, VERDICT r7 item 5): one
+# representative per operator family added in rounds 2-7. The r1-era
+# HEADLINE list cannot absorb them without breaking round-over-round
+# comparability, so headline2 carries its own frozen membership and
+# its own committed baseline: the ROUND-7 DRIVER bench's extras
+# medians (BENCH_DETAILS.json as committed at 9c84448; n=5, sf0.1,
+# local[32]) — the same provenance class as BENCH_r01.json for the
+# original gate. Gate reading: per-query 2x of the baseline median,
+# subject to the documented bench-noise methodology (SCALE.md —
+# within-session A/B or n=10 clean-session isolation adjudicates
+# apparent breaches on unchanged code).
+HEADLINE2 = [
+    "dedup_lines",
+    "neardup_clusters",
+    "semdedup",
+    "bigram_lm",
+    "pagerank",
+    "triangle_count_dense",
+    "heavy_hitters",
+    "histogram_equiheight",
+    "column_profile",
+    "cdc_apply",
+    "incremental_rollup",
+    "sessionize",
+    "resample_interpolate",
+    "ann_pq_topk",
+    "quantize_embeddings",
+    "range_bin_join",
+    "curate_funnel",
+    "bm25_topk",
+    "score_linear",
+    "drift_psi",
+    "sample_mixture",
+    "q2_min_cost_supplier",
+]
+
+HEADLINE2_BASELINE = {
+    "dedup_lines": 0.573,
+    "neardup_clusters": 6.126,
+    "semdedup": 3.044,
+    "bigram_lm": 1.086,
+    "pagerank": 1.366,
+    "triangle_count_dense": 7.95,
+    "heavy_hitters": 0.516,
+    "histogram_equiheight": 1.013,
+    "column_profile": 0.292,
+    "cdc_apply": 0.307,
+    "incremental_rollup": 0.291,
+    "sessionize": 0.417,
+    "resample_interpolate": 0.286,
+    "ann_pq_topk": 1.269,
+    "quantize_embeddings": 0.179,
+    "range_bin_join": 0.307,
+    "curate_funnel": 11.221,
+    "bm25_topk": 1.141,
+    "score_linear": 0.236,
+    "drift_psi": 0.553,
+    "sample_mixture": 0.209,
+    "q2_min_cost_supplier": 0.757,
+}  # baseline total: 39.139
 
 
 def main() -> int:
@@ -216,6 +280,11 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    # headline2 is a FROZEN SUBSET of the extras measurements (same
+    # medians, no extra work) with its own committed baseline — the
+    # gate for the post-r1 operator families.
+    h2 = {q: extra_timings[q] for q in HEADLINE2 if q in extra_timings}
+    h2_total = round(sum(h2.values()), 3)
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -225,6 +294,9 @@ def main() -> int:
         "extra_queries": extra_timings,
         "extra_spreads": extra_spreads,
         "extra_n": extra_iters,
+        "headline2": h2,
+        "headline2_total": h2_total,
+        "headline2_baseline": HEADLINE2_BASELINE,
         "n": iters,
         "sf": sf,
     }
@@ -247,6 +319,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline2_total": h2_total,
                 "n": iters,
                 "sf": sf,
             }
