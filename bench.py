@@ -147,9 +147,10 @@ EXTRA = [
     "score_linear",
     "bm25_topk",
     "drift_psi",
-    # round 8: canonical quantile PSI + BM25 ⊕ ANN fusion
+    # round 8: canonical quantile PSI + BM25 ⊕ ANN fusion + binned KS
     "drift_psi_quantile",
     "hybrid_topk",
+    "drift_ks",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5116,6 +5116,74 @@ FROM binned CROSS JOIN tot
 SQL_DRIFT_PSI_QUANTILE = _drift_psi_quantile_oracle_sql(10)
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov drift between the two
+    January halves of events.value on 10 reference-decile bins — the
+    sup-norm ECDF companion to the PSI monitors. The oracle replays
+    the decile cutpoints, the per-bin counts and the window
+    cumulative CDFs value-for-value (counts are exact longs, so the
+    CDF doubles agree bit-for-bit; e6 floor idiom pins them)."""
+    from spatially_databricks_etl_spark.operators.profile import drift_ks
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00")
+    out = drift_ks(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        col="value",
+        bins=10,
+        binning="quantile",
+    )
+    return out.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.floor(F.col("cdf_a") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cdf_a_e6"),
+        F.floor(F.col("cdf_b") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cdf_b_e6"),
+        F.floor(F.col("ks_contrib") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("ks_contrib_e6"),
+    )
+
+
+def _drift_ks_oracle_sql(bins: int) -> str:
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    terms = "\n         + ".join(
+        f"CAST(x >= cs[{i}] AS INT)" for i in range(1, bins)
+    )
+    return f"""
+WITH t AS (
+  SELECT value AS x, CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END AS side
+  FROM events WHERE value IS NOT NULL),
+cuts AS (SELECT quantile_cont(x, [{qs}]) AS cs FROM t WHERE side = 'a'),
+binned AS (
+  SELECT CAST({terms} AS BIGINT) AS bin,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM t CROSS JOIN cuts GROUP BY 1),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM binned),
+cum AS (
+  SELECT bin, na, nb,
+         sum(na) OVER (ORDER BY bin) AS ca,
+         sum(nb) OVER (ORDER BY bin) AS cb
+  FROM binned)
+SELECT bin,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(ca / ta * 1000000 + 0.5) AS BIGINT) AS cdf_a_e6,
+       CAST(floor(cb / tb * 1000000 + 0.5) AS BIGINT) AS cdf_b_e6,
+       CAST(floor(abs(ca / ta - cb / tb) * 1000000 + 0.5) AS BIGINT) AS ks_contrib_e6
+FROM cum CROSS JOIN tot
+"""
+
+
+SQL_DRIFT_KS = _drift_ks_oracle_sql(10)
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5605,6 +5673,7 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 additions (round-9 rotation candidates)
     "drift_psi_quantile": q_drift_psi_quantile,
     "hybrid_topk": q_hybrid_topk,
+    "drift_ks": q_drift_ks,
 }
 
 ORACLES: dict[str, str] = {
@@ -5721,6 +5790,7 @@ ORACLES: dict[str, str] = {
     "drift_psi": SQL_DRIFT_PSI,
     "drift_psi_quantile": SQL_DRIFT_PSI_QUANTILE,
     "hybrid_topk": SQL_HYBRID_TOPK,
+    "drift_ks": SQL_DRIFT_KS,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -592,6 +592,28 @@ def drift_psi(
     pin quantile edges across calls (streaming), pass
     ``edges=[...]`` computed once from the reference.
     """
+    binned = _drift_binned_counts(
+        df_a, df_b, col=col, bins=bins, span=span, binning=binning, edges=edges
+    )
+    return _psi_from_counts(binned, eps)
+
+
+def _drift_binned_counts(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    bins: int,
+    span: tuple[float, float] | None,
+    binning: str,
+    edges: list[float] | None,
+) -> DataFrame:
+    """Shared two-sample binning for the drift monitors
+    (:func:`drift_psi`, :func:`drift_ks`): validate the binning
+    contract, tag-union both sides, bucket by equal-width span or
+    reference quantiles, and return one (bin, __na, __nb) row per
+    non-empty bin (one small shuffle; edges ride a one-row broadcast
+    or a literal cutpoint expression)."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     if binning not in ("width", "quantile"):
@@ -612,6 +634,10 @@ def drift_psi(
     tagged = a.withColumn("__side", F.lit("a")).unionByName(
         b.withColumn("__side", F.lit("b"))
     )
+    side_counts = [
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
+    ]
     if binning == "quantile":
         if edges is not None:
             cuts = [float(c) for c in edges]
@@ -620,14 +646,7 @@ def drift_psi(
         bucket = F.lit(0)
         for cut in cuts:
             bucket = bucket + (F.col("__x") >= F.lit(float(cut))).cast("int")
-        binned = (
-            tagged.groupBy(bucket.cast("long").alias("bin"))
-            .agg(
-                F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
-                F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
-            )
-        )
-        return _psi_from_counts(binned, eps)
+        return tagged.groupBy(bucket.cast("long").alias("bin")).agg(*side_counts)
     if span is not None:
         lo, hi = float(span[0]), float(span[1])
         if not hi >= lo:
@@ -639,7 +658,7 @@ def drift_psi(
         span_df = tagged.agg(
             F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
         )
-    binned = (
+    return (
         tagged.crossJoin(F.broadcast(span_df))
         .withColumn(
             "bin",
@@ -657,12 +676,67 @@ def drift_psi(
             ).cast("long"),
         )
         .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
-            F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
-        )
+        .agg(*side_counts)
     )
-    return _psi_from_counts(binned, eps)
+
+
+def drift_ks(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    bins: int = 100,
+    span: tuple[float, float] | None = None,
+    binning: str = "quantile",
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov drift monitor: the
+    complement to :func:`drift_psi` (PSI weighs proportional mass
+    shifts per bin; KS is the sup-norm distance between the two
+    empirical CDFs, sensitive to location/shape shifts PSI's
+    log-ratio can underweight). Production monitors compute KS on a
+    binned ECDF — exact within 1/bins of the unbinned statistic,
+    and unlike a full-sort ECDF it needs no global ordering of the
+    DATA: binning is the same one-shuffle histogram as
+    :func:`drift_psi` (shared ``binning``/``span``/``edges``
+    contract, reference-quantile edges by default), and the
+    cumulative sums run over the BINS-sized frame (≤ ``bins`` rows),
+    where a single-partition window is the intended shape, not a
+    scale smell.
+
+    Returns one row per non-empty bin: (bin, n_a, n_b, cdf_a, cdf_b,
+    ks_contrib) with ks_contrib = |cdf_a − cdf_b| at the bin's upper
+    edge; the KS statistic is ``max(ks_contrib)``. Counts are exact
+    integers, so both engines derive identical CDF doubles (one
+    division of exact longs) — the cross-engine determinism story of
+    the count-based monitors.
+    """
+    binned = _drift_binned_counts(
+        df_a, df_b, col=col, bins=bins, span=span, binning=binning, edges=edges
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = binned.agg(
+        F.sum("__na").cast("double").alias("__ta"),
+        F.sum("__nb").cast("double").alias("__tb"),
+    )
+    out = (
+        binned.withColumn("__ca", F.sum("__na").over(w))
+        .withColumn("__cb", F.sum("__nb").over(w))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("cdf_a", F.col("__ca") / F.col("__ta"))
+        .withColumn("cdf_b", F.col("__cb") / F.col("__tb"))
+        .withColumn("ks_contrib", F.abs(F.col("cdf_a") - F.col("cdf_b")))
+    )
+    return out.select(
+        "bin",
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "cdf_a",
+        "cdf_b",
+        "ks_contrib",
+    )
 
 
 def _psi_from_counts(binned: DataFrame, eps: float) -> DataFrame:

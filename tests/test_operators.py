@@ -1072,6 +1072,115 @@ def test_drift_psi_quantile_outlier_robustness(spark):
     assert pinned == clean
 
 
+def test_drift_ks_matches_reference_and_detects_shift(spark):
+    """Binned KS: (a) identical samples score 0 on every bin, (b) a
+    location shift yields the statistic a plain-Python binned ECDF
+    reference computes on the same reference-decile edges, (c) the
+    binned statistic approximates the classic unbinned two-sample KS
+    within 1/bins."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        drift_ks,
+        exact_quantiles_select,
+    )
+
+    n = 400
+    av = [i / 7.0 for i in range(n)]
+    bv = [i / 7.0 + 9.0 for i in range(n)]  # location shift
+    a = spark.createDataFrame([(x,) for x in av], "v double")
+    b = spark.createDataFrame([(x,) for x in bv], "v double")
+
+    same = drift_ks(a, a, col="v", bins=10).collect()
+    assert max(r["ks_contrib"] for r in same) == 0.0
+
+    bins = 10
+    got = drift_ks(a, b, col="v", bins=bins, binning="quantile").collect()
+    got_ks = max(r["ks_contrib"] for r in got)
+
+    cuts = exact_quantiles_select(
+        a.selectExpr("v as __x"), "__x", [i / bins for i in range(1, bins)]
+    )
+
+    def bucket(x):
+        return sum(1 for c in cuts if x >= c)
+
+    import collections
+
+    ca, cb = collections.Counter(map(bucket, av)), collections.Counter(map(bucket, bv))
+    seen_bins = sorted(set(ca) | set(cb))
+    want_ks, cum_a, cum_b = 0.0, 0, 0
+    for bn in seen_bins:
+        cum_a += ca.get(bn, 0)
+        cum_b += cb.get(bn, 0)
+        want_ks = max(want_ks, abs(cum_a / n - cum_b / n))
+    assert abs(got_ks - want_ks) < 1e-12
+
+    # the binned statistic must approximate the classic UNBINNED
+    # two-sample KS within 1/bins (compute it exactly over the
+    # merged sample)
+    import bisect
+
+    sa, sb = sorted(av), sorted(bv)
+    exact = max(
+        abs(bisect.bisect_right(sa, x) / n - bisect.bisect_right(sb, x) / n)
+        for x in sa + sb
+    )
+    assert abs(got_ks - exact) <= 1.0 / bins, (got_ks, exact)
+    assert got_ks > 0.1  # the shift is detected
+
+
+def test_hybrid_retrieval_over_persisted_indexes(spark, tmp_path):
+    """The build-once/search-many hybrid: rrf_fuse over
+    bm25_search_index (persisted postings) and ivf_search_index
+    (persisted cells) must equal rrf_fuse over the in-memory
+    retrievers — fusion composes with the index discipline, so a
+    standing corpus serves hybrid queries without re-tokenizing or
+    re-clustering anything."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_search_index,
+        bm25_topk,
+        bm25_write_index,
+        rrf_fuse,
+    )
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_topk,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qdocs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    bpath = str(tmp_path / "bm25_idx")
+    vpath = str(tmp_path / "ivf_idx")
+    bm25_write_index(docs, bpath)
+    cents = ivf_build(emb, n_centroids=8)
+    ivf_write_index(emb, vpath, centroids=cents)
+
+    def vec_side(df):
+        return df.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    mem = rrf_fuse(
+        bm25_topk(docs, qdocs, k=10, quantize=6),
+        vec_side(ivf_topk(emb, qvecs, centroids=cents, nprobe=2, k=10)),
+        k=60,
+        topk=10,
+    )
+    idx = rrf_fuse(
+        bm25_search_index(qdocs, bpath, k=10, quantize=6),
+        vec_side(ivf_search_index(qvecs, vpath, nprobe=2, k=10)),
+        k=60,
+        topk=10,
+    )
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, mem.collect()))
+
+
 def test_rrf_fuse_hand_case_and_partition_stability(spark):
     """RRF: a hand-computed 2-list fusion (doc in both lists beats a
     single rank-1 vote when ranks warrant; missing side contributes

@@ -105,6 +105,7 @@ def test_no_catalog_query_plans_a_smell(spark):
         "bm25_topk",
         "drift_psi",
         "drift_psi_quantile",
+        "drift_ks",
         # RRF fusion composes bm25_topk + brute-force cosine top-k,
         # inheriting both scalar-join sites
         "hybrid_topk",
