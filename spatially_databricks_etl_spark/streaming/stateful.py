@@ -353,6 +353,7 @@ def drift_monitor_sink(
     bins: int = 10,
     eps: float = 1e-6,
     fmt: str = "parquet",
+    binning: str = "width",
 ):
     """``foreachBatch`` drift monitor: score every micro-batch's
     ``col`` distribution against a STATIC reference histogram with
@@ -366,30 +367,56 @@ def drift_monitor_sink(
     pipeline runs so a drifting upstream (schema holds, distribution
     doesn't) pages before the model quality does.
 
-    The bin EDGES come from the reference's min/max, computed once at
-    sink construction and pinned for the query's lifetime — per-batch
-    edges would make PSI values incomparable across batches (and
-    nondeterministic under replay). Out-of-span batch values clamp
-    into the edge bins, which is exactly the "mass appearing outside
-    the reference's support" signal PSI should see. Replayed batches
-    overwrite their own partition (same contract as
-    :func:`foreach_batch_writer`), so recovery never double-counts a
-    monitoring row.
+    The bin EDGES are computed once at sink construction and pinned
+    for the query's lifetime — per-batch edges would make PSI values
+    incomparable across batches (and nondeterministic under replay).
+    ``binning="width"`` pins the reference's min/max span;
+    ``binning="quantile"`` pins the reference's i/bins quantile
+    cutpoints (the canonical, outlier-robust PSI form — see
+    :func:`operators.profile.drift_psi`). Either way, out-of-support
+    batch values clamp into the edge bins, which is exactly the
+    "mass appearing outside the reference's support" signal PSI
+    should see. Replayed batches overwrite their own partition (same
+    contract as :func:`foreach_batch_writer`), so recovery never
+    double-counts a monitoring row.
     """
-    from spatially_databricks_etl_spark.operators.profile import drift_psi
+    from spatially_databricks_etl_spark.operators.profile import (
+        drift_psi,
+        exact_quantiles_select,
+    )
 
-    row = reference.agg(
-        F.min(F.col(col).cast("double")).alias("lo"),
-        F.max(F.col(col).cast("double")).alias("hi"),
-    ).first()
-    if row["lo"] is None:
-        raise ValueError("drift_monitor_sink: reference has no non-null values")
-    span = (float(row["lo"]), float(row["hi"]))
+    if binning not in ("width", "quantile"):
+        raise ValueError(f"binning must be 'width' or 'quantile', got {binning!r}")
+    span = edges = None
+    if binning == "quantile":
+        # raises on an all-null reference, same contract as the span path
+        edges = exact_quantiles_select(
+            reference.select(F.col(col).cast("double").alias(col)),
+            col,
+            [i / bins for i in range(1, bins)],
+        )
+    else:
+        row = reference.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        if row["lo"] is None:
+            raise ValueError("drift_monitor_sink: reference has no non-null values")
+        span = (float(row["lo"]), float(row["hi"]))
     ref = reference.select(F.col(col).cast("double").alias(col)).persist()
     base = foreach_batch_writer(path, fmt)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        scored = drift_psi(ref, batch_df, col=col, bins=bins, eps=eps, span=span)
+        scored = drift_psi(
+            ref,
+            batch_df,
+            col=col,
+            bins=bins,
+            eps=eps,
+            span=span,
+            binning=binning,
+            edges=edges,
+        )
         base(
             scored.agg(
                 F.sum("psi_contrib").alias("psi"),

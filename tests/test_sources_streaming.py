@@ -752,6 +752,55 @@ def test_drift_monitor_sink_scores_each_batch_against_fixed_reference(
         assert abs(after[k] - by_batch[k]) < 1e-12
 
 
+def test_drift_monitor_sink_quantile_mode_pins_reference_deciles(spark, tmp_path):
+    """Quantile-mode streaming drift monitor: every micro-batch's PSI
+    must equal a per-batch recompute against the SAME pinned
+    reference-decile edges — the canonical-PSI analog of the pinned
+    min/max span contract."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        drift_psi,
+        exact_quantiles_select,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import drift_monitor_sink
+
+    ev = load_table(spark, SF_DIR, "events").select("value")
+    ref = ev.limit(400)
+    src = str(tmp_path / "dmq_src")
+    sink = str(tmp_path / "dmq_sink")
+    ev.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = drift_monitor_sink(sink, ref, col="value", bins=8, binning="quantile")
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == len(seen) >= 2
+    edges = exact_quantiles_select(
+        ref.selectExpr("cast(value as double) as value"),
+        "value",
+        [i / 8 for i in range(1, 8)],
+    )
+    by_batch = {r["__batch_id"]: r["psi"] for r in rows}
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
+        want = sum(
+            r["psi_contrib"]
+            for r in drift_psi(
+                ref, batch_df, col="value", bins=8, binning="quantile", edges=edges
+            ).collect()
+        )
+        assert abs(by_batch[bid] - want) < 1e-9, (bid, by_batch[bid], want)
+
+
 def test_stream_static_enrich_and_dim_refresh_on_restart(spark, tmp_path):
     """Stream-static enrichment: (a) every stream row picks up its
     dim columns (left join keeps dim-less rows with nulls), (b) the
