@@ -151,6 +151,9 @@ EXTRA = [
     "drift_psi_quantile",
     "hybrid_topk",
     "drift_ks",
+    # round 9: N-way weighted RRF + oracled IVF recall@10
+    "hybrid3_topk",
+    "ann_recall",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -4989,6 +4989,233 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_hybrid3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way WEIGHTED hybrid retrieval — the production hybrid
+    stack shape (N rankers, per-list weights) the two-list form of
+    ``hybrid_topk`` is sugar for: BM25 lexical (w=0.5) ⊕ brute-force
+    cosine (w=0.3) ⊕ character-trigram Jaccard overlap (w=0.2), fused
+    with weighted RRF (k=60). Same three query documents as
+    ``hybrid_topk`` (text → lexical + trigram queries, embedding →
+    vector query). The oracle replays all THREE retrievers end-to-end
+    plus the left-to-right weighted e6-quantized fusion; the weights
+    are exact binary-representable-adjacent decimals parsed
+    identically by both engines, ranks are exact small integers, and
+    the fold order is pinned, so the fused doubles are bit-identical."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_topk,
+        ngram_jaccard_topk,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdocs = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    lex = bm25_topk(d, qdocs, k=10, quantize=6)
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, qvecs, k=10, query_id_col="query_id").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    tri = ngram_jaccard_topk(d, qdocs, n=3, k=10)
+    return rrf_fuse(
+        [lex, vec, tri], weights=[0.5, 0.3, 0.2], k=60, topk=10, quantize=6
+    )
+
+
+SQL_HYBRID3_TOPK = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+post AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+  GROUP BY doc_id, dl, term),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+q AS (SELECT doc_id AS query_id, text AS query FROM documents WHERE doc_id < 3),
+qt AS (SELECT DISTINCT query_id,
+              unnest(list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'),
+                                 x -> x <> '')) AS term
+       FROM q),
+bscored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS raw
+  FROM post JOIN qt USING (term) JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, post.doc_id),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(raw * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM bscored),
+lexk AS (SELECT * FROM lex WHERE rank <= 10),
+qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < 3),
+sim AS (SELECT qv.query_id, e.vec_id AS doc_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) AS s
+        FROM embeddings e CROSS JOIN qv),
+vec AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+        FROM sim),
+veck AS (SELECT * FROM vec WHERE rank <= 10),
+tg AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+                                           i -> substr(lower(text), i, 3))) AS g
+       FROM documents),
+qg AS (SELECT doc_id AS query_id, g FROM tg WHERE doc_id < 3),
+tsim AS (SELECT qg.query_id, tg.doc_id,
+                len(list_intersect(tg.g, qg.g))
+                / (len(tg.g) + len(qg.g) - len(list_intersect(tg.g, qg.g))) AS s
+         FROM tg CROSS JOIN qg),
+tri AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+        FROM tsim WHERE s > 0),
+trik AS (SELECT * FROM tri WHERE rank <= 10),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id, t.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id, t.doc_id) AS doc_id,
+         coalesce(0.5 / (60 + l.rank), 0) + coalesce(0.3 / (60 + v.rank), 0)
+           + coalesce(0.2 / (60 + t.rank), 0) AS rrf
+  FROM lexk l
+  FULL OUTER JOIN veck v ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+  FULL OUTER JOIN trik t ON coalesce(l.query_id, v.query_id) = t.query_id
+                        AND coalesce(l.doc_id, v.doc_id) = t.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM fused WHERE rrf > 0)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval QUALITY as a graded query: recall@10 of the real
+    :func:`ivf_topk` search path against :func:`brute_force_topk`
+    ground truth on the ORGANIC embeddings corpus (no planting — the
+    planted ANN oracles pin determinism/plumbing, not recall; this
+    pins recall). 20 query vectors, 16 IVF cells, nprobe=4.
+
+    The coarse quantizer is given PINNED centroids — the 16 standard
+    basis vectors e_0..e_15 — instead of k-means output: they are unit
+    norm by construction (the 1/|c| prescale is exactly 1.0) and every
+    dot(v, e_j) folds to EXACTLY v[j] in IEEE arithmetic (all other
+    terms multiply by ±0.0), so cell assignment = argmax of the first
+    16 coordinates and the probe set = the 4 largest — both replayable
+    bit-for-bit in any engine. That is what turns ANN recall into an
+    ORACLED catalog query: the DuckDB oracle re-derives cell
+    membership, the probe sets, the in-cell exact-cosine top-10 AND
+    the brute-force truth, then counts the intersection per query.
+    Axis-aligned cells are a blunt quantizer (deliberately — recall
+    here is honestly < 1), and the measured machinery (probe
+    explode → broadcast equi-join on cell → windowed top-k) is the
+    exact production path a trained quantizer uses."""
+    from spatially_databricks_etl_spark.operators.similarity import ivf_topk
+
+    # Corpus and query frames come from SEPARATE scans of the same
+    # parquet: ivf_topk equi-joins the probe frame (from queries)
+    # against the assigned corpus, and a shared scan lineage trips
+    # Spark's self-join attribute dedup (INTERNAL_ERROR_ATTRIBUTE_
+    # NOT_FOUND) inside that join.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(16)]
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
+    truth = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), queries, k=10, query_id_col="query_id"
+    )
+    # intersection as union + pair-count (a (query, neighbor) pair in
+    # both lists counts 2) — both lists scan the SAME corpus frame, and
+    # the tag-union sidesteps the self-join attribute dedup a direct
+    # approx ⋈ truth join trips over
+    both = (
+        approx.select("query_id", "neighbor_id")
+        .unionByName(truth.select("query_id", "neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_q = (
+        both.filter(F.col("__n") == 2)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+SQL_ANN_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (SELECT vec_id, j - 1 AS cell, v[j] AS sim
+         FROM e CROSS JOIN generate_series(1, 16) AS gs(j)),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+    FROM comp) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+qcomp AS (SELECT query_id, j - 1 AS cell, qv[j] AS sim
+          FROM q CROSS JOIN generate_series(1, 16) AS gs(j)),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
+    FROM qcomp) WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)),
+iscored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(e.v, q.qv) AS s
+            FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q USING (query_id)),
+ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM iscored) WHERE rn <= 10),
+tscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(e.v, q.qv) AS s
+            FROM e CROSS JOIN q),
+truthk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM tscored) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit
+         FROM ivfk JOIN truthk USING (query_id, neighbor_id) GROUP BY query_id)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) / 10.0 * 1000000 + 0.5) AS BIGINT) AS recall_e6
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values: first two weeks of
     January vs the rest of the month, 10 shared equal-width bins.
@@ -5509,9 +5736,18 @@ QUERIES: dict[str, QueryFn] = {
     # and remain fully oracled. Prior rotations: r7 moved 10 round-6
     # operators in, r6 moved 13 round-5 operators in (see git history
     # of this comment).
-    # Round-9 rotation candidates (judge-attested in r8 once the
-    # diffcheck sweep lands): q16_supplier_counts,
-    # q19_disjunctive_revenue, drift_psi_quantile, hybrid_topk.
+    # Round-9 rotation (VERDICT r8 item 1): the five round-8 operators
+    # judge-attested at sf0.001/sf0.01-vanilla/sf0.1 move INTO the
+    # prefix (q16_supplier_counts, q19_disjunctive_revenue,
+    # drift_psi_quantile, hybrid_topk, drift_ks); five same-family
+    # twins already driver-attested in earlier rounds move to 51+ and
+    # remain fully oracled (q11/q12 → the TPC-H family keeps 8 prefix
+    # rows; drift_psi + histogram_equiheight → the binned-profiling
+    # family is now represented by its canonical quantile forms;
+    # bm25_topk → hybrid_topk composes the full BM25 pipeline plus the
+    # cosine retriever and the RRF fusion on top).
+    # Round-10 rotation candidates (judge-attested in r9 once the
+    # diffcheck sweep lands): hybrid3_topk, ann_recall.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -5519,14 +5755,14 @@ QUERIES: dict[str, QueryFn] = {
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
-    "q11_important_stock": q11_important_stock,
-    "q12_late_shipments": q12_late_shipments,
     "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
-    "histogram_equiheight": q_histogram_equiheight,
     "column_profile": q_column_profile,
-    "drift_psi": q_drift_psi,
+    "drift_psi_quantile": q_drift_psi_quantile,
+    "drift_ks": q_drift_ks,
     # -- sketches / sampling ----------------------------------------------
     "heavy_hitters": q_heavy_hitters,
     "sample_mixture": q_sample_mixture,
@@ -5561,7 +5797,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
-    "bm25_topk": q_bm25_topk,
+    "hybrid_topk": q_hybrid_topk,
     # -- corpus curation + graph -----------------------------------------
     "decontaminate": q_decontaminate,
     "bigram_lm": q_bigram_lm,
@@ -5617,8 +5853,11 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q16_supplier_counts": q16_supplier_counts,
+    "q11_important_stock": q11_important_stock,
+    "q12_late_shipments": q12_late_shipments,
+    "drift_psi": q_drift_psi,
+    "histogram_equiheight": q_histogram_equiheight,
+    "bm25_topk": q_bm25_topk,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
@@ -5670,10 +5909,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
-    # round-8 additions (round-9 rotation candidates)
-    "drift_psi_quantile": q_drift_psi_quantile,
-    "hybrid_topk": q_hybrid_topk,
-    "drift_ks": q_drift_ks,
+    # round-9 additions (round-10 rotation candidates)
+    "hybrid3_topk": q_hybrid3_topk,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -5791,6 +6029,8 @@ ORACLES: dict[str, str] = {
     "drift_psi_quantile": SQL_DRIFT_PSI_QUANTILE,
     "hybrid_topk": SQL_HYBRID_TOPK,
     "drift_ks": SQL_DRIFT_KS,
+    "hybrid3_topk": SQL_HYBRID3_TOPK,
+    "ann_recall": SQL_ANN_RECALL,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

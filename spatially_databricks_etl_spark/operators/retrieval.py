@@ -24,6 +24,8 @@ scoring pipeline value-for-value.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,25 @@ def tokens_col(text: Column | str) -> Column:
     """``array<string>`` of lowercase alphanumeric tokens."""
     t = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(t), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def _postings(
+    docs: DataFrame, id_col: str, text_col: str, dl_name: str
+) -> DataFrame:
+    """(doc_id, <dl_name>, term, tf) postings — the shared
+    tokenize → explode → per-(doc, term) count build used by the
+    in-memory scorer, the index writer, and the index appender (one
+    definition so an appended batch tokenizes EXACTLY like a full
+    build, which is what makes append ≡ rebuild provable)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+        )
+        .withColumn(dl_name, F.size("__toks"))
+        .select("doc_id", dl_name, F.explode("__toks").alias("term"))
+        .groupBy("doc_id", dl_name, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
 
 
 def bm25_topk(
@@ -98,15 +119,7 @@ def bm25_topk(
 
     check_query_batch(queries, "bm25_topk", max_queries)
 
-    post = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
-        )
-        .withColumn("__dl", F.size("__toks"))
-        .select("doc_id", "__dl", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "__dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
+    post = _postings(docs, id_col, text_col, "__dl")
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
         F.avg(F.size(tokens_col(text_col))).alias("__avgdl"),
@@ -152,9 +165,10 @@ def bm25_topk(
 
 
 def rrf_fuse(
-    a: DataFrame,
-    b: DataFrame,
+    a: DataFrame | Sequence[DataFrame],
+    b: DataFrame | None = None,
     *,
+    weights: Sequence[float] | None = None,
     k: int = 60,
     topk: int = 10,
     query_id_col: str = "query_id",
@@ -162,46 +176,70 @@ def rrf_fuse(
     rank_col: str = "rank",
     quantize: int | None = 6,
 ) -> DataFrame:
-    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
-    2009) of two ranked retrieval lists — the standard hybrid-search
-    combiner (lexical BM25 ⊕ vector ANN) every RAG / data-curation
-    retrieval stack runs: score(d) = Σ_lists 1/(k + rank_list(d)),
-    with a document missing from one list contributing 0 from it.
-    ``k=60`` is the canonical damping constant from the paper.
+    """Weighted reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009) of N ranked retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 ⊕ vector ANN ⊕ learned-sparse
+    / recency priors) every RAG / data-curation retrieval stack runs:
+    score(d) = Σ_i w_i / (k + rank_i(d)), with a document missing from
+    a list contributing 0 from it. ``k=60`` is the canonical damping
+    constant from the paper; ``weights`` defaults to 1.0 per list (the
+    paper's unweighted form).
 
+    Call shapes: ``rrf_fuse(a, b)`` (the common two-list sugar) or
+    ``rrf_fuse([a, b, c, ...], weights=[...])`` for N-way fusion.
     Inputs are rank frames (query_id, doc_id, rank) — e.g.
     :func:`bm25_topk` output and ``similarity.brute_force_topk`` /
-    any ANN top-k with its id column aliased. The fusion is ONE
-    full-outer equi-join on (query_id, doc_id) over two already
-    per-query-bounded lists (≤ per-side k rows per query), so the
-    joined frame is tiny regardless of corpus size — all the heavy
-    lifting stays in the per-modality retrievers. Ranks are small
-    exact integers, so both engines derive bit-identical 1/(k+rank)
-    doubles in a fixed addition order; ``quantize`` additionally pins
-    the e6 floor-idiom integer so the fused ranking replays anywhere
-    (ties break on doc id).
+    any ANN top-k with its id column aliased. The fusion is a FOLD of
+    full-outer equi-joins on (query_id, doc_id) over already
+    per-query-bounded rank lists (≤ per-side k rows per query), so the
+    joined frame stays O(n_queries · k · n_lists) regardless of corpus
+    size — all the heavy lifting stays in the per-modality retrievers.
+    Ranks are small exact integers and the weighted sum folds
+    left-to-right in list order, so both engines derive bit-identical
+    w/(k+rank) doubles; ``quantize`` additionally pins the e6
+    floor-idiom integer so the fused ranking replays anywhere (ties
+    break on doc id). A document retrieved only by zero-weighted lists
+    (total score 0 = "not retrieved") is dropped before ranking, which
+    makes a zero weight EXACTLY equivalent to omitting its list.
 
     Returns (query_id, doc_id, score, rank) with rank ≤ ``topk``.
     """
     from spatially_databricks_etl_spark.operators.relational import top_k_per_group
 
+    if isinstance(a, DataFrame):
+        frames = [a] if b is None else [a, b]
+    else:
+        if b is not None:
+            raise TypeError("pass either two DataFrames or one sequence of them")
+        frames = list(a)
+    if not frames:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    w = [1.0] * len(frames) if weights is None else [float(x) for x in weights]
+    if len(w) != len(frames):
+        raise ValueError(
+            f"rrf_fuse: {len(frames)} lists but {len(w)} weights"
+        )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    ra = a.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("doc_id"),
-        F.col(rank_col).cast("long").alias("__ra"),
+    ranked = [
+        f.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias(f"__r{i}"),
+        )
+        for i, f in enumerate(frames)
+    ]
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(r, ["query_id", "doc_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(w[0]) / (F.lit(float(k)) + F.col("__r0")), F.lit(0.0)
     )
-    rb = b.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("doc_id"),
-        F.col(rank_col).cast("long").alias("__rb"),
-    )
-    fused = ra.join(rb, ["query_id", "doc_id"], "full_outer").withColumn(
-        "score",
-        F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("__ra")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("__rb")), F.lit(0.0)),
-    )
+    for i in range(1, len(frames)):
+        score = score + F.coalesce(
+            F.lit(w[i]) / (F.lit(float(k)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+    fused = fused.withColumn("score", score).filter(F.col("score") > 0.0)
     if quantize is not None:
         fused = fused.withColumn(
             "score",
@@ -217,6 +255,61 @@ def rrf_fuse(
         rank_col="rank",
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def ngram_jaccard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    max_queries: int | None = ANN_MAX_QUERIES,
+) -> DataFrame:
+    """Top-``k`` documents per query by character n-gram set Jaccard —
+    the sparse-overlap retriever that complements BM25 in a hybrid
+    stack (BM25 rewards rare-term matches; raw n-gram Jaccard rewards
+    whole-surface overlap, catching near-verbatim matches BM25's
+    per-term saturation flattens). Zero-overlap documents are dropped
+    (score 0 = not retrieved); ties break on doc id.
+
+    Plan shape: per-doc distinct n-gram arrays are a codegen
+    higher-order-function projection (no UDF); the query gram sets
+    BROADCAST onto one corpus scan (batch bounded by ``max_queries``,
+    same contract as the other retrievers), and Jaccard is exact
+    array intersect/union arithmetic — small-integer ratios, so any
+    engine derives bit-identical doubles. Returns (query_id, doc_id,
+    sim, rank).
+    """
+    from spatially_databricks_etl_spark.operators.dedup import jaccard
+    from spatially_databricks_etl_spark.functions.text import ngrams
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    check_query_batch(queries, "ngram_jaccard_topk", max_queries)
+    qg = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.array_distinct(ngrams(F.col(query_col), n, character=True)).alias("__qg"),
+    )
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(ngrams(F.col(text_col), n, character=True)).alias("__dg"),
+    )
+    scored = (
+        dg.join(F.broadcast(qg))
+        .withColumn("sim", jaccard(F.col("__qg"), F.col("__dg")))
+        .filter(F.col("sim") > 0.0)
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("doc_id")],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "doc_id", "sim", "rank")
 
 
 def bm25_write_index(
@@ -237,19 +330,20 @@ def bm25_write_index(
     build-once / search-many split as the LSH/IVF/IVF-PQ indexes:
     tokenization and the (doc, term) shuffle happen once at write;
     a search touches only the postings files whose term range
-    overlaps the query's terms.
+    overlaps the query's terms. New document batches extend the index
+    via :func:`bm25_append_index` without re-tokenizing the standing
+    corpus.
+
+    The meta sidecar carries (n_docs, sum_dl, avgdl). ``sum_dl`` is
+    the exact token-count total (integer-valued — a float sum of
+    integers under 2⁵³ is exact regardless of partition order), which
+    is what lets an append derive the SAME avgdl double a full
+    rebuild would: both compute the one division
+    ``sum_dl / n_docs`` over identical exact operands.
     """
     import json
 
-    post = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
-        )
-        .withColumn("dl", F.size("__toks"))
-        .select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
+    post = _postings(docs, id_col, text_col, "dl")
     (
         post.repartitionByRange("term")
         .sortWithinPartitions("term")
@@ -268,12 +362,133 @@ def bm25_write_index(
     )
     row = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
+        F.sum(F.size(tokens_col(text_col)).cast("double")).alias("sum_dl"),
     ).first()
+    n_docs = float(row["n_docs"])
+    sum_dl = float(row["sum_dl"] or 0.0)
     spark.createDataFrame(
-        [(json.dumps({"n_docs": row["n_docs"], "avgdl": row["avgdl"]}),)],
+        [
+            (
+                json.dumps(
+                    {
+                        "n_docs": n_docs,
+                        "sum_dl": sum_dl,
+                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+                    }
+                ),
+            )
+        ],
         "bm25_meta_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+
+
+def bm25_append_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a NEW document batch to a persisted BM25 index (see
+    :func:`bm25_write_index`) without touching the standing corpus —
+    the incremental-ingest contract the MinHash index already has
+    (``operators/dedup.py: minhash_write_index`` — corpus never
+    re-signed). Caller contract: batch doc ids are new (re-ingesting
+    an existing id would double its postings, like any append-only
+    log).
+
+    - **postings**: only the BATCH is tokenized; its (doc, term) rows
+      land as additional range-sorted files under ``postings/``. Each
+      batch's files carry their own narrow term min/max footers, so a
+      query's ``term IN (...)`` filter still file-skips — per term it
+      now touches ≤ one file group per batch instead of one, the
+      standard LSM-ish trade; rewrite via :func:`bm25_write_index`
+      when batch count makes that matter (compaction).
+    - **df**: merged incrementally — old per-term df + the batch's
+      df, one union + sum over the (vocabulary-sized, not
+      corpus-sized) df frames, staged to a temp dir then swapped so
+      the merge never reads the directory it is overwriting (local
+      rename here; on an object store, write a new version dir and
+      flip a manifest pointer).
+    - **meta**: (n_docs, sum_dl) add exactly (integer-valued doubles),
+      and avgdl is re-derived as one division of the exact totals —
+      bit-identical to what a full rebuild computes, which is what
+      the append ≡ rebuild parity test pins. A legacy sidecar without
+      ``sum_dl`` reconstructs it as round(avgdl·n_docs) (the true
+      token total is the nearest integer).
+    """
+    import json
+    import os
+    import shutil
+
+    spark = new_docs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    old_n = float(meta["n_docs"])
+    old_sum = float(
+        meta["sum_dl"]
+        if "sum_dl" in meta
+        else round(float(meta["avgdl"]) * old_n)
+    )
+
+    post = _postings(new_docs, id_col, text_col, "dl")
+    (
+        post.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .parquet(f"{path}/postings")
+    )
+    # df merge reads the old df dir, so stage the merged frame and
+    # swap — Spark's lazy overwrite would otherwise truncate its own
+    # input mid-scan
+    batch_df = (
+        _batch_postings_readback(spark, path, post)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    old_df = spark.read.parquet(f"{path}/df")
+    merged = (
+        old_df.unionByName(batch_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+    )
+    staged = f"{path}/df_staged"
+    merged.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(f"{path}/df")
+    os.rename(staged, f"{path}/df")
+
+    row = new_docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_new"),
+        F.sum(F.size(tokens_col(text_col)).cast("double")).alias("sum_new"),
+    ).first()
+    n_docs = old_n + float(row["n_new"])
+    sum_dl = old_sum + float(row["sum_new"] or 0.0)
+    spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "n_docs": n_docs,
+                        "sum_dl": sum_dl,
+                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+                    }
+                ),
+            )
+        ],
+        "bm25_meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+
+
+def _batch_postings_readback(spark, path: str, post: DataFrame) -> DataFrame:
+    """The batch's postings for the df merge. Recomputing from the
+    already-shuffled ``post`` frame is one re-execution of the batch
+    build (batch-sized, not corpus-sized); the full-build path reads
+    its postings back from parquet instead, and either source yields
+    the same exact per-term counts."""
+    return post.select("doc_id", "term")
 
 
 def bm25_search_index(

@@ -109,6 +109,13 @@ def test_no_catalog_query_plans_a_smell(spark):
         # RRF fusion composes bm25_topk + brute-force cosine top-k,
         # inheriting both scalar-join sites
         "hybrid_topk",
+        # same sites plus the broadcast query-gram join of the trigram
+        # retriever (keyless broadcast join against the corpus scan —
+        # the ann_brute_topk pattern)
+        "hybrid3_topk",
+        # recall query composes brute_force_topk (broadcast query set
+        # against the corpus scan, by design)
+        "ann_recall",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
