@@ -714,6 +714,17 @@ def drift_ks(
     binned = _drift_binned_counts(
         df_a, df_b, col=col, bins=bins, span=span, binning=binning, edges=edges
     )
+    return _ks_from_counts(binned)
+
+
+def _ks_from_counts(binned: DataFrame) -> DataFrame:
+    """(bin, __na, __nb) → (bin, n_a, n_b, cdf_a, cdf_b, ks_contrib):
+    the binned-ECDF tail shared by :func:`drift_ks` and the streaming
+    drift monitor (``streaming.stateful.drift_monitor_sink``), so the
+    per-micro-batch KS is BY CONSTRUCTION the batch statistic on the
+    same counts. Cumsums run on the ≤bins-row frame (the
+    single-partition window there is the intended shape); totals ride
+    a one-row broadcast."""
     from pyspark.sql import Window
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)

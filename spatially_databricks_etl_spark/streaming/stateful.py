@@ -356,9 +356,16 @@ def drift_monitor_sink(
     binning: str = "width",
 ):
     """``foreachBatch`` drift monitor: score every micro-batch's
-    ``col`` distribution against a STATIC reference histogram with
-    :func:`operators.profile.drift_psi` and land one
-    (psi, n_rows, n_bins) row per micro-batch — ``n_rows`` is the
+    ``col`` distribution against a STATIC reference histogram and
+    land one (psi, ks, n_rows, n_bins) row per micro-batch — ``psi``
+    per :func:`operators.profile.drift_psi` and ``ks`` (the binned
+    two-sample Kolmogorov–Smirnov statistic, max |ΔCDF|) per
+    :func:`operators.profile.drift_ks`, BOTH derived from the same
+    pinned-edge binned counts (one histogram pass; the KS tail is one
+    extra cumsum over the ≤bins-row frame, zero new scans of the
+    batch). The two statistics page on different failure shapes: PSI
+    weighs per-bin mass ratios, KS catches location/shape shifts
+    whose per-bin log-ratios stay small. ``n_rows`` is the
     batch's non-null ``col`` count (every such value lands in some
     clamped bin, so it is exactly sum(n_b) of the binned frame; no
     second pass over the batch), ``n_bins`` the non-empty bin count —
@@ -381,7 +388,9 @@ def drift_monitor_sink(
     double-counts a monitoring row.
     """
     from spatially_databricks_etl_spark.operators.profile import (
-        drift_psi,
+        _drift_binned_counts,
+        _ks_from_counts,
+        _psi_from_counts,
         exact_quantiles_select,
     )
 
@@ -407,23 +416,26 @@ def drift_monitor_sink(
     base = foreach_batch_writer(path, fmt)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        scored = drift_psi(
-            ref,
-            batch_df,
-            col=col,
-            bins=bins,
-            eps=eps,
-            span=span,
-            binning=binning,
-            edges=edges,
-        )
-        base(
-            scored.agg(
+        # one histogram pass, persisted so the PSI and KS tails (each
+        # a tiny aggregation over the ≤bins-row frame) never rescan
+        # the micro-batch
+        binned = _drift_binned_counts(
+            ref, batch_df, col=col, bins=bins, span=span, binning=binning, edges=edges
+        ).persist()
+        try:
+            psi_row = _psi_from_counts(binned, eps).agg(
                 F.sum("psi_contrib").alias("psi"),
                 F.sum("n_b").cast("long").alias("n_rows"),
                 F.count(F.lit(1)).cast("long").alias("n_bins"),
-            ),
-            batch_id,
-        )
+            )
+            ks_row = _ks_from_counts(binned).agg(F.max("ks_contrib").alias("ks"))
+            base(
+                psi_row.crossJoin(F.broadcast(ks_row)).select(
+                    "psi", "ks", "n_rows", "n_bins"
+                ),
+                batch_id,
+            )
+        finally:
+            binned.unpersist()
 
     return write

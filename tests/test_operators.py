@@ -1024,6 +1024,148 @@ def test_bm25_query_batch_guard_raises_on_oversized_batch(spark, tmp_path):
     assert bm25_search_index(qs, path, k=1, max_queries=12).count() > 0
 
 
+def test_bm25_append_index_matches_full_rebuild(spark, tmp_path):
+    """The incremental-ingest contract: building the index on half the
+    corpus then appending the other half must yield BIT-IDENTICAL
+    search results (e6-quantized scores — the established score
+    determinism bar) to one full build over everything. This pins all
+    three append paths at once: batch-only postings land as additional
+    range-sorted files, df merges exactly (integer-valued doubles),
+    and avgdl re-derives from the exact (n_docs, sum_dl) totals."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan"), (3, "customer order")],
+        "query_id int, query string",
+    )
+
+    inc = str(tmp_path / "bm25_inc")
+    bm25_write_index(first, inc)
+    bm25_append_index(second, inc)
+    full = str(tmp_path / "bm25_full")
+    bm25_write_index(docs, full)
+
+    got = sorted(map(tuple, bm25_search_index(qs, inc, k=10, quantize=6).collect()))
+    want = sorted(map(tuple, bm25_search_index(qs, full, k=10, quantize=6).collect()))
+    assert got == want and len(got) > 0
+
+    # the merged sidecar totals equal the full build's exactly
+    m_inc = json.loads(
+        spark.read.json(f"{inc}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_full = json.loads(
+        spark.read.json(f"{full}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    assert m_inc == m_full
+
+    # df merged exactly (per-term doc frequencies are order-free sums)
+    df_inc = {r["term"]: r["df"] for r in spark.read.parquet(f"{inc}/df").collect()}
+    df_full = {r["term"]: r["df"] for r in spark.read.parquet(f"{full}/df").collect()}
+    assert df_inc == df_full
+
+
+def test_bm25_append_index_legacy_meta_without_sum_dl(spark, tmp_path):
+    """A sidecar written before sum_dl existed must still append
+    correctly: the exact token total reconstructs as
+    round(avgdl * n_docs)."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "bm25_legacy")
+    bm25_write_index(first, path)
+    meta = json.loads(
+        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    del meta["sum_dl"]
+    spark.createDataFrame([(json.dumps(meta),)], "bm25_meta_json string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/_bm25_meta")
+
+    bm25_append_index(second, path)
+    full = str(tmp_path / "bm25_legacy_full")
+    bm25_write_index(docs, full)
+    qs = spark.createDataFrame([(1, "spark window join")], "query_id int, query string")
+    got = sorted(map(tuple, bm25_search_index(qs, path, k=5, quantize=6).collect()))
+    want = sorted(map(tuple, bm25_search_index(qs, full, k=5, quantize=6).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_rrf_fuse_nway_weights(spark):
+    """Weighted N-way fusion contract: (a) a zero-weighted list drops
+    out EXACTLY — fusing [a, b, c] with weights (1, 1, 0) reproduces
+    the two-list rrf_fuse(a, b) bit-for-bit even when c retrieves
+    documents the others never saw; (b) a weighted three-way hand case
+    matches the closed-form Σ w_i/(k + r_i) floor-quantized in plain
+    Python (same IEEE ops); (c) the argument contracts raise."""
+    import math
+
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.retrieval import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id int, doc_id int, rank int"
+    )
+    a = mk([(1, 10, 1), (1, 11, 2), (2, 20, 1)])
+    b = mk([(1, 11, 1), (1, 12, 2), (2, 21, 1)])
+    c = mk([(1, 99, 1), (2, 98, 1), (2, 20, 2)])  # 99/98 only in c
+
+    two = sorted(map(tuple, rrf_fuse(a, b, k=60, topk=10).collect()))
+    three_w0 = sorted(
+        map(tuple, rrf_fuse([a, b, c], weights=[1, 1, 0], k=60, topk=10).collect())
+    )
+    assert two == three_w0 and len(two) > 0
+
+    w = [0.5, 0.3, 0.2]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in rrf_fuse([a, b, c], weights=w, k=60, topk=10).collect()
+    }
+    ranks = {  # (query, doc) -> [rank in a, in b, in c]
+        (1, 10): [1, None, None],
+        (1, 11): [2, 1, None],
+        (1, 12): [None, 2, None],
+        (1, 99): [None, None, 1],
+        (2, 20): [1, None, 2],
+        (2, 21): [None, 1, None],
+        (2, 98): [None, None, 1],
+    }
+    for key, rs in ranks.items():
+        s = 0.0
+        for wi, ri in zip(w, rs):
+            s = s + (wi / (60.0 + ri) if ri is not None else 0.0)
+        want = math.floor(s * 1000000.0 + 0.5)
+        assert got[key][0] == want, (key, got[key], want)
+    # per-query rank order: score desc, doc_id asc
+    q1 = sorted((k for k in got if k[0] == 1), key=lambda k: got[k][1])
+    assert [got[k][1] for k in q1] == [1, 2, 3, 4]
+    assert sorted((got[k][0] for k in q1), reverse=True) == [got[k][0] for k in q1]
+
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1.0], k=60)
+    with pytest.raises(TypeError, match="sequence"):
+        rrf_fuse([a, b], c)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
 def test_drift_psi_quantile_outlier_robustness(spark):
     """The point of quantile (reference-decile) binning: an extreme
     outlier injected into the COMPARISON side must leave the bin

@@ -801,6 +801,64 @@ def test_drift_monitor_sink_quantile_mode_pins_reference_deciles(spark, tmp_path
         assert abs(by_batch[bid] - want) < 1e-9, (bid, by_batch[bid], want)
 
 
+def test_drift_monitor_sink_emits_ks_matching_batch_operator(spark, tmp_path):
+    """The sink's per-micro-batch ``ks`` must equal the batch
+    :func:`drift_ks` statistic (max |ΔCDF|) computed on the SAME
+    pinned reference-decile edges and split — by construction they
+    share one binned-counts frame, so the equality is exact, not
+    approximate. Replaying a batch must leave the ks history
+    unchanged (idempotent batch_id partition overwrite)."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        drift_ks,
+        exact_quantiles_select,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import drift_monitor_sink
+
+    ev = load_table(spark, SF_DIR, "events").select("value")
+    ref = ev.limit(400)
+    src = str(tmp_path / "dmk_src")
+    sink = str(tmp_path / "dmk_sink")
+    ev.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = drift_monitor_sink(sink, ref, col="value", bins=8, binning="quantile")
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == len(seen) >= 2
+    edges = exact_quantiles_select(
+        ref.selectExpr("cast(value as double) as value"),
+        "value",
+        [i / 8 for i in range(1, 8)],
+    )
+    ks_by_batch = {r["__batch_id"]: r["ks"] for r in rows}
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
+        want = max(
+            r["ks_contrib"]
+            for r in drift_ks(
+                ref, batch_df, col="value", bins=8, binning="quantile", edges=edges
+            ).collect()
+        )
+        assert ks_by_batch[bid] == want, (bid, ks_by_batch[bid], want)
+        assert 0.0 <= ks_by_batch[bid] <= 1.0
+
+    # replay the last batch verbatim: ks history must be unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    after = {r["__batch_id"]: r["ks"] for r in spark.read.parquet(sink).collect()}
+    assert after == ks_by_batch
+
+
 def test_stream_static_enrich_and_dim_refresh_on_restart(spark, tmp_path):
     """Stream-static enrichment: (a) every stream row picks up its
     dim columns (left join keeps dim-less rows with nulls), (b) the
