@@ -482,6 +482,33 @@ def bm25_append_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
 
 
+def bm25_compact_index(spark, path: str) -> None:
+    """Compact a persisted BM25 index after a run of
+    :func:`bm25_append_index` batches: rewrite the postings back into
+    ONE range-sorted generation so every term again lives in exactly
+    one file group (each append adds a generation, and per-term file
+    touches grow with generation count — the standard LSM compaction
+    trade, paid here without re-tokenizing anything: the input is the
+    postings themselves, so compaction costs one (term-range) shuffle
+    of the index rows, not a corpus pass). df and the meta sidecar are
+    already single-generation (the appender rewrites them in full) and
+    are untouched. Search results are identical before and after
+    (pinned by test) — compaction changes layout, never content."""
+    import os
+    import shutil
+
+    post = spark.read.parquet(f"{path}/postings")
+    staged = f"{path}/postings_staged"
+    (
+        post.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    shutil.rmtree(f"{path}/postings")
+    os.rename(staged, f"{path}/postings")
+
+
 def _batch_postings_readback(spark, path: str, post: DataFrame) -> DataFrame:
     """The batch's postings for the df merge. Recomputing from the
     already-shuffled ``post`` frame is one re-execution of the batch

@@ -506,6 +506,39 @@ def ivf_write_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_meta")
 
 
+def ivf_append_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to a persisted IVF index (see
+    :func:`ivf_write_index`) — the vector-side incremental-ingest
+    contract matching the MinHash and BM25 index appenders: only the
+    BATCH is assigned (cell assignment is per-vector and uses the
+    index's own pinned centroids from the sidecar, so append ≡ rebuild
+    exactly), and its rows land as additional files inside the
+    existing ``__cell=N`` partition directories — the standing corpus
+    is never re-read, never rewritten, and searches keep the same
+    partition-pruned plan. Caller contract: batch ids are new.
+
+    Drift note (the honest quantizer trade): appended vectors are
+    quantized by the ORIGINAL centroids. If the ingest distribution
+    drifts far from the training sample, cells skew and recall at
+    fixed nprobe degrades — monitor cell-size skew (e.g. the drift
+    monitors over the ``__cell`` column) and retrain + rewrite via
+    :func:`ivf_build` + :func:`ivf_write_index` when it matters,
+    exactly as FAISS re-trains an IVF list structure."""
+    spark = new_vecs.sparkSession
+    cents = ivf_read_centroids(spark, path)
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+    assigned = new_vecs.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+    assigned.write.mode("append").partitionBy("__cell").parquet(path)
+
+
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
     """Load the centroids sidecar written by :func:`ivf_write_index`."""
     import json
@@ -770,6 +803,41 @@ def ivfpq_write_index(
         [(json.dumps({"centroids": centroids, "codebooks": codebooks}),)],
         "ivfpq_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
+
+
+def ivfpq_append_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to a persisted IVF-PQ index (see
+    :func:`ivfpq_write_index`): the batch is coarse-assigned AND
+    PQ-encoded with the index's own pinned models (sidecar), then
+    appended into the existing cell partition directories — per-vector
+    deterministic, so append ≡ rebuild exactly under fixed models.
+    Same caller contract and quantizer-drift note as
+    :func:`ivf_append_index` (stale codebooks additionally inflate ADC
+    error for drifted batches; retrain + rewrite when cell-size or
+    residual drift says so)."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_encode
+
+    spark = new_vecs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
+    )
+    cents, codebooks = meta["centroids"], meta["codebooks"]
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+    assigned = pq_encode(
+        new_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        codebooks,
+        vec_col="embedding",
+        out_col="pq_code",
+    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+    assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
 def ivfpq_search_index(

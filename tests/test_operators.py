@@ -1107,6 +1107,46 @@ def test_bm25_append_index_legacy_meta_without_sum_dl(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_bm25_compact_index_preserves_results_and_merges_generations(
+    spark, tmp_path
+):
+    """LSM compaction for the BM25 postings: after two appends the
+    postings hold three generations; compaction must (a) leave search
+    results bit-identical, (b) reduce the postings to one range-sorted
+    generation (strictly fewer parquet files), and (c) keep the
+    term-IN pushdown path alive."""
+    import glob
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_compact_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "bm25_lsm")
+    bm25_write_index(docs.filter("doc_id % 3 = 0"), path)
+    bm25_append_index(docs.filter("doc_id % 3 = 1"), path)
+    bm25_append_index(docs.filter("doc_id % 3 = 2"), path)
+
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")], "query_id int, query string"
+    )
+    before = sorted(map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect()))
+    files_before = len(glob.glob(f"{path}/postings/*.parquet"))
+    bm25_compact_index(spark, path)
+    files_after = len(glob.glob(f"{path}/postings/*.parquet"))
+    after = sorted(map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect()))
+    assert after == before and len(after) > 0
+    assert files_after < files_before, (files_after, files_before)
+
+    out = bm25_search_index(qs, path, k=10, quantize=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln or "EqualTo(term" in ln for ln in pushed), pushed
+
+
 def test_rrf_fuse_nway_weights(spark):
     """Weighted N-way fusion contract: (a) a zero-weighted list drops
     out EXACTLY — fusing [a, b, c] with weights (1, 1, 0) reproduces

@@ -516,6 +516,81 @@ def test_pq_train_short_corpus_raises_cleanly(spark):
         pq_train(emb, m=4, k=16)
 
 
+def test_ivf_append_index_matches_full_rebuild(spark, tmp_path):
+    """Vector-side incremental ingest: building the IVF index on half
+    the corpus then appending the other half must search EXACTLY like
+    one full build under the same centroids — cell assignment is
+    per-vector with the sidecar's pinned quantizer, so append ≡
+    rebuild is an identity, not an approximation. The appended index
+    keeps the partition-pruned plan."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(first, n_centroids=8, kmeans_iters=1)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_write_index(first, inc, centroids=cents)
+    ivf_append_index(second, inc)
+    full = str(tmp_path / "ivf_full")
+    ivf_write_index(emb, full, centroids=cents)
+
+    out = ivf_search_index(queries, inc, k=10, nprobe=3)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ivf_search_index(queries, full, k=10, nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__cell" in ln for ln in pf), pf
+
+
+def test_ivfpq_append_index_matches_full_rebuild(spark, tmp_path):
+    """Same identity for the composed IVF-PQ index: the appended batch
+    is coarse-assigned AND PQ-encoded with the sidecar's pinned
+    models, so the ADC shortlist + exact rerank return exactly what a
+    full rebuild returns."""
+    from spatially_databricks_etl_spark.operators.embeddings import pq_train
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_append_index,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(first, n_centroids=4, kmeans_iters=1)
+    cb = pq_train(first, m=8, k=8, kmeans_iters=1)
+
+    inc = str(tmp_path / "ivfpq_inc")
+    ivfpq_write_index(first, inc, centroids=cents, codebooks=cb)
+    ivfpq_append_index(second, inc)
+    full = str(tmp_path / "ivfpq_full")
+    ivfpq_write_index(emb, full, centroids=cents, codebooks=cb)
+
+    got = sorted(
+        map(tuple, ivfpq_search_index(queries, inc, k=10, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, ivfpq_search_index(queries, full, k=10, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ivfpq_index_string_ids_roundtrip(spark, tmp_path):
     """IVF-PQ index + search with STRING corpus and query ids: the
     mapInPandas schema derives the corpus id type from the stored
