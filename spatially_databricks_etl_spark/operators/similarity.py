@@ -240,6 +240,37 @@ def lsh_write_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
 
 
+def lsh_append_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to a persisted LSH index (see
+    :func:`lsh_write_index`): the batch buckets with the sidecar's
+    (planes, dim, seed) — hyperplanes re-derive deterministically, and
+    bucket assignment is per-vector, so append ≡ rebuild exactly — and
+    lands as additional files inside the existing ``__bucket=N``
+    partition directories; the standing corpus is never re-bucketed.
+    Caller contract: batch ids are new. Unlike the learned IVF/PQ
+    models, random hyperplanes never go stale under distribution
+    drift — only bucket-size SKEW can grow; monitor it and re-seed +
+    rewrite if a mega-bucket forms (the same hazard note as
+    :func:`lsh_bucketed_topk`)."""
+    import json
+
+    spark = new_vecs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
+    )
+    hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
+    bucketed = new_vecs.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("__bucket", lsh_bucket("embedding", hp))
+    bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
+
+
 def lsh_search_index(
     queries: DataFrame,
     path: str,

@@ -554,6 +554,33 @@ def test_ivf_append_index_matches_full_rebuild(spark, tmp_path):
     assert pf and any("__cell" in ln for ln in pf), pf
 
 
+def test_lsh_append_index_matches_full_rebuild(spark, tmp_path):
+    """LSH index append ≡ rebuild: bucket assignment re-derives from
+    the sidecar's (planes, dim, seed), so half-build + append searches
+    exactly like a full build."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_append_index,
+        lsh_search_index,
+        lsh_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inc = str(tmp_path / "lsh_inc")
+    lsh_write_index(first, inc, planes=6, dim=64)
+    lsh_append_index(second, inc)
+    full = str(tmp_path / "lsh_full")
+    lsh_write_index(emb, full, planes=6, dim=64)
+
+    got = sorted(map(tuple, lsh_search_index(queries, inc, k=10).collect()))
+    want = sorted(map(tuple, lsh_search_index(queries, full, k=10).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_ivfpq_append_index_matches_full_rebuild(spark, tmp_path):
     """Same identity for the composed IVF-PQ index: the appended batch
     is coarse-assigned AND PQ-encoded with the sidecar's pinned
