@@ -151,9 +151,10 @@ EXTRA = [
     "drift_psi_quantile",
     "hybrid_topk",
     "drift_ks",
-    # round 9: N-way weighted RRF + oracled IVF recall@10
+    # round 9: N-way weighted RRF + oracled IVF recall@10 + categorical drift
     "hybrid3_topk",
     "ann_recall",
+    "drift_chi2",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5275,6 +5275,60 @@ FROM binned CROSS JOIN tot
 """
 
 
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: two-sample chi-square homogeneity over the
+    event-type mix, first two weeks of January vs the rest — the
+    enum-column member of the drift family (PSI/KS cover numeric
+    columns). The oracle replays the 2×C contingency counts, the
+    fixed-op-order expected counts and the per-category contributions;
+    everything derives from exact integer counts, e6-floored."""
+    from spatially_databricks_etl_spark.operators.profile import drift_chi2
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00")
+    out = drift_chi2(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        col="event_type",
+    )
+    e6 = lambda c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return out.select(
+        "category",
+        "n_a",
+        "n_b",
+        e6("e_a").alias("e_a_e6"),
+        e6("e_b").alias("e_b_e6"),
+        e6("chi2_contrib").alias("chi2_contrib_e6"),
+    )
+
+
+SQL_DRIFT_CHI2 = """
+WITH t AS (
+  SELECT event_type AS c,
+         CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END AS side
+  FROM events WHERE event_type IS NOT NULL),
+binned AS (
+  SELECT c,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM t GROUP BY c),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM binned),
+ex AS (
+  SELECT c, na, nb,
+         (na + nb) * (ta / (ta + tb)) AS ea,
+         (na + nb) * (tb / (ta + tb)) AS eb
+  FROM binned CROSS JOIN tot)
+SELECT c AS category,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(ea * 1000000 + 0.5) AS BIGINT) AS e_a_e6,
+       CAST(floor(eb * 1000000 + 0.5) AS BIGINT) AS e_b_e6,
+       CAST(floor((((na - ea) * (na - ea)) / ea + ((nb - eb) * (nb - eb)) / eb)
+                  * 1000000 + 0.5) AS BIGINT) AS chi2_contrib_e6
+FROM ex
+"""
+
+
 def q_drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift in the industry-canonical QUANTILE form: bin edges
     are the REFERENCE period's deciles (ties-right bucket rule), so
@@ -5912,6 +5966,7 @@ QUERIES: dict[str, QueryFn] = {
     # round-9 additions (round-10 rotation candidates)
     "hybrid3_topk": q_hybrid3_topk,
     "ann_recall": q_ann_recall,
+    "drift_chi2": q_drift_chi2,
 }
 
 ORACLES: dict[str, str] = {
@@ -6031,6 +6086,7 @@ ORACLES: dict[str, str] = {
     "drift_ks": SQL_DRIFT_KS,
     "hybrid3_topk": SQL_HYBRID3_TOPK,
     "ann_recall": SQL_ANN_RECALL,
+    "drift_chi2": SQL_DRIFT_CHI2,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -750,6 +750,89 @@ def _ks_from_counts(binned: DataFrame) -> DataFrame:
     )
 
 
+def drift_chi2(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    max_categories: int = 10_000,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity drift for a CATEGORICAL
+    column — the member of the drift family (equal-width PSI,
+    quantile PSI, binned KS) that covers enum-like columns where
+    numeric binning is meaningless: language tags, event types,
+    source labels, model-version stamps. Pearson's statistic over the
+    2×C contingency table: per category c,
+    e_side = (n_a + n_b) · (T_side / (T_a + T_b)) and
+    contrib = (n_a − e_a)²/e_a + (n_b − e_b)²/e_b; the headline
+    statistic is the sum (d.o.f. = C − 1).
+
+    Returns one row per observed category: (category, n_a, n_b, e_a,
+    e_b, chi2_contrib). Nulls are dropped (the numeric monitors'
+    contract); a category seen on either side contributes on both
+    (its expected counts are positive whenever either total is).
+    Every emitted double derives from exact integer counts through a
+    fixed op order, so any engine replays the values bit-identically
+    — no eps flooring needed (a category with zero grand total never
+    appears, so expectations are never zero when both sides are
+    non-empty).
+
+    Scale shape: one tagged union + one groupBy(category) with
+    map-side combine (a heavy category is just a bigger partial
+    count — no skew hazard), totals ride a one-row broadcast. The
+    result is category-cardinality-sized; ``max_categories`` fails
+    fast when the column is not actually categorical (an id column
+    would silently turn the monitor into a table-sized report) — the
+    check is one ``limit(n+1).count()`` on the already-aggregated
+    frame, never on the raw data.
+    """
+    a = df_a.select(F.col(col).cast("string").alias("__c")).filter(
+        F.col("__c").isNotNull()
+    )
+    b = df_b.select(F.col(col).cast("string").alias("__c")).filter(
+        F.col("__c").isNotNull()
+    )
+    tagged = a.withColumn("__side", F.lit("a")).unionByName(
+        b.withColumn("__side", F.lit("b"))
+    )
+    binned = tagged.groupBy("__c").agg(
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__side") == "b", 1).otherwise(0)).alias("__nb"),
+    )
+    if binned.limit(max_categories + 1).count() > max_categories:
+        raise ValueError(
+            f"drift_chi2: more than {max_categories} distinct categories in "
+            f"{col!r} — this monitor is for enum-like columns; raise "
+            "max_categories explicitly if the cardinality is intended"
+        )
+    totals = binned.agg(
+        F.sum("__na").cast("double").alias("__ta"),
+        F.sum("__nb").cast("double").alias("__tb"),
+    )
+    row_tot = F.col("__na") + F.col("__nb")
+    grand = F.col("__ta") + F.col("__tb")
+    out = (
+        binned.crossJoin(F.broadcast(totals))
+        .withColumn("e_a", row_tot * (F.col("__ta") / grand))
+        .withColumn("e_b", row_tot * (F.col("__tb") / grand))
+        .withColumn(
+            "chi2_contrib",
+            ((F.col("__na") - F.col("e_a")) * (F.col("__na") - F.col("e_a")))
+            / F.col("e_a")
+            + ((F.col("__nb") - F.col("e_b")) * (F.col("__nb") - F.col("e_b")))
+            / F.col("e_b"),
+        )
+    )
+    return out.select(
+        F.col("__c").alias("category"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "e_a",
+        "e_b",
+        "chi2_contrib",
+    )
+
+
 def _psi_from_counts(binned: DataFrame, eps: float) -> DataFrame:
     """(bin, __na, __nb) → (bin, n_a, n_b, p_a, p_b, psi_contrib):
     the eps-floored proportion + log-contribution tail shared by both

@@ -1206,6 +1206,48 @@ def test_rrf_fuse_nway_weights(spark):
         rrf_fuse([])
 
 
+def test_drift_chi2_matches_closed_form_and_guards_cardinality(spark):
+    """Categorical drift: (a) the per-category contributions equal the
+    textbook Pearson closed form replayed in Python (same IEEE op
+    order); (b) identical side distributions give chi2 exactly 0 per
+    category; (c) a category present on only one side still
+    contributes on both; (d) the cardinality guard fails fast on an
+    id-like column."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.profile import drift_chi2
+
+    a = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10 + [("z",)] * 10, "c string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 10 + [("y",)] * 30 + [("w",)] * 10, "c string"
+    )
+    rows = {r["category"]: r for r in drift_chi2(a, b, col="c").collect()}
+    counts = {"x": (30, 10), "y": (10, 30), "z": (10, 0), "w": (0, 10)}
+    ta, tb = 50.0, 50.0
+    chi2 = 0.0
+    for cat, (na, nb) in counts.items():
+        ea = (na + nb) * (ta / (ta + tb))
+        eb = (na + nb) * (tb / (ta + tb))
+        want = ((na - ea) * (na - ea)) / ea + ((nb - eb) * (nb - eb)) / eb
+        r = rows[cat]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["e_a"] == ea and r["e_b"] == eb
+        assert r["chi2_contrib"] == want, (cat, r["chi2_contrib"], want)
+        chi2 += want
+    assert chi2 > 0
+
+    same = {r["category"]: r["chi2_contrib"] for r in drift_chi2(a, a, col="c").collect()}
+    assert set(same) == {"x", "y", "z"} and all(v == 0.0 for v in same.values())
+
+    ids_a = spark.range(0, 40).selectExpr("cast(id as string) as c")
+    ids_b = spark.range(40, 80).selectExpr("cast(id as string) as c")
+    with pytest.raises(ValueError, match="distinct categories"):
+        drift_chi2(ids_a, ids_b, col="c", max_categories=50)
+    assert drift_chi2(ids_a, ids_b, col="c", max_categories=100).count() == 80
+
+
 def test_drift_psi_quantile_outlier_robustness(spark):
     """The point of quantile (reference-decile) binning: an extreme
     outlier injected into the COMPARISON side must leave the bin

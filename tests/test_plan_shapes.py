@@ -116,6 +116,9 @@ def test_no_catalog_query_plans_a_smell(spark):
         # recall query composes brute_force_topk (broadcast query set
         # against the corpus scan, by design)
         "ann_recall",
+        # one-row contingency-totals frame via broadcast cross join —
+        # the accepted scalar-join pattern
+        "drift_chi2",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
