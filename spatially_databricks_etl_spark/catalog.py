@@ -5801,7 +5801,7 @@ QUERIES: dict[str, QueryFn] = {
     # bm25_topk → hybrid_topk composes the full BM25 pipeline plus the
     # cosine retriever and the RRF fusion on top).
     # Round-10 rotation candidates (judge-attested in r9 once the
-    # diffcheck sweep lands): hybrid3_topk, ann_recall.
+    # diffcheck sweep lands): hybrid3_topk, ann_recall, drift_chi2.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,

@@ -439,3 +439,65 @@ def drift_monitor_sink(
             binned.unpersist()
 
     return write
+
+
+def drift_monitor_sink_categorical(
+    path: str,
+    reference: DataFrame,
+    *,
+    col: str,
+    max_categories: int = 10_000,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` drift monitor for a CATEGORICAL column — the
+    enum-column sibling of :func:`drift_monitor_sink` (which bins
+    numerics): every micro-batch's category mix is scored against the
+    STATIC reference with
+    :func:`operators.profile.drift_chi2` and lands one
+    (chi2, n_rows, n_categories) row per micro-batch through the same
+    idempotent batch_id-partitioned writer — ``n_rows`` the batch's
+    non-null count (= sum of its per-category counts), ``n_categories``
+    the number of categories observed across reference ∪ batch. The
+    reference frame persists once at sink construction (the numeric
+    sink's contract); per batch the cost is one groupBy(category) over
+    the micro-batch plus category-cardinality-sized arithmetic, and the
+    ``max_categories`` guard fails the batch fast if the column turns
+    out not to be enum-like. Replayed batches overwrite their own
+    partition, so recovery never double-counts a monitoring row."""
+    from spatially_databricks_etl_spark.operators.profile import drift_chi2
+
+    ref = reference.select(F.col(col).cast("string").alias(col)).persist()
+    n_ref = ref.filter(F.col(col).isNotNull()).count()  # also forces persist
+    if n_ref == 0:
+        raise ValueError(
+            "drift_monitor_sink_categorical: reference has no non-null values"
+        )
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.filter(F.col(col).isNotNull()).limit(1).count() == 0:
+            # chi-square is undefined against an empty side (expected
+            # counts hit zero — unlike PSI there is no eps form); land
+            # an honest null-statistic row instead of NaN arithmetic
+            base(
+                spark.createDataFrame(
+                    [(None, 0, 0)],
+                    "chi2 double, n_rows long, n_categories long",
+                ),
+                batch_id,
+            )
+            return
+        scored = drift_chi2(
+            ref, batch_df, col=col, max_categories=max_categories
+        )
+        base(
+            scored.agg(
+                F.sum("chi2_contrib").alias("chi2"),
+                F.sum("n_b").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+            ),
+            batch_id,
+        )
+
+    return write

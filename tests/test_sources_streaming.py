@@ -859,6 +859,64 @@ def test_drift_monitor_sink_emits_ks_matching_batch_operator(spark, tmp_path):
     assert after == ks_by_batch
 
 
+def test_drift_monitor_sink_categorical_matches_batch_chi2(spark, tmp_path):
+    """Categorical streaming drift monitor: every micro-batch lands
+    one (chi2, n_rows, n_categories) row equal to the batch
+    drift_chi2 recompute against the same fixed reference (exact —
+    shared counts-derived arithmetic), an EMPTY batch lands an honest
+    null-statistic row rather than NaN, and replay is idempotent."""
+    from spatially_databricks_etl_spark.operators.profile import drift_chi2
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        drift_monitor_sink_categorical,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type")
+    ref = ev.limit(400)
+    src = str(tmp_path / "dmc_src")
+    sink = str(tmp_path / "dmc_sink")
+    ev.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = drift_monitor_sink_categorical(sink, ref, col="event_type")
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(rows) == len(seen) >= 2
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
+        got = rows[bid]
+        scored = drift_chi2(ref, batch_df, col="event_type").collect()
+        want_chi2 = sum(r["chi2_contrib"] for r in scored)
+        assert got["chi2"] == want_chi2, (bid, got["chi2"], want_chi2)
+        assert got["n_rows"] == sum(
+            1 for r in batch_rows if r["event_type"] is not None
+        )
+        assert got["n_categories"] == len(scored)
+
+    # an empty batch lands (null, 0, 0), not NaN arithmetic
+    empty_bid = max(rows) + 1
+    inner(spark.createDataFrame([], schema=ev.schema), empty_bid)
+    after = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert after[empty_bid]["chi2"] is None
+    assert after[empty_bid]["n_rows"] == 0
+
+    # replay the last real batch verbatim: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    final = {r["__batch_id"]: r["chi2"] for r in spark.read.parquet(sink).collect()}
+    assert final[bid] == rows[bid]["chi2"]
+    assert final.keys() == after.keys()
+
+
 def test_stream_static_enrich_and_dim_refresh_on_restart(spark, tmp_path):
     """Stream-static enrichment: (a) every stream row picks up its
     dim columns (left join keeps dim-less rows with nulls), (b) the
