@@ -152,9 +152,12 @@ EXTRA = [
     "hybrid_topk",
     "drift_ks",
     # round 9: N-way weighted RRF + oracled IVF recall@10 + categorical drift
+    # + binned earth-mover drift
     "hybrid3_topk",
     "ann_recall",
     "drift_chi2",
+    "drift_wasserstein",
+    "kmeans_clusters",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5465,6 +5465,159 @@ FROM cum CROSS JOIN tot
 SQL_DRIFT_KS = _drift_ks_oracle_sql(10)
 
 
+def q_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-Wasserstein (earth-mover) drift between the two
+    January halves of events.value on 8 reference-octile bins — the
+    "how far did it move, in the column's units" member of the drift
+    family (PSI = mass-ratio, KS = sup-norm, chi2 = categorical).
+    The oracle replays the octile cutpoints, the exact-count CDFs and
+    the cut-difference segment widths value-for-value; each contrib
+    is one IEEE multiply of bit-identical doubles, e6-floored."""
+    from spatially_databricks_etl_spark.operators.profile import drift_wasserstein
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00")
+    out = drift_wasserstein(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        col="value",
+        bins=8,
+        binning="quantile",
+    )
+    return out.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.floor(F.col("cdf_a") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cdf_a_e6"),
+        F.floor(F.col("cdf_b") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cdf_b_e6"),
+        F.floor(F.col("w1_contrib") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("w1_contrib_e6"),
+    )
+
+
+def _drift_wasserstein_oracle_sql(bins: int) -> str:
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    terms = "\n         + ".join(
+        f"CAST(x >= cs[{i}] AS INT)" for i in range(1, bins)
+    )
+    return f"""
+WITH t AS (
+  SELECT value AS x, CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END AS side
+  FROM events WHERE value IS NOT NULL),
+cuts AS (SELECT quantile_cont(x, [{qs}]) AS cs FROM t WHERE side = 'a'),
+binned AS (
+  SELECT CAST({terms} AS BIGINT) AS bin,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM t CROSS JOIN cuts GROUP BY 1),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM binned),
+cum AS (
+  SELECT bin, na, nb,
+         sum(na) OVER (ORDER BY bin) AS ca,
+         sum(nb) OVER (ORDER BY bin) AS cb
+  FROM binned)
+SELECT bin,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(ca / ta * 1000000 + 0.5) AS BIGINT) AS cdf_a_e6,
+       CAST(floor(cb / tb * 1000000 + 0.5) AS BIGINT) AS cdf_b_e6,
+       CAST(floor(abs(ca / ta - cb / tb)
+                  * (CASE WHEN bin <= {bins - 3} THEN cs[CAST(bin AS INT) + 2] - cs[CAST(bin AS INT) + 1]
+                          ELSE 0.0 END)
+                  * 1000000 + 0.5) AS BIGINT) AS w1_contrib_e6
+FROM cum CROSS JOIN tot CROSS JOIN cuts
+"""
+
+
+SQL_DRIFT_WASSERSTEIN = _drift_wasserstein_oracle_sql(8)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the ORGANIC embeddings corpus
+    as a graded query: k=8, two Lloyd iterations from PINNED
+    basis-vector init (e_0..e_7 — the :func:`q_ann_recall` trick that
+    makes model fitting itself cross-engine-replayable), centroids
+    snapped to the 1e-6 grid after each mean update
+    (``quantize_e=6``: both engines floor the same near-identical
+    mean doubles to the same grid point, so iteration-2 distances
+    rank identically). Emits per-cluster (cluster, n_vecs,
+    inertia_e6) under the FINAL centroids — cluster sizes pin the
+    assignment path bit-for-bit, inertia pins the distance
+    arithmetic. The oracle unrolls both Lloyd iterations in SQL:
+    assign → per-dimension mean → e6 snap → reassign, with the same
+    (dist², index) tie rule and the empty-cluster keep-previous
+    contract."""
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(8)]
+    cents = kmeans_fit(emb, k=8, iters=2, init_centroids=init, quantize_e=6)
+    out = kmeans_assign(emb, cents)
+    return out.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.floor(F.sum("dist2") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("inertia_e6"),
+    )
+
+
+def _kmeans_oracle_sql(*, k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd replay: c0 = basis init; per iteration, assign
+    by min (dist², cluster) and recompute e6-snapped per-dimension
+    means (empty clusters coalesce to the previous centroid); the
+    final SELECT aggregates sizes + e6 inertia under the last
+    centroids."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"dims AS (SELECT i FROM generate_series(1, {dim}) AS g(i)),",
+        f"cl AS (SELECT j FROM generate_series(0, {k - 1}) AS g(j)),",
+        "c0 AS (SELECT j AS cluster, i,"
+        " CASE WHEN i = j + 1 THEN 1.0 ELSE 0.0 END AS val"
+        " FROM cl CROSS JOIN dims),",
+    ]
+    for t in range(iters):
+        parts += [
+            f"d{t} AS (SELECT e.vec_id, c.cluster,"
+            f" sum((e.v[c.i] - c.val) * (e.v[c.i] - c.val)) AS d"
+            f" FROM e CROSS JOIN c{t} c GROUP BY 1, 2),",
+            f"a{t} AS (SELECT vec_id, cluster FROM ("
+            f" SELECT vec_id, cluster,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn"
+            f" FROM d{t}) WHERE rn = 1),",
+            f"m{t + 1} AS (SELECT a.cluster, dims.i,"
+            f" floor(sum(e.v[dims.i]) / count(*) * 1000000 + 0.5) / 1000000 AS val"
+            f" FROM e JOIN a{t} a USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),",
+            f"c{t + 1} AS (SELECT c.cluster, c.i, coalesce(m.val, c.val) AS val"
+            f" FROM c{t} c LEFT JOIN m{t + 1} m"
+            f" ON m.cluster = c.cluster AND m.i = c.i),",
+        ]
+    parts += [
+        f"df AS (SELECT e.vec_id, c.cluster,"
+        f" sum((e.v[c.i] - c.val) * (e.v[c.i] - c.val)) AS d"
+        f" FROM e CROSS JOIN c{iters} c GROUP BY 1, 2),",
+        "af AS (SELECT vec_id, cluster, d FROM ("
+        " SELECT vec_id, cluster, d,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn"
+        " FROM df) WHERE rn = 1)",
+        "SELECT CAST(cluster AS BIGINT) AS cluster,"
+        " CAST(count(*) AS BIGINT) AS n_vecs,"
+        " CAST(floor(sum(d) * 1000000 + 0.5) AS BIGINT) AS inertia_e6"
+        " FROM af GROUP BY cluster",
+    ]
+    return "\n".join(parts)
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(k=8, iters=2, dim=64)
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5967,6 +6120,8 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid3_topk": q_hybrid3_topk,
     "ann_recall": q_ann_recall,
     "drift_chi2": q_drift_chi2,
+    "drift_wasserstein": q_drift_wasserstein,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -6087,6 +6242,8 @@ ORACLES: dict[str, str] = {
     "hybrid3_topk": SQL_HYBRID3_TOPK,
     "ann_recall": SQL_ANN_RECALL,
     "drift_chi2": SQL_DRIFT_CHI2,
+    "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -436,3 +436,143 @@ def pq_topk(
         rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def _sq_dist(vec: Column, cent: Column) -> Column:
+    """Squared Euclidean distance between two numeric arrays as a
+    sequential index-order fold — the op order is part of the
+    operator's determinism contract (the same fold replays in any
+    engine on identical inputs)."""
+    diff2 = F.zip_with(
+        vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """Assign every row to its nearest centroid by squared Euclidean
+    distance (ties break to the LOWER cluster index — the struct-min
+    is lexicographic on (dist², index), so assignment is fully
+    deterministic). Map-only, zero shuffle: the centroid matrix rides
+    a literal (driver-side model state, O(k·dim) — the same contract
+    as the IVF centroid list and the PCA components), and the per-row
+    argmin is a codegen'd fold over it — no UDF, no Arrow hop.
+
+    This is the Euclidean sibling of the cosine cell-assignment
+    inside :func:`operators.similarity.ivf_topk`: retrieval wants
+    angular cells over normalized vectors; curation clustering
+    (cluster-then-sample, cluster-balanced mixtures, SemDeDup-style
+    pre-clustering) wants the classic Lloyd geometry with explicit
+    distances."""
+    if not centroids:
+        raise ValueError("kmeans_assign: empty centroid list")
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    structs = F.transform(
+        cents_lit,
+        lambda c, j: F.struct(
+            _sq_dist(F.col(vec_col), c).alias("d"), j.alias("cluster")
+        ),
+    )
+    best = F.array_min(structs)
+    return df.withColumn(cluster_col, best.getField("cluster")).withColumn(
+        dist_col, best.getField("d")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    init_centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_e: int | None = None,
+) -> list[list[float]]:
+    """Distributed k-means (Lloyd 1982) over an embedding column —
+    the standalone, Euclidean form of the centroid training embedded
+    in :func:`operators.similarity.ivf_build` (cosine cells) and
+    :func:`pq_train` (per-subspace codebooks): document clustering as
+    a first-class curation operator (cluster-then-sample corpus
+    balancing, cluster-level dedup à la SemDeDup, topic-mixture
+    audits).
+
+    Initialization: ``init_centroids`` if given (pass pinned vectors
+    for cross-engine-replayable runs — the :func:`ivf_build` basis
+    trick), else ``k`` corpus vectors by hashed id (deterministic,
+    seed-stable, one O(k·dim) collect). Each Lloyd iteration is ONE
+    corpus pass: the codegen'd argmin assigns every row, then each
+    centroid is recomputed as its cluster's mean via a single
+    hash-aggregate with ``dim`` per-element sums — map-side partials
+    combine, the shuffle carries (k, dim-sums, count) rows, and the
+    collect stays O(k·dim), never O(data). Empty clusters keep their
+    previous centroid (the :func:`ivf_build` contract).
+
+    ``quantize_e``: if set, every recomputed centroid coordinate is
+    snapped to ``10^-e`` (floor(x·10^e + 0.5)/10^e) after each mean
+    update. Lloyd is self-correcting, so the snap costs ~nothing in
+    inertia, and it makes the fitted centroids — and therefore every
+    downstream assignment — REPLAYABLE ACROSS ENGINES: both sides
+    floor the same near-identical mean doubles to the same grid
+    point, where an unquantized mean would carry engine-specific
+    summation-order ulps into the next iteration's distance ranks.
+    """
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k must be >= 1, got {k}")
+    if init_centroids is not None:
+        if len(init_centroids) != k:
+            raise ValueError(
+                f"kmeans_fit: init_centroids has {len(init_centroids)} rows, need k={k}"
+            )
+        cents = [[float(x) for x in c] for c in init_centroids]
+    else:
+        sample = (
+            df.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v"))
+            .orderBy(F.xxhash64(F.col("__cid").cast("string"), F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
+        if len(sample) < k:
+            raise ValueError(
+                f"kmeans_fit: corpus has only {len(sample)} vectors, need k={k}"
+            )
+        cents = [[float(x) for x in r["__v"]] for r in sample]
+    dim = len(cents[0])
+    scale = float(10 ** quantize_e) if quantize_e is not None else None
+
+    import math
+
+    vecs = df.select(F.col(vec_col).alias("__v"))
+    for _ in range(max(0, iters)):
+        assigned = kmeans_assign(
+            vecs, cents, vec_col="__v", cluster_col="__cl", dist_col="__d"
+        )
+        stats = (
+            assigned.groupBy("__cl")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.get("__v", i).cast("double")).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in stats:
+            j, n = r["__cl"], r["__n"]
+            if n > 0:
+                mean = [float(r[f"__s{i}"]) / n for i in range(dim)]
+                if scale is not None:
+                    mean = [math.floor(x * scale + 0.5) / scale for x in mean]
+                cents[j] = mean
+    return cents

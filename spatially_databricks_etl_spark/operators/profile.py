@@ -858,3 +858,105 @@ def _psi_from_counts(binned: DataFrame, eps: float) -> DataFrame:
         "p_b",
         "psi_contrib",
     )
+
+
+def _wasserstein_segments(
+    *, bins: int, binning: str, span: tuple[float, float] | None, cuts: list[float]
+) -> list[float]:
+    """Per-bin integration-segment widths for the binned W1 distance:
+    the binned CDF difference |F_a − F_b| evaluated at bin ``i``'s
+    upper edge holds constant over the NEXT inter-edge segment, so
+    bin ``i``'s contribution integrates over that segment's width.
+    Equal-width mode (pinned span): every bin but the last gets the
+    constant width (hi−lo)/bins (the last bin's upper edge IS the
+    span end — both CDFs are 1 there, and there is no segment above
+    it inside the span). Quantile mode: bin ``i``'s segment is
+    [c_{i+1}, c_{i+2}), so widths are cut differences and the top TWO
+    bins get 0 — the segment above the last interior cutpoint is
+    unbounded, and a W1 over an unbounded tail is undefined on binned
+    data; dropping it is the standard binned-EMD truncation (the
+    reference-quantile edges put exactly 1/bins of reference mass
+    out there, so the truncation is a fixed, known slice)."""
+    if binning == "width":
+        lo, hi = span  # validated non-None by the caller
+        w = (float(hi) - float(lo)) / float(bins)
+        return [w] * (bins - 1) + [0.0]
+    seg = [0.0] * bins
+    for i in range(bins - 2):
+        seg[i] = float(cuts[i + 1]) - float(cuts[i])
+    return seg
+
+
+def drift_wasserstein(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    col: str,
+    bins: int = 100,
+    span: tuple[float, float] | None = None,
+    binning: str = "quantile",
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """Binned 1-Wasserstein (earth-mover) drift monitor — the member
+    of the drift family (PSI, binned KS, categorical chi-square) that
+    reports HOW FAR the distribution moved in the column's own units:
+    W1 = ∫|F_a(x) − F_b(x)| dx, the area between the two ECDFs, which
+    for a binned ECDF is the exact sum of |ΔCDF at each edge| ×
+    inter-edge segment width. KS answers "did it move?" with a
+    scale-free sup-norm; W1 answers "by how much?" (a uniform +δ
+    location shift gives W1 ≈ δ), which is what a paging threshold in
+    physical units (dollars, tokens, ms) wants.
+
+    Same two-sample contract as :func:`drift_ks`: quantile mode
+    (default) pins the REFERENCE side's i/bins cutpoints (outlier
+    robust — a comparison-side outlier clamps into an edge bin
+    instead of stretching every width); equal-width mode requires an
+    explicit ``span`` — W1 integrates physical widths, so a
+    data-derived span would let one outlier inflate every segment and
+    make the statistic incomparable across runs. Returns one row per
+    non-empty bin: (bin, n_a, n_b, cdf_a, cdf_b, w1_contrib); the
+    statistic is ``sum(w1_contrib)``. Counts are exact longs → the
+    CDF doubles replay bit-identically in any engine; widths are
+    differences of the identical cutpoint doubles, so each contrib is
+    one IEEE multiply both engines agree on. A bin empty on BOTH
+    sides is absent from the frame and contributes zero — with
+    reference-quantile edges every bin holds reference mass by
+    construction, so this only arises under extreme ties (same caveat
+    as :func:`drift_ks`).
+
+    Scale shape: identical to :func:`drift_ks` — quantile cutpoints
+    via one distributed exact-selection sort on the reference side
+    only, then ONE tagged-union histogram shuffle; the CDF cumsum and
+    the width lookup (an ``element_at`` into a bins-sized array
+    literal) run on the ≤bins-row frame.
+    """
+    if binning == "width" and span is None:
+        raise ValueError(
+            "drift_wasserstein with binning='width' requires an explicit span "
+            "— W1 integrates physical bin widths, and a data-derived span "
+            "would move with every batch's outliers; use binning='quantile' "
+            "for data-adaptive edges"
+        )
+    cuts: list[float] = []
+    if binning == "quantile":
+        if edges is not None:
+            cuts = [float(c) for c in edges]
+        else:
+            a = df_a.select(F.col(col).cast("double").alias("__x")).filter(
+                F.col("__x").isNotNull()
+            )
+            cuts = exact_quantiles_select(a, "__x", [i / bins for i in range(1, bins)])
+        edges = cuts
+    binned = _drift_binned_counts(
+        df_a, df_b, col=col, bins=bins, span=span, binning=binning, edges=edges
+    )
+    seg = _wasserstein_segments(bins=bins, binning=binning, span=span, cuts=cuts)
+    seg_lit = F.array(*[F.lit(float(x)) for x in seg])
+    return (
+        _ks_from_counts(binned)
+        .withColumn(
+            "w1_contrib",
+            F.col("ks_contrib") * F.element_at(seg_lit, (F.col("bin") + 1).cast("int")),
+        )
+        .drop("ks_contrib")
+    )

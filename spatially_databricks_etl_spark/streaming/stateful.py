@@ -357,15 +357,19 @@ def drift_monitor_sink(
 ):
     """``foreachBatch`` drift monitor: score every micro-batch's
     ``col`` distribution against a STATIC reference histogram and
-    land one (psi, ks, n_rows, n_bins) row per micro-batch — ``psi``
-    per :func:`operators.profile.drift_psi` and ``ks`` (the binned
-    two-sample Kolmogorov–Smirnov statistic, max |ΔCDF|) per
-    :func:`operators.profile.drift_ks`, BOTH derived from the same
-    pinned-edge binned counts (one histogram pass; the KS tail is one
-    extra cumsum over the ≤bins-row frame, zero new scans of the
-    batch). The two statistics page on different failure shapes: PSI
-    weighs per-bin mass ratios, KS catches location/shape shifts
-    whose per-bin log-ratios stay small. ``n_rows`` is the
+    land one (psi, ks, emd, n_rows, n_bins) row per micro-batch —
+    ``psi`` per :func:`operators.profile.drift_psi`, ``ks`` (the
+    binned two-sample Kolmogorov–Smirnov statistic, max |ΔCDF|) per
+    :func:`operators.profile.drift_ks`, and ``emd`` (the binned
+    1-Wasserstein distance, Σ|ΔCDF|·segment width) per
+    :func:`operators.profile.drift_wasserstein`, ALL derived from the
+    same pinned-edge binned counts (one histogram pass; the KS/EMD
+    tails are one extra cumsum over the ≤bins-row frame, zero new
+    scans of the batch). The statistics page on different failure
+    shapes: PSI weighs per-bin mass ratios, KS catches location/shape
+    shifts whose per-bin log-ratios stay small, and EMD reports the
+    shift magnitude in the column's own units so the paging threshold
+    can live in dollars/tokens/ms. ``n_rows`` is the
     batch's non-null ``col`` count (every such value lands in some
     clamped bin, so it is exactly sum(n_b) of the binned frame; no
     second pass over the batch), ``n_bins`` the non-empty bin count —
@@ -391,6 +395,7 @@ def drift_monitor_sink(
         _drift_binned_counts,
         _ks_from_counts,
         _psi_from_counts,
+        _wasserstein_segments,
         exact_quantiles_select,
     )
 
@@ -413,6 +418,13 @@ def drift_monitor_sink(
             raise ValueError("drift_monitor_sink: reference has no non-null values")
         span = (float(row["lo"]), float(row["hi"]))
     ref = reference.select(F.col(col).cast("double").alias(col)).persist()
+    # per-bin W1 integration-segment widths, pinned once with the
+    # edges (quantile: cut differences; width: the constant bin
+    # width) — the earth-mover tail reuses the same binned counts
+    seg = _wasserstein_segments(
+        bins=bins, binning=binning, span=span, cuts=list(edges or [])
+    )
+    seg_lit = F.array(*[F.lit(float(x)) for x in seg])
     base = foreach_batch_writer(path, fmt)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -428,10 +440,16 @@ def drift_monitor_sink(
                 F.sum("n_b").cast("long").alias("n_rows"),
                 F.count(F.lit(1)).cast("long").alias("n_bins"),
             )
-            ks_row = _ks_from_counts(binned).agg(F.max("ks_contrib").alias("ks"))
+            ks_row = _ks_from_counts(binned).agg(
+                F.max("ks_contrib").alias("ks"),
+                F.sum(
+                    F.col("ks_contrib")
+                    * F.element_at(seg_lit, (F.col("bin") + 1).cast("int"))
+                ).alias("emd"),
+            )
             base(
                 psi_row.crossJoin(F.broadcast(ks_row)).select(
-                    "psi", "ks", "n_rows", "n_bins"
+                    "psi", "ks", "emd", "n_rows", "n_bins"
                 ),
                 batch_id,
             )

@@ -1352,6 +1352,67 @@ def test_drift_ks_matches_reference_and_detects_shift(spark):
     assert got_ks > 0.1  # the shift is detected
 
 
+def test_drift_wasserstein_matches_reference_and_measures_shift(spark):
+    """Binned 1-Wasserstein: (a) identical samples score 0 on every
+    bin, (b) quantile mode matches a plain-Python binned-EMD replay
+    (same cuts, same cut-difference segment widths, same left-value
+    CDF rule), (c) a location shift fully inside a pinned equal-width
+    span is recovered EXACTLY when the grid aligns — W1 of a +δ shift
+    is δ, which is the 'distance in the column's own units' contract
+    KS cannot make, and (d) width mode without a span is rejected."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.profile import (
+        drift_wasserstein,
+        exact_quantiles_select,
+    )
+
+    n, bins = 400, 8
+    av = [i / 7.0 for i in range(n)]
+    bv = [i / 7.0 + 9.0 for i in range(n)]
+    a = spark.createDataFrame([(x,) for x in av], "v double")
+    b = spark.createDataFrame([(x,) for x in bv], "v double")
+
+    same = drift_wasserstein(a, a, col="v", bins=bins).collect()
+    assert max(abs(r["w1_contrib"]) for r in same) == 0.0
+
+    got = drift_wasserstein(a, b, col="v", bins=bins, binning="quantile").collect()
+    got_w1 = sum(r["w1_contrib"] for r in got)
+
+    cuts = exact_quantiles_select(
+        a.selectExpr("v as __x"), "__x", [i / bins for i in range(1, bins)]
+    )
+
+    def bucket(x):
+        return sum(1 for c in cuts if x >= c)
+
+    import collections
+
+    ca, cb = collections.Counter(map(bucket, av)), collections.Counter(map(bucket, bv))
+    want_w1, cum_a, cum_b = 0.0, 0, 0
+    for bn in range(bins):
+        cum_a += ca.get(bn, 0)
+        cum_b += cb.get(bn, 0)
+        if bn <= bins - 3:  # segment [c_{bn+1}, c_{bn+2}); top two bins truncate
+            want_w1 += abs(cum_a / n - cum_b / n) * (cuts[bn + 1] - cuts[bn])
+    assert abs(got_w1 - want_w1) < 1e-9, (got_w1, want_w1)
+    assert got_w1 > 0.0
+
+    # (c) grid-aligned +0.25 shift inside a pinned (0,1) span: the
+    # binned statistic IS the shift
+    av2 = [i / 800.0 for i in range(400)]  # uniform [0, 0.5)
+    bv2 = [x + 0.25 for x in av2]
+    a2 = spark.createDataFrame([(x,) for x in av2], "v double")
+    b2 = spark.createDataFrame([(x,) for x in bv2], "v double")
+    got2 = drift_wasserstein(
+        a2, b2, col="v", bins=8, binning="width", span=(0.0, 1.0)
+    ).collect()
+    assert abs(sum(r["w1_contrib"] for r in got2) - 0.25) < 1e-9
+
+    with pytest.raises(ValueError, match="explicit span"):
+        drift_wasserstein(a2, b2, col="v", bins=8, binning="width")
+
+
 def test_hybrid_retrieval_over_persisted_indexes(spark, tmp_path):
     """The build-once/search-many hybrid: rrf_fuse over
     bm25_search_index (persisted postings) and ivf_search_index

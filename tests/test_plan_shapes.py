@@ -119,6 +119,8 @@ def test_no_catalog_query_plans_a_smell(spark):
         # one-row contingency-totals frame via broadcast cross join —
         # the accepted scalar-join pattern
         "drift_chi2",
+        # same one-row totals frame as drift_ks (shared ECDF tail)
+        "drift_wasserstein",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

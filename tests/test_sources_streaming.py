@@ -810,6 +810,7 @@ def test_drift_monitor_sink_emits_ks_matching_batch_operator(spark, tmp_path):
     unchanged (idempotent batch_id partition overwrite)."""
     from spatially_databricks_etl_spark.operators.profile import (
         drift_ks,
+        drift_wasserstein,
         exact_quantiles_select,
     )
     from spatially_databricks_etl_spark.streaming.stateful import drift_monitor_sink
@@ -841,6 +842,7 @@ def test_drift_monitor_sink_emits_ks_matching_batch_operator(spark, tmp_path):
         [i / 8 for i in range(1, 8)],
     )
     ks_by_batch = {r["__batch_id"]: r["ks"] for r in rows}
+    emd_by_batch = {r["__batch_id"]: r["emd"] for r in rows}
     for bid, batch_rows in seen:
         batch_df = spark.createDataFrame(batch_rows, schema=ev.schema)
         want = max(
@@ -851,12 +853,28 @@ def test_drift_monitor_sink_emits_ks_matching_batch_operator(spark, tmp_path):
         )
         assert ks_by_batch[bid] == want, (bid, ks_by_batch[bid], want)
         assert 0.0 <= ks_by_batch[bid] <= 1.0
+        # emd must equal the batch drift_wasserstein statistic on the
+        # SAME pinned edges (shared binned counts → exact equality up
+        # to the sum's float associativity)
+        want_emd = sum(
+            r["w1_contrib"]
+            for r in drift_wasserstein(
+                ref, batch_df, col="value", bins=8, binning="quantile", edges=edges
+            ).collect()
+        )
+        assert abs(emd_by_batch[bid] - want_emd) < 1e-9, (
+            bid,
+            emd_by_batch[bid],
+            want_emd,
+        )
+        assert emd_by_batch[bid] >= 0.0
 
-    # replay the last batch verbatim: ks history must be unchanged
+    # replay the last batch verbatim: ks/emd history must be unchanged
     bid, batch_rows = seen[-1]
     inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
-    after = {r["__batch_id"]: r["ks"] for r in spark.read.parquet(sink).collect()}
-    assert after == ks_by_batch
+    after_rows = spark.read.parquet(sink).collect()
+    assert {r["__batch_id"]: r["ks"] for r in after_rows} == ks_by_batch
+    assert {r["__batch_id"]: r["emd"] for r in after_rows} == emd_by_batch
 
 
 def test_drift_monitor_sink_categorical_matches_batch_chi2(spark, tmp_path):

@@ -687,3 +687,70 @@ def test_ivfpq_persisted_index_prunes_and_recalls(spark, tmp_path):
     b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     assert len(a & b) / len(b) >= 0.3, f"recall {len(a & b) / len(b)}"
+
+
+def test_kmeans_recovers_separated_blobs_and_contracts(spark):
+    """Lloyd k-means: (a) three well-separated blobs are recovered
+    exactly from one-point-per-blob init, with centroids at the blob
+    means; (b) iterations never increase inertia (Lloyd's monotone
+    descent); (c) the e6 centroid snap changes no assignment on
+    separated data; (d) a centroid that captures nothing keeps its
+    init value (empty-cluster contract); (e) empty centroid list is
+    rejected."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    # 3 blobs of 8 points in 4-D at mutual distance >> spread
+    pts, want = [], {}
+    for b, base in enumerate([0.0, 10.0, 20.0]):
+        for i in range(8):
+            vid = b * 8 + i
+            pts.append((vid, [base + 0.1 * i, base, base, base], b))
+            want[vid] = b
+    df = spark.createDataFrame(
+        [(v, vec) for v, vec, _ in pts], "vec_id long, embedding array<double>"
+    )
+    init = [pts[0][1], pts[8][1], pts[16][1]]  # one point per blob
+
+    cents = kmeans_fit(df, k=3, iters=2, init_centroids=init)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, cents).select("vec_id", "cluster").collect()
+    }
+    assert got == want
+    # centroid = blob mean (exact: mean of base + 0.1*i over i=0..7)
+    for b, base in enumerate([0.0, 10.0, 20.0]):
+        assert abs(cents[b][0] - (base + 0.35)) < 1e-9
+        assert abs(cents[b][1] - base) < 1e-9
+
+    def inertia(c):
+        return (
+            kmeans_assign(df, c).agg(F.sum("dist2").alias("s")).first()["s"]
+        )
+
+    i0 = inertia(init)
+    i2 = inertia(cents)
+    assert i2 <= i0 + 1e-12
+
+    qcents = kmeans_fit(df, k=3, iters=2, init_centroids=init, quantize_e=6)
+    qgot = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, qcents).select("vec_id", "cluster").collect()
+    }
+    assert qgot == got
+    for c, qc in zip(cents, qcents):
+        assert max(abs(a - b) for a, b in zip(c, qc)) <= 5e-7
+
+    # (d) a far-away 4th centroid captures nothing and keeps its init
+    far = [1e6, 1e6, 1e6, 1e6]
+    cents4 = kmeans_fit(df, k=4, iters=2, init_centroids=init + [far])
+    assert cents4[3] == far
+
+    with pytest.raises(ValueError, match="empty centroid"):
+        kmeans_assign(df, [])
+    with pytest.raises(ValueError, match="need k="):
+        kmeans_fit(df.limit(2), k=3, iters=1)
