@@ -1,0 +1,277 @@
+"""Pattern-mining operators: market-basket association rules and
+Markov transition matrices over event sequences.
+
+These extend the curation toolbox (reference scope: the notebook's
+single-table recode pipeline, ``Spatially ETL test.py:120-214``) with
+the co-occurrence analyses a training-data pipeline runs to audit
+corpus composition: which items/tags/sources co-occur (and how
+strongly), and how users/sessions move between event states.
+
+Design notes (100 TB):
+- Pair generation is a SELF-EQUI-JOIN on the basket key, never a
+  cross join: the shuffle moves each (basket, item) row once, and the
+  per-basket quadratic work is bounded by the basket size. A-priori
+  pruning (drop infrequent items BEFORE pairing) cuts the join input
+  — at web scale most of the long tail dies here, which is the
+  classic Apriori observation (Agrawal & Srikant, VLDB '94).
+- All emitted statistics are ratios of exact integer counts
+  (support/confidence/lift; transition probabilities), so a single
+  IEEE division per row replays bit-identically in any engine.
+- The transition matrix uses one window shuffle on the sequence key
+  (the ``sessionize`` shape) followed by a hash aggregate whose
+  output is |states|² — cardinality-bounded, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["frequent_pairs", "assoc_rules", "event_transitions"]
+
+
+def frequent_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int = 2,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Frequent item PAIRS by basket co-occurrence (the 2-itemset
+    stage of Apriori). Returns (item_a, item_b, pair_n) with
+    item_a < item_b and pair_n = number of distinct baskets
+    containing both, filtered to ``pair_n >= min_pair_count``.
+
+    A-priori pruning: items appearing in fewer than
+    ``min_item_count`` baskets are dropped BEFORE the self-join —
+    no pair they form can reach that support, and at corpus scale
+    this removes the long tail that would otherwise dominate the
+    join input. ``max_basket_size`` (optional) drops whole baskets
+    above the cap — a skew guard for degenerate baskets (a crawler
+    session touching every item would contribute O(n_items²) pairs);
+    when set, dropped baskets are simply absent from every count, so
+    results stay deterministic.
+
+    Scale shape: one (basket, item) distinct shuffle, one item-count
+    hash-agg, a semi-join against the frequent-item set, ONE
+    self-equi-join on the basket key (per-basket quadratic, bounded
+    by basket size), one pair hash-agg. No cross joins, no
+    driver-side data collects.
+    """
+    items = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .filter(F.col("__basket").isNotNull() & F.col("__item").isNotNull())
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = items.groupBy("__basket").agg(
+            F.count(F.lit(1)).alias("__bsize")
+        )
+        items = items.join(
+            sizes.filter(F.col("__bsize") <= max_basket_size).select("__basket"),
+            "__basket",
+        )
+    if min_item_count > 1:
+        frequent = items.groupBy("__item").agg(
+            F.count(F.lit(1)).alias("__icnt")
+        )
+        items = items.join(
+            frequent.filter(F.col("__icnt") >= min_item_count).select("__item"),
+            "__item",
+            "semi",
+        )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__basket") == F.col("b.__basket"))
+            & (F.col("a.__item") < F.col("b.__item")),
+        )
+        .groupBy(
+            F.col("a.__item").alias("item_a"),
+            F.col("b.__item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    return pairs
+
+
+def assoc_rules(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int = 2,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Directed association rules from frequent pairs: for every
+    frequent unordered pair {a, b}, emit BOTH rules a→b and b→a with
+
+      support_n  = baskets containing both (exact long)
+      conf_e6    = floor(support_n / n_antecedent · 1e6 + 0.5)
+      lift_e6    = floor(support_n · n_baskets /
+                         (n_antecedent · n_consequent) · 1e6 + 0.5)
+
+    Confidence is P(consequent | antecedent); lift > 1e6 (i.e. >1.0)
+    means the pair co-occurs more than independence predicts. Counts
+    are exact longs; each statistic is ONE IEEE division of exact
+    integer products (products stay far below 2⁶³ for any corpus
+    where counts fit in a long and baskets ≤ ~10⁹), then the
+    e6 floor — the repo's standard cross-engine quantization.
+
+    Returns (antecedent, consequent, support_n, n_antecedent,
+    n_consequent, conf_e6, lift_e6).
+
+    Scale shape: :func:`frequent_pairs` plus two equi-joins against
+    the item-count frame and a one-row broadcast of the basket total.
+    The n_baskets total counts baskets SURVIVING the guards (size
+    cap), so every ratio is internally consistent.
+    """
+    items = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .filter(F.col("__basket").isNotNull() & F.col("__item").isNotNull())
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = items.groupBy("__basket").agg(
+            F.count(F.lit(1)).alias("__bsize")
+        )
+        items = items.join(
+            sizes.filter(F.col("__bsize") <= max_basket_size).select("__basket"),
+            "__basket",
+        )
+    # n_baskets is the size of the basket UNIVERSE after the skew
+    # guard but BEFORE a-priori item pruning: dropping an infrequent
+    # item must not shrink the denominator of every lift.
+    totals = items.select("__basket").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    item_counts = items.groupBy("__item").agg(
+        F.count(F.lit(1)).cast("long").alias("__icnt")
+    )
+    if min_item_count > 1:
+        item_counts = item_counts.filter(F.col("__icnt") >= min_item_count)
+        items = items.join(item_counts.select("__item"), "__item", "semi")
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__basket") == F.col("b.__basket"))
+            & (F.col("a.__item") < F.col("b.__item")),
+        )
+        .groupBy(
+            F.col("a.__item").alias("item_a"),
+            F.col("b.__item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support_n"))
+        .filter(F.col("support_n") >= min_pair_count)
+    )
+    # Both rule directions from one pair row, then resolve the two
+    # item counts by equi-join (the item-count frame is
+    # vocabulary-sized; Spark may broadcast it under AQE, and the
+    # equi-join stays correct when it cannot).
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support_n",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support_n",
+        )
+    )
+    ante = item_counts.select(
+        F.col("__item").alias("antecedent"),
+        F.col("__icnt").alias("n_antecedent"),
+    )
+    cons = item_counts.select(
+        F.col("__item").alias("consequent"),
+        F.col("__icnt").alias("n_consequent"),
+    )
+    out = (
+        directed.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .crossJoin(F.broadcast(totals))
+    )
+    e6 = F.lit(1000000.0)
+    conf = F.col("support_n").cast("double") / F.col("n_antecedent").cast(
+        "double"
+    )
+    lift = (F.col("support_n") * F.col("__nb")).cast("double") / (
+        F.col("n_antecedent") * F.col("n_consequent")
+    ).cast("double")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "support_n",
+        "n_antecedent",
+        "n_consequent",
+        F.floor(conf * e6 + F.lit(0.5)).cast("long").alias("conf_e6"),
+        F.floor(lift * e6 + F.lit(0.5)).cast("long").alias("lift_e6"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    seq_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-sequence event
+    streams: order each sequence (user, session, document) by
+    ``order_cols`` (must be a deterministic total order within a
+    sequence — pass a tiebreaker like the event id), lag the state
+    column, and count (prev_state, next_state) transitions across
+    ALL sequences. Emits (prev_state, next_state, n_transitions,
+    p_e6) where p_e6 is the e6-floored row-conditional probability
+    P(next | prev) — each row of the matrix sums to ~1e6.
+
+    Scale shape: exactly the ``sessionize`` shape — ONE window
+    shuffle on the sequence key (each sequence's events sort within
+    a partition; skew = one hot sequence, the standard salting
+    candidate), then a hash aggregate to a |states|²-sized frame.
+    The row totals for the conditional probabilities are computed by
+    a second aggregate OVER THE MATRIX FRAME (≤ |states|² rows), not
+    the data, and joined back — no window over raw data, no
+    driver-side collect.
+    """
+    w = Window.partitionBy("__seq").orderBy(*[F.col(c) for c in order_cols])
+    lagged = (
+        df.select(
+            F.col(seq_col).alias("__seq"),
+            F.col(state_col).alias("__state"),
+            *[F.col(c) for c in order_cols],
+        )
+        .filter(F.col("__seq").isNotNull() & F.col("__state").isNotNull())
+        .withColumn("__prev", F.lag("__state").over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    matrix = lagged.groupBy(
+        F.col("__prev").alias("prev_state"),
+        F.col("__state").alias("next_state"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    row_totals = matrix.groupBy("prev_state").agg(
+        F.sum("n_transitions").cast("long").alias("__row_n")
+    )
+    out = matrix.join(row_totals, "prev_state")
+    p = F.col("n_transitions").cast("double") / F.col("__row_n").cast("double")
+    return out.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("p_e6"),
+    )

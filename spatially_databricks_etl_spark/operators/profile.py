@@ -960,3 +960,162 @@ def drift_wasserstein(
         )
         .drop("ks_contrib")
     )
+
+
+def mutual_info(
+    df: DataFrame,
+    *,
+    col_x: str,
+    col_y: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Mutual information between two CATEGORICAL columns, emitted as
+    per-cell contributions — the dependence-structure member of the
+    profiling family (corr_matrix covers numeric-numeric; this covers
+    enum-enum: language × source, event_type × device, label ×
+    shard). For each observed cell (x, y):
+
+      pmi      = ln( n_xy · n  /  (n_x · n_y) )
+      contrib  = (n_xy / n) · pmi          (MI = Σ contribs ≥ 0)
+
+    Returns (x, y, n_xy, pmi_e6, mi_contrib_e6): exact joint count
+    plus the e6-floored pointwise mutual information and MI
+    contribution. Per-cell rows (not one total) keep every emitted
+    double ONE libm ``ln`` plus one IEEE multiply away from exact
+    integer counts — the drift_psi contribution idiom, so any engine
+    replays them under the standard e6 floor. Nulls on either column
+    are dropped.
+
+    Scale shape: ONE groupBy(x, y) hash-aggregate over the data
+    (map-side combine; a hot cell is just a bigger partial count);
+    both marginals and the grand total are re-aggregated FROM the
+    joint frame (≤ cells rows), so the raw data is scanned exactly
+    once. Marginals join back by equi-join; the grand total rides a
+    one-row broadcast. ``max_cells`` fails fast when a column is
+    id-typed (checked with one limit(n+1).count() on the aggregated
+    frame, never on the raw data).
+    """
+    pairs = df.select(
+        F.col(col_x).cast("string").alias("__x"),
+        F.col(col_y).cast("string").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    joint = pairs.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    if joint.limit(max_cells + 1).count() > max_cells:
+        raise ValueError(
+            f"mutual_info: more than {max_cells} distinct ({col_x!r}, "
+            f"{col_y!r}) cells — this profiler is for enum-like columns; "
+            "raise max_cells explicitly if the cardinality is intended"
+        )
+    marg_x = joint.groupBy("__x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    marg_y = joint.groupBy("__y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    total = joint.agg(F.sum("n_xy").cast("long").alias("__n"))
+    out = (
+        joint.join(marg_x, "__x")
+        .join(marg_y, "__y")
+        .crossJoin(F.broadcast(total))
+    )
+    # Pinned op order: ratio of exact long products -> one ln -> one
+    # multiply. Products stay below 2^63 for any table under ~3e9
+    # rows (n_xy*n <= n^2); the catalog query's oracle replays the
+    # identical expression.
+    ratio = (F.col("n_xy") * F.col("__n")).cast("double") / (
+        F.col("n_x") * F.col("n_y")
+    ).cast("double")
+    pmi = F.log(ratio)
+    contrib = (F.col("n_xy").cast("double") / F.col("__n").cast("double")) * pmi
+    e6 = F.lit(1000000.0)
+    half = F.lit(0.5)
+    return out.select(
+        F.col("__x").alias("x"),
+        F.col("__y").alias("y"),
+        "n_xy",
+        F.floor(pmi * e6 + half).cast("long").alias("pmi_e6"),
+        F.floor(contrib * e6 + half).cast("long").alias("mi_contrib_e6"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_decimals: int = 0,
+    y_decimals: int = 0,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) with
+    EXACT integer moment accumulation — in-database ML that stays
+    deterministic across engines and partitionings. The caller
+    declares the fixed decimal precision of each column
+    (``x_decimals`` / ``y_decimals``, e.g. 0 for integer-valued
+    quantities, 2 for money); x and y are scaled to integers, the
+    five sufficient statistics (n, Σx, Σy, Σx², Σxy) accumulate as
+    exact integers (128-bit where products can exceed 2⁶³), and the
+    slope/intercept come from one closed-form division each:
+
+      slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)   [scaled units]
+      intercept = (Σy − slope_scaled·Σx) / n            [y units]
+
+    Returns (group_cols..., n, slope_e6, intercept_e6) where slope
+    is in ORIGINAL y-units per x-unit. Groups with zero x-variance
+    yield null slope/intercept (the SQL NULL-division contract).
+
+    Why not ``regr_slope``: streaming covariance accumulates doubles
+    whose partial-sum ORDER depends on the partitioning, so two runs
+    (or two engines) disagree in low-order bits. Exact integer
+    moments make the whole fit a pure function of the data — the
+    same discipline as the repo's TPC-H money sums — at the cost of
+    requiring fixed-decimal inputs, which is what production metric
+    columns are.
+
+    Scale shape: ONE hash aggregate (map-side combine) whose shuffle
+    carries five numbers per group; the closed-form solve is
+    per-group codegen arithmetic. No iteration, no driver collect.
+    """
+    sx10 = F.lit(float(10**x_decimals))
+    sy10 = F.lit(float(10**y_decimals))
+    # Scaled-integer representations: floor(v*10^d + 0.5) is exact for
+    # values that truly carry <= d decimals (the caller's contract).
+    xs = F.floor(F.col(x_col).cast("double") * sx10 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    ys = F.floor(F.col(y_col).cast("double") * sy10 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*group_cols, xs.alias("__xs"), ys.alias("__ys"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__xs").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__ys").cast("decimal(38,0)").alias("__sy"),
+        F.sum(F.col("__xs") * F.col("__xs")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(F.col("__xs") * F.col("__ys")).cast("decimal(38,0)").alias("__sxy"),
+    )
+    # All four combination terms are exact decimal(38,0) integers;
+    # the ONLY rounding in the whole fit is the final decimal->double
+    # cast (correctly rounded in both Spark and DuckDB) and the one
+    # IEEE division — identical everywhere.
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    slope_scaled = F.when(den != F.lit(0.0), num / den)  # ys per xs unit
+    # Back to original units: y = ys/10^dy, x = xs/10^dx.
+    slope = slope_scaled * sx10 / sy10
+    intercept_scaled = (
+        F.col("__sy").cast("double") - slope_scaled * F.col("__sx").cast("double")
+    ) / F.col("__n").cast("double")
+    intercept = intercept_scaled / sy10
+    e6 = F.lit(1000000.0)
+    half = F.lit(0.5)
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.floor(slope * e6 + half).cast("long").alias("slope_e6"),
+        F.floor(intercept * e6 + half).cast("long").alias("intercept_e6"),
+    )

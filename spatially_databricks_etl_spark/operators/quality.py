@@ -58,3 +58,64 @@ def expectation_summary(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
     total = tagged.agg(F.count(F.lit(1)).alias("n_rows"))
     return per_rule.crossJoin(total)
+
+
+def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD lhs → rhs,
+    report how badly the table violates it — the schema-discovery /
+    constraint-validation member of the quality family (expectations
+    cover ROW predicates; FDs are the cross-row invariants a data
+    contract states: "one supplier per part", "one currency per
+    account"). Per FD, emits one row:
+
+      (lhs, rhs, n_groups, n_violating_groups, n_violating_rows,
+       max_rhs_distinct)
+
+    where a group is a distinct lhs value (null lhs/rhs rows are
+    dropped first — SQL's UNIQUE-constraint null semantics), a group
+    violates when it maps to >1 distinct rhs, n_violating_rows counts
+    the rows inside violating groups (the triage workload), and
+    max_rhs_distinct is the worst fan-out. The FD HOLDS iff
+    n_violating_groups = 0. All outputs are exact longs.
+
+    Scale shape: per FD, one groupBy(lhs) hash aggregate with an
+    EXACT count(distinct rhs) — the distinct runs inside the same
+    shuffle (expand + two-phase agg), never on the driver — followed
+    by a re-aggregation of the per-group frame to a single row. The
+    audit for k FDs is a union of k such one-row aggregates; each FD
+    scans the data once (Spark's scan reuse dedupes the file reads
+    when the plans share the source).
+    """
+    outs = []
+    for lhs, rhs in fds:
+        groups = (
+            df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+            .groupBy(F.col(lhs).alias("__lhs"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__rows"),
+                F.countDistinct(F.col(rhs)).cast("long").alias("__nd"),
+            )
+        )
+        outs.append(
+            groups.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.sum(F.when(F.col("__nd") > 1, F.col("__rows")).otherwise(0))
+                .cast("long")
+                .alias("n_violating_rows"),
+                F.max("__nd").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating_groups",
+                "n_violating_rows",
+                "max_rhs_distinct",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
