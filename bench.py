@@ -158,6 +158,15 @@ EXTRA = [
     "drift_chi2",
     "drift_wasserstein",
     "kmeans_clusters",
+    # round 9: pattern mining + dependence profiling + FD audit
+    "assoc_rules",
+    "event_transitions",
+    "mutual_info",
+    "grouped_ols",
+    "fd_violations",
+    "collocations",
+    "candidate_keys",
+    "repeated_spans",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

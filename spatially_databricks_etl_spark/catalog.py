@@ -5618,6 +5618,346 @@ def _kmeans_oracle_sql(*, k: int, iters: int, dim: int) -> str:
 SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(k=8, iters=2, dim=64)
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user-day event baskets:
+    basket = (user, UTC day), item = event_type. A-priori pruning
+    (items in ≥5 baskets) before the basket self-join, pairs kept at
+    support ≥3, both rule directions emitted with confidence and lift
+    as e6-floored single divisions of exact long counts. The oracle
+    replays the distinct (basket, item) set, the pruning thresholds,
+    the pair self-join and the identical ratio arithmetic."""
+    from spatially_databricks_etl_spark.operators.mining import assoc_rules
+
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("basket"),
+        F.col("event_type").alias("item"),
+    )
+    return assoc_rules(
+        baskets,
+        basket_col="basket",
+        item_col="item",
+        min_item_count=5,
+        min_pair_count=3,
+    )
+
+
+SQL_ASSOC_RULES = """
+WITH items AS (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+         event_type AS i
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+tot AS (SELECT count(DISTINCT b) AS nb FROM items),
+ic AS (SELECT i, count(*) AS icnt FROM items GROUP BY i HAVING count(*) >= 5),
+fi AS (SELECT it.b, it.i FROM items it JOIN ic ON ic.i = it.i),
+pairs AS (
+  SELECT a.i AS ia, b2.i AS ib, count(*) AS sup
+  FROM fi a JOIN fi b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+dir AS (
+  SELECT ia AS antecedent, ib AS consequent, sup FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, sup FROM pairs)
+SELECT d.antecedent,
+       d.consequent,
+       CAST(d.sup AS BIGINT) AS support_n,
+       CAST(ca.icnt AS BIGINT) AS n_antecedent,
+       CAST(cc.icnt AS BIGINT) AS n_consequent,
+       CAST(floor(CAST(d.sup AS DOUBLE) / CAST(ca.icnt AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS conf_e6,
+       CAST(floor(CAST(d.sup * tot.nb AS DOUBLE)
+                  / CAST(ca.icnt * cc.icnt AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS lift_e6
+FROM dir d
+JOIN ic ca ON ca.i = d.antecedent
+JOIN ic cc ON cc.i = d.consequent
+CROSS JOIN tot
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams, ordered by (ts, event_id) — the unique event id breaks
+    timestamp ties so the lag is a total order and the matrix is a
+    pure function of the data. Emits exact transition counts plus the
+    e6-floored row-conditional probability; the oracle replays the
+    same window lag and the single count-ratio division."""
+    from spatially_databricks_etl_spark.operators.mining import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(
+        ev, seq_col="user_id", state_col="event_type", order_cols=["ts", "event_id"]
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+m AS (
+  SELECT prev AS prev_state, event_type AS next_state, count(*) AS n
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT prev_state, sum(n) AS rn FROM m GROUP BY 1)
+SELECT m.prev_state,
+       m.next_state,
+       CAST(m.n AS BIGINT) AS n_transitions,
+       CAST(floor(CAST(m.n AS DOUBLE) / CAST(rt.rn AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS p_e6
+FROM m JOIN rt USING (prev_state)
+"""
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the documents corpus's language and
+    source columns, emitted as per-cell PMI / MI contributions — every
+    double is one ln plus one IEEE multiply away from exact joint and
+    marginal counts (the drift_psi contribution idiom), so the oracle
+    replays the identical pinned op order under the e6 floor."""
+    from spatially_databricks_etl_spark.operators.profile import mutual_info
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_info(docs, col_x="lang", col_y="source")
+
+
+SQL_MUTUAL_INFO = """
+WITH p AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+j AS (SELECT x, y, count(*) AS n_xy FROM p GROUP BY 1, 2),
+mx AS (SELECT x, sum(n_xy) AS n_x FROM j GROUP BY 1),
+my AS (SELECT y, sum(n_xy) AS n_y FROM j GROUP BY 1),
+t AS (SELECT sum(n_xy) AS n FROM j)
+SELECT j.x,
+       j.y,
+       CAST(j.n_xy AS BIGINT) AS n_xy,
+       CAST(floor(ln(CAST(j.n_xy * t.n AS DOUBLE)
+                     / CAST(mx.n_x * my.n_y AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_e6,
+       CAST(floor((CAST(j.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln(CAST(j.n_xy * t.n AS DOUBLE)
+                       / CAST(mx.n_x * my.n_y AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS mi_contrib_e6
+FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+"""
+
+
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extended price on quantity — in-database
+    model fitting with EXACT integer moment accumulation (quantity
+    carries 0 decimals, price 2), so the five sufficient statistics
+    are partition-order independent and the slope/intercept are each
+    one closed-form IEEE division. The oracle accumulates the same
+    scaled-integer moments in HUGEINT and replays the identical
+    combination-term op order."""
+    from spatially_databricks_etl_spark.operators.profile import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li,
+        group_cols=["l_returnflag"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        x_decimals=0,
+        y_decimals=2,
+    )
+
+
+SQL_GROUPED_OLS = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5) AS HUGEINT) AS xs,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS HUGEINT) AS ys
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+a AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(xs) AS sx, sum(ys) AS sy,
+         sum(xs * xs) AS sxx, sum(xs * ys) AS sxy
+  FROM b GROUP BY g)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+                    CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * 1.0 / 100.0
+                  END * 1000000 + 0.5) AS BIGINT) AS slope_e6,
+       CAST(floor(CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+                    ((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)) / 100.0
+                  END * 1000000 + 0.5) AS BIGINT) AS intercept_e6
+FROM a
+"""
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit of the orders table: the primary-
+    key FD o_orderkey → o_custkey must HOLD (0 violating groups),
+    while o_custkey → o_orderpriority / o_orderstatus are expected to
+    fan out — the audit quantifies by how much, in exact longs. The
+    oracle replays each FD's group-by with an exact count(distinct)
+    and the same null-dropping rule."""
+    from spatially_databricks_etl_spark.operators.quality import fd_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    return fd_violations(
+        orders,
+        fds=[
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_custkey", "o_orderstatus"),
+        ],
+    )
+
+
+def _fd_oracle_branch(lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+FROM (
+  SELECT {lhs} AS lv, count(*) AS rows_, count(DISTINCT {rhs}) AS nd
+  FROM orders WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+  GROUP BY 1)
+"""
+
+
+SQL_FD_VIOLATIONS = " UNION ALL ".join(
+    _fd_oracle_branch(l, r)
+    for l, r in [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_custkey", "o_orderstatus"),
+    ]
+)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-bigram collocations over the documents
+    corpus (Church & Hanks) — phrase discovery for corpus analysis.
+    Bigram extraction is array-native codegen (zero shuffles before
+    the two hash aggregates); the oracle replays the whitespace
+    tokenization (row_number re-indexing after empty-token drop), the
+    exact pair/unigram counts and the pinned double-product PMI under
+    the e6 floor."""
+    from spatially_databricks_etl_spark.operators.mining import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, doc_col="doc_id", text_col="text", min_pair_count=5)
+
+
+SQL_COLLOCATIONS = """
+WITH raw AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+tt AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         tok
+  FROM raw WHERE tok <> ''),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+pc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bg
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+uc AS (SELECT tok AS w, count(*) AS n_w FROM tt GROUP BY 1),
+t AS (SELECT count(*) AS n FROM tt)
+SELECT pc.w1,
+       pc.w2,
+       CAST(pc.n_pair AS BIGINT) AS n_pair,
+       CAST(u1.n_w AS BIGINT) AS n_w1,
+       CAST(u2.n_w AS BIGINT) AS n_w2,
+       CAST(floor(ln(CAST(pc.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE)
+                     / (CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+FROM pc
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+CROSS JOIN t
+"""
+
+
+def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key discovery over the orders table: o_orderkey must profile
+    as a unique key; the status/priority enums and the customer FK
+    must not. One Expand-based aggregate, all exact longs — the
+    oracle replays each count(distinct) directly."""
+    from spatially_databricks_etl_spark.operators.quality import candidate_keys
+
+    orders = _t(spark, sf_dir, "orders")
+    return candidate_keys(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _candidate_key_branch(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({col}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       count(DISTINCT {col}) = count(*) AND count({col}) = count(*)
+         AS is_unique_key
+FROM orders
+"""
+
+
+SQL_CANDIDATE_KEYS = " UNION ALL ".join(
+    _candidate_key_branch(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate spans in the ORGANIC corpus: 64-char
+    windows at stride 32 occurring in ≥2 distinct documents (the
+    fixtures' planted near-dup docs share long passages, so the result
+    is non-vacuous at every scale — 185/170/1746 spans at
+    sf0.001/0.01/0.1). Exact counts only; the oracle replays the same
+    1-based strided substring extraction and the distinct-doc floor."""
+    from spatially_databricks_etl_spark.operators.curate import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32, min_docs=2
+    )
+
+
+SQL_REPEATED_SPANS = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+spans AS (
+  SELECT doc_id, substr(text, CAST(s AS INTEGER), 64) AS span
+  FROM docs, unnest(range(1, length(text) - 62, 32)) AS g(s))
+SELECT span,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -5954,7 +6294,10 @@ QUERIES: dict[str, QueryFn] = {
     # bm25_topk → hybrid_topk composes the full BM25 pipeline plus the
     # cosine retriever and the RRF fusion on top).
     # Round-10 rotation candidates (judge-attested in r9 once the
-    # diffcheck sweep lands): hybrid3_topk, ann_recall, drift_chi2.
+    # diffcheck sweep lands): hybrid3_topk, ann_recall, drift_chi2,
+    # drift_wasserstein, kmeans_clusters, assoc_rules,
+    # event_transitions, mutual_info, grouped_ols, fd_violations,
+    # collocations, candidate_keys, repeated_spans.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6122,6 +6465,14 @@ QUERIES: dict[str, QueryFn] = {
     "drift_chi2": q_drift_chi2,
     "drift_wasserstein": q_drift_wasserstein,
     "kmeans_clusters": q_kmeans_clusters,
+    "assoc_rules": q_assoc_rules,
+    "event_transitions": q_event_transitions,
+    "mutual_info": q_mutual_info,
+    "grouped_ols": q_grouped_ols,
+    "fd_violations": q_fd_violations,
+    "collocations": q_collocations,
+    "candidate_keys": q_candidate_keys,
+    "repeated_spans": q_repeated_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -6244,6 +6595,14 @@ ORACLES: dict[str, str] = {
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "assoc_rules": SQL_ASSOC_RULES,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "mutual_info": SQL_MUTUAL_INFO,
+    "grouped_ols": SQL_GROUPED_OLS,
+    "fd_violations": SQL_FD_VIOLATIONS,
+    "collocations": SQL_COLLOCATIONS,
+    "candidate_keys": SQL_CANDIDATE_KEYS,
+    "repeated_spans": SQL_REPEATED_SPANS,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

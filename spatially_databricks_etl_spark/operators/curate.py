@@ -1130,3 +1130,63 @@ def feature_hash(
         for c in cols
     ]
     return df.withColumn(out_col, F.array(*idx))
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage (boilerplate) detection: slide
+    a fixed character window over every document at ``stride`` and
+    report each span text that occurs in at least ``min_docs``
+    DISTINCT documents — the span-granularity member of the dedup
+    family (exact_dedup = whole doc, dedup_lines = line, MinHash =
+    fuzzy doc; this catches the shared headers/footers/license blocks
+    that survive all three), the Spark-feasible strided form of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — their suffix-array scan has
+    no distributed analog; strided windows trade boundary-offset
+    misses for one equi-shuffle).
+
+    Returns (span, n_docs, n_occurrences) — exact longs, no floats.
+    Documents shorter than ``window`` contribute nothing. Window
+    starts are 1-based offsets {1, 1+stride, …} ≤ len−window+1, so a
+    span duplicated at an unaligned offset can be missed — halve the
+    stride to tighten recall at 2× the shuffle.
+
+    Scale shape: span extraction is array-native codegen (sequence →
+    transform(substring) → explode — no per-doc shuffle, no Python);
+    ONE hash aggregate on the span string with map-side combine does
+    the rest, and the ≥min_docs filter runs reduce-side. The shuffle
+    carries ~window/stride bytes per input byte (2× at the defaults);
+    at corpus scale, pre-hash spans to 64-bit keys (xxhash64) and
+    re-verify matched groups — the MinHash index discipline — to
+    shrink it to ~8 bytes per span.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("repeated_spans: window and stride must be >= 1")
+    docs = df.filter(F.length(F.col(text_col)) >= window).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    spans = docs.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
+                f" s -> substring(__t, s, {window}))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["frequent_pairs", "assoc_rules", "event_transitions"]
+__all__ = [
+    "frequent_pairs",
+    "assoc_rules",
+    "collocations",
+    "event_transitions",
+]
 
 
 def frequent_pairs(
@@ -274,4 +279,85 @@ def event_transitions(
         "next_state",
         "n_transitions",
         F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("p_e6"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    doc_col: str,
+    text_col: str,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Corpus collocation extraction: adjacent-token bigrams ranked by
+    pointwise mutual information (Church & Hanks, Computational
+    Linguistics 1990) — the phrase-discovery member of the text
+    family ("new york", "machine learning" score high because they
+    co-occur far more than their unigram frequencies predict). Tokens
+    are the lowercased text split on single spaces with empties
+    dropped; for each bigram surviving ``min_pair_count``:
+
+      pmi = ln( n_pair · N  /  (n_w1 · n_w2) )     N = total tokens
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi_e6). Counts are exact
+    longs; the PMI ratio multiplies count DOUBLES in a pinned order
+    (exact below 2⁵³ tokens) so one libm ``ln`` is the only
+    transcendental — the e6-floor replays cross-engine.
+
+    Scale shape: bigram extraction is ARRAY-NATIVE codegen (split →
+    filter → transform over index sequence → explode): zero shuffles
+    until the two hash aggregates (bigram counts, unigram counts),
+    both map-side combined. Unigram counts join back by equi-join on
+    each word (vocabulary-sized build sides); the token total rides a
+    one-row broadcast. No window over raw tokens, no per-doc shuffle.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("__toks")
+    )
+    # Adjacent pairs from the filtered token array, all inside codegen.
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+            )
+        ).alias("__bg")
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    unigrams = toks.select(F.explode("__toks").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    total = unigrams.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    out = (
+        pair_counts.join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            "w1",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # Pinned op order: (n_pair_d * N_d) first, then the denominator
+    # product, ONE division, ONE ln.
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("__n").cast("double")
+    ) / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+    return out.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("pmi_e6"),
     )

@@ -119,3 +119,48 @@ def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def candidate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-discovery profiler: for each candidate column, report the
+    exact uniqueness facts a schema auditor needs — the single-column
+    complement of :func:`fd_violations` (an FD audit presumes a lhs;
+    this finds them). Per column, one row:
+
+      (col_name, n_rows, n_nonnull, n_distinct, is_unique_key)
+
+    where is_unique_key is true iff every row carries a distinct
+    non-null value (n_distinct = n_nonnull = n_rows) — the SQL
+    PRIMARY KEY test. All counts are exact longs.
+
+    Scale shape: ONE aggregate over one scan — Spark plans the k
+    count(distinct) columns as a single Expand (k+1 copies tagged by
+    grouping id) feeding a two-phase hash aggregate, so the data
+    moves through one shuffle regardless of how many candidates are
+    audited; nothing driver-side. Expand multiplies the MAP-side rows
+    by k+1, which is the honest cost of exact multi-column
+    distinct-counting — callers auditing very wide tables should
+    batch the candidate list.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    outs = [
+        row.select(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (
+                (F.col(f"__nd_{c}") == F.col("__n"))
+                & (F.col(f"__nn_{c}") == F.col("__n"))
+            ).alias("is_unique_key"),
+        )
+        for c in cols
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

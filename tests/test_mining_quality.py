@@ -1,0 +1,364 @@
+"""Hand-case tests for the pattern-mining, dependence-profiling and
+FD-audit operators (mining.py, profile.mutual_info/grouped_ols,
+quality.fd_violations). Every expected value is computed by hand or
+with the Python stdlib, never by replaying the operator."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatially_databricks_etl_spark.operators.mining import (
+    assoc_rules,
+    event_transitions,
+    frequent_pairs,
+)
+from spatially_databricks_etl_spark.operators.profile import (
+    grouped_ols,
+    mutual_info,
+)
+from spatially_databricks_etl_spark.operators.quality import fd_violations
+
+
+def _baskets(spark):
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {b} — by hand:
+    #   items: a in 3 baskets, b in 3, c in 2
+    #   pairs: (a,b) 2, (a,c) 2, (b,c) 1
+    rows = [
+        ("b1", "a"), ("b1", "b"), ("b1", "c"),
+        ("b2", "a"), ("b2", "b"),
+        ("b3", "a"), ("b3", "c"),
+        ("b4", "b"),
+        ("b4", "b"),  # duplicate (basket, item) row — must dedupe
+    ]
+    return spark.createDataFrame(rows, ["basket", "item"])
+
+
+def test_frequent_pairs_hand_counts(spark):
+    out = frequent_pairs(
+        _baskets(spark),
+        basket_col="basket",
+        item_col="item",
+        min_item_count=1,
+        min_pair_count=1,
+    )
+    got = {(r.item_a, r.item_b): r.pair_n for r in out.collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_frequent_pairs_apriori_prune_and_support_floor(spark):
+    # min_item_count=3 drops c (2 baskets) BEFORE pairing; only (a,b)
+    # survives. min_pair_count=2 keeps it.
+    out = frequent_pairs(
+        _baskets(spark),
+        basket_col="basket",
+        item_col="item",
+        min_item_count=3,
+        min_pair_count=2,
+    )
+    got = {(r.item_a, r.item_b): r.pair_n for r in out.collect()}
+    assert got == {("a", "b"): 2}
+
+
+def test_frequent_pairs_basket_size_cap(spark):
+    # Cap at 2 drops basket b1 entirely: pair counts lose b1's
+    # contribution → (a,b) 1, (a,c) 1, (b,c) 0.
+    out = frequent_pairs(
+        _baskets(spark),
+        basket_col="basket",
+        item_col="item",
+        min_item_count=1,
+        min_pair_count=1,
+        max_basket_size=2,
+    )
+    got = {(r.item_a, r.item_b): r.pair_n for r in out.collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_assoc_rules_confidence_and_lift_by_hand(spark):
+    out = assoc_rules(
+        _baskets(spark),
+        basket_col="basket",
+        item_col="item",
+        min_item_count=1,
+        min_pair_count=1,
+    )
+    rows = {(r.antecedent, r.consequent): r for r in out.collect()}
+    # Both directions of each frequent pair.
+    assert set(rows) == {
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"),
+    }
+    ab = rows[("a", "b")]
+    # support 2, n_a=3, n_b=3, n_baskets=4:
+    #   conf = 2/3, lift = 2*4/(3*3) = 8/9
+    assert ab.support_n == 2 and ab.n_antecedent == 3 and ab.n_consequent == 3
+    assert ab.conf_e6 == math.floor(2 / 3 * 1e6 + 0.5)
+    assert ab.lift_e6 == math.floor(8 / 9 * 1e6 + 0.5)
+    cb = rows[("c", "b")]
+    # support 1, n_c=2, n_b=3: conf = 1/2, lift = 4/6
+    assert cb.conf_e6 == 500000
+    assert cb.lift_e6 == math.floor(4 / 6 * 1e6 + 0.5)
+
+
+def test_assoc_rules_lift_denominator_survives_item_prune(spark):
+    # Pruning item c must NOT change n_baskets (4): a→b lift stays 8/9.
+    out = assoc_rules(
+        _baskets(spark),
+        basket_col="basket",
+        item_col="item",
+        min_item_count=3,
+        min_pair_count=1,
+    )
+    rows = {(r.antecedent, r.consequent): r for r in out.collect()}
+    assert set(rows) == {("a", "b"), ("b", "a")}
+    assert rows[("a", "b")].lift_e6 == math.floor(8 / 9 * 1e6 + 0.5)
+
+
+def test_event_transitions_hand_matrix(spark):
+    # u1: A B A B   → AB, BA, AB
+    # u2: B B       → BB
+    # Tie on ts within u1 is broken by the id column.
+    rows = [
+        ("u1", 1, 1, "A"),
+        ("u1", 1, 2, "B"),
+        ("u1", 2, 3, "A"),
+        ("u1", 2, 4, "B"),
+        ("u2", 1, 5, "B"),
+        ("u2", 2, 6, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "t", "id", "s"])
+    out = event_transitions(df, seq_col="u", state_col="s", order_cols=["t", "id"])
+    got = {(r.prev_state, r.next_state): (r.n_transitions, r.p_e6) for r in out.collect()}
+    assert got == {
+        ("A", "B"): (2, 1000000),
+        ("B", "A"): (1, 500000),
+        ("B", "B"): (1, 500000),
+    }
+
+
+def test_event_transitions_single_event_sequences_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 1, "A"), ("u2", 1, 2, "B")], ["u", "t", "id", "s"]
+    )
+    out = event_transitions(df, seq_col="u", state_col="s", order_cols=["t", "id"])
+    assert out.count() == 0
+
+
+def test_mutual_info_hand_2x2(spark):
+    # Joint counts: (x1,y1)=2 (x1,y2)=1 (x2,y1)=1 (x2,y2)=2, n=6
+    rows = (
+        [("x1", "y1")] * 2 + [("x1", "y2")] + [("x2", "y1")] + [("x2", "y2")] * 2
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = mutual_info(df, col_x="a", col_y="b")
+    got = {(r.x, r.y): r for r in out.collect()}
+    assert got[("x1", "y1")].n_xy == 2
+    # pmi(x1,y1) = ln(2*6 / (3*3)) = ln(4/3)
+    pmi = math.log((2 * 6) / (3 * 3))
+    assert got[("x1", "y1")].pmi_e6 == math.floor(pmi * 1e6 + 0.5)
+    assert got[("x1", "y1")].mi_contrib_e6 == math.floor((2 / 6) * pmi * 1e6 + 0.5)
+    # MI total must be >= 0 and equal the hand sum.
+    hand = sum(
+        (nxy / 6) * math.log(nxy * 6 / (nx * ny))
+        for nxy, nx, ny in [(2, 3, 3), (1, 3, 3), (1, 3, 3), (2, 3, 3)]
+    )
+    got_total = sum(r.mi_contrib_e6 for r in out.collect())
+    assert abs(got_total - math.floor(hand * 1e6)) <= 4  # per-cell floor slack
+
+
+def test_mutual_info_independent_columns_zero_mi(spark):
+    # Perfect independence: every (x, y) cell has count 2 = n_x*n_y/n.
+    rows = [(x, y) for x in ("p", "q") for y in ("r", "s") for _ in range(2)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = mutual_info(df, col_x="a", col_y="b")
+    assert all(r.mi_contrib_e6 == 0 for r in out.collect())
+
+
+def test_mutual_info_max_cells_guard(spark):
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["a", "b"])
+    with pytest.raises(ValueError, match="more than 5"):
+        mutual_info(df, col_x="a", col_y="b", max_cells=5)
+
+
+def test_grouped_ols_exact_line(spark):
+    # g1 lies exactly on y = 2x + 3 → slope 2, intercept 3, exactly.
+    # g2 has zero x-variance → null slope/intercept.
+    rows = [("g1", float(x), 2.0 * x + 3.0) for x in (1, 2, 3, 4)] + [
+        ("g2", 5.0, 1.0),
+        ("g2", 5.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in grouped_ols(
+        df, group_cols=["g"], x_col="x", y_col="y", x_decimals=0, y_decimals=0
+    ).collect()}
+    assert out["g1"].n == 4
+    assert out["g1"].slope_e6 == 2_000_000
+    assert out["g1"].intercept_e6 == 3_000_000
+    assert out["g2"].slope_e6 is None and out["g2"].intercept_e6 is None
+
+
+def test_grouped_ols_decimal_scaling(spark):
+    # Money-typed y with 2 decimals: y = 0.5x + 0.25 recovered exactly.
+    rows = [("g", float(x), 0.5 * x + 0.25) for x in (2, 4, 6, 8)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    r = grouped_ols(
+        df, group_cols=["g"], x_col="x", y_col="y", x_decimals=0, y_decimals=2
+    ).collect()[0]
+    assert r.slope_e6 == 500_000
+    assert r.intercept_e6 == 250_000
+
+
+def test_grouped_ols_matches_stdlib_on_noisy_data(spark):
+    # Integer-valued noisy points: compare against statistics module.
+    import statistics as st
+
+    xs = [1, 2, 3, 4, 5, 6, 7, 8]
+    ys = [3, 5, 4, 8, 7, 11, 10, 14]
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in zip(xs, ys)], ["g", "x", "y"]
+    )
+    r = grouped_ols(
+        df, group_cols=["g"], x_col="x", y_col="y", x_decimals=0, y_decimals=0
+    ).collect()[0]
+    slope, intercept = st.linear_regression(xs, ys)
+    assert abs(r.slope_e6 - slope * 1e6) <= 1
+    assert abs(r.intercept_e6 - intercept * 1e6) <= 1
+
+
+def test_fd_violations_held_and_broken(spark):
+    rows = [
+        (1, "a", "p"),
+        (1, "a", "q"),   # id → c2 violated for id=1 (2 rows inside)
+        (2, "b", "p"),
+        (3, "b", "p"),
+        (None, "x", "y"),  # null lhs dropped
+        (4, None, "z"),    # null rhs dropped for (id → c1)
+    ]
+    df = spark.createDataFrame(rows, ["id", "c1", "c2"])
+    out = {(r.lhs, r.rhs): r for r in fd_violations(
+        df, fds=[("id", "c1"), ("id", "c2")]
+    ).collect()}
+    held = out[("id", "c1")]
+    # ids 1,2,3 (4 has null rhs... wait: (4, None) drops that ROW only)
+    assert held.n_groups == 3 and held.n_violating_groups == 0
+    assert held.n_violating_rows == 0 and held.max_rhs_distinct == 1
+    broken = out[("id", "c2")]
+    assert broken.n_groups == 4
+    assert broken.n_violating_groups == 1
+    assert broken.n_violating_rows == 2
+    assert broken.max_rhs_distinct == 2
+
+
+def test_fd_violations_null_semantics(spark):
+    # A group whose ONLY rows carry null rhs vanishes entirely.
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], ["k", "v"]
+    )
+    r = fd_violations(df, fds=[("k", "v")]).collect()[0]
+    assert r.n_groups == 1 and r.n_violating_groups == 0
+
+
+def test_collocations_hand_pmi(spark):
+    # Corpus: "a b" ×3, "a c" ×1 → tokens: a=4, b=3, c=1, N=8
+    # bigrams: (a,b)=3, (a,c)=1
+    rows = [("a b",)] * 3 + [("a c",)]
+    df = spark.createDataFrame(rows, ["text"]).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    from spatially_databricks_etl_spark.operators.mining import collocations
+
+    out = {(r.w1, r.w2): r for r in collocations(
+        df, doc_col="doc_id", text_col="text", min_pair_count=1
+    ).collect()}
+    ab = out[("a", "b")]
+    assert ab.n_pair == 3 and ab.n_w1 == 4 and ab.n_w2 == 3
+    assert ab.pmi_e6 == math.floor(math.log(3 * 8 / (4 * 3)) * 1e6 + 0.5)
+    ac = out[("a", "c")]
+    assert ac.pmi_e6 == math.floor(math.log(1 * 8 / (4 * 1)) * 1e6 + 0.5)
+
+
+def test_collocations_lowercases_and_drops_empty_tokens(spark):
+    # Double spaces create empty tokens that must NOT break adjacency:
+    # "A  b" still yields bigram (a, b).
+    df = spark.createDataFrame([("A  b",), ("a b",)], ["text"]).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    from spatially_databricks_etl_spark.operators.mining import collocations
+
+    out = collocations(df, doc_col="doc_id", text_col="text", min_pair_count=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].w1, rows[0].w2, rows[0].n_pair) == ("a", "b", 2)
+
+
+def test_collocations_no_cross_document_bigrams(spark):
+    # Last token of doc 1 and first token of doc 2 must not pair.
+    df = spark.createDataFrame([("x y",), ("z w",)], ["text"]).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    from spatially_databricks_etl_spark.operators.mining import collocations
+
+    got = {(r.w1, r.w2) for r in collocations(
+        df, doc_col="doc_id", text_col="text", min_pair_count=1
+    ).collect()}
+    assert got == {("x", "y"), ("z", "w")}
+
+
+def test_candidate_keys_hand(spark):
+    from spatially_databricks_etl_spark.operators.quality import candidate_keys
+
+    rows = [(1, "a", "x"), (2, "a", None), (3, "b", "y")]
+    df = spark.createDataFrame(rows, ["id", "grp", "opt"])
+    out = {r.col_name: r for r in candidate_keys(df, ["id", "grp", "opt"]).collect()}
+    assert out["id"].is_unique_key is True
+    assert (out["id"].n_rows, out["id"].n_nonnull, out["id"].n_distinct) == (3, 3, 3)
+    assert out["grp"].is_unique_key is False and out["grp"].n_distinct == 2
+    # A null makes a column ineligible even if non-null values are unique.
+    assert out["opt"].is_unique_key is False
+    assert (out["opt"].n_nonnull, out["opt"].n_distinct) == (2, 2)
+
+
+def test_repeated_spans_hand_case(spark):
+    from spatially_databricks_etl_spark.operators.curate import repeated_spans
+
+    shared = "S" * 10
+    rows = [
+        (1, shared + "aaaa"),     # len 14: starts 1, 5 (window 10, stride 4)
+        (2, shared),              # len 10: start 1 only
+        (3, "zzzz" + shared),     # shared misaligned (start 5 hits it)
+        (4, "short"),             # < window: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.span: r for r in repeated_spans(
+        df, id_col="doc_id", text_col="text", window=10, stride=4, min_docs=2
+    ).collect()}
+    assert shared in out
+    # docs 1 (start 1), 2 (start 1), 3 (start 5) all emit the shared span
+    assert out[shared].n_docs == 3 and out[shared].n_occurrences == 3
+    # Nothing else repeats across >= 2 docs.
+    assert set(out) == {shared}
+
+
+def test_repeated_spans_occurrences_vs_docs(spark):
+    from spatially_databricks_etl_spark.operators.curate import repeated_spans
+
+    # One doc repeating the span twice at aligned offsets + one other doc:
+    # n_occurrences counts windows, n_docs counts documents.
+    span = "R" * 8
+    rows = [(1, span + span), (2, span)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(
+        df, id_col="doc_id", text_col="text", window=8, stride=8, min_docs=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_occurrences == 3
+
+
+def test_repeated_spans_rejects_bad_params(spark):
+    from spatially_databricks_etl_spark.operators.curate import repeated_spans
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        repeated_spans(df, id_col="doc_id", text_col="text", window=0)

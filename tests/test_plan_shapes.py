@@ -121,6 +121,11 @@ def test_no_catalog_query_plans_a_smell(spark):
         "drift_chi2",
         # same one-row totals frame as drift_ks (shared ECDF tail)
         "drift_wasserstein",
+        # one-row basket-universe / grand-total frames via broadcast
+        # cross join — the accepted scalar-join pattern
+        "assoc_rules",
+        "mutual_info",
+        "collocations",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
