@@ -167,6 +167,8 @@ EXTRA = [
     "collocations",
     "candidate_keys",
     "repeated_spans",
+    "attribution",
+    "attribution_linear",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5958,6 +5958,117 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch AND first-touch attribution of purchase conversions
+    over per-user event journeys, unioned with a model tag — every
+    credit is a whole conversion, so the output is exact longs with
+    no quantization. The oracle replays the running conversion count
+    (segment ids), the segment equi-join and both row_number picks."""
+    from spatially_databricks_etl_spark.operators.mining import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    last = attribution(
+        ev,
+        seq_col="user_id",
+        type_col="event_type",
+        order_cols=["ts", "event_id"],
+        conversion_type="purchase",
+        model="last",
+    ).select(F.lit("last").alias("model"), "touch_type", "n_credited")
+    first = attribution(
+        ev,
+        seq_col="user_id",
+        type_col="event_type",
+        order_cols=["ts", "event_id"],
+        conversion_type="purchase",
+        model="first",
+    ).select(F.lit("first").alias("model"), "touch_type", "n_credited")
+    return last.unionByName(first)
+
+
+SQL_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+convs AS (SELECT user_id, c AS seg FROM base WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, event_type, ts, event_id, c + 1 AS seg
+  FROM base WHERE event_type <> 'purchase'),
+valid AS (
+  SELECT t.user_id, t.event_type, t.ts, t.event_id, t.seg
+  FROM touches t JOIN convs s ON s.user_id = t.user_id AND s.seg = t.seg),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, seg
+                            ORDER BY ts DESC, event_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY user_id, seg
+                            ORDER BY ts ASC, event_id ASC) AS rn_first
+  FROM valid)
+SELECT 'last' AS model, event_type AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited
+FROM ranked WHERE rn_last = 1 GROUP BY 2
+UNION ALL
+SELECT 'first' AS model, event_type AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited
+FROM ranked WHERE rn_first = 1 GROUP BY 2
+"""
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution at (touch_type, segment_size)
+    granularity: each conversion's credit splits 1/k over its k
+    touches, and every emitted number is either an exact long or ONE
+    e6-floored division of two exact longs — no order-dependent float
+    sums. The oracle replays segments, sizes and the division."""
+    from spatially_databricks_etl_spark.operators.mining import attribution_linear
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_linear(
+        ev,
+        seq_col="user_id",
+        type_col="event_type",
+        order_cols=["ts", "event_id"],
+        conversion_type="purchase",
+    )
+
+
+SQL_ATTRIBUTION_LINEAR = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS c
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+convs AS (SELECT user_id, c AS seg FROM base WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, event_type, c + 1 AS seg
+  FROM base WHERE event_type <> 'purchase'),
+valid AS (
+  SELECT t.user_id, t.event_type, t.seg
+  FROM touches t JOIN convs s ON s.user_id = t.user_id AND s.seg = t.seg),
+sizes AS (
+  SELECT user_id, seg, count(*) AS segment_size
+  FROM valid GROUP BY 1, 2),
+per_type AS (
+  SELECT user_id, seg, event_type, count(*) AS n
+  FROM valid GROUP BY 1, 2, 3),
+agg AS (
+  SELECT p.event_type AS touch_type, s.segment_size,
+         sum(p.n) AS n_touches
+  FROM per_type p JOIN sizes s ON s.user_id = p.user_id AND s.seg = p.seg
+  GROUP BY 1, 2)
+SELECT touch_type,
+       CAST(segment_size AS BIGINT) AS segment_size,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(floor(CAST(n_touches AS DOUBLE) / CAST(segment_size AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS credit_e6
+FROM agg
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of (event_type, user_id) into 64
     dimensions; output is the per-index collision histogram, which
@@ -6297,7 +6408,8 @@ QUERIES: dict[str, QueryFn] = {
     # diffcheck sweep lands): hybrid3_topk, ann_recall, drift_chi2,
     # drift_wasserstein, kmeans_clusters, assoc_rules,
     # event_transitions, mutual_info, grouped_ols, fd_violations,
-    # collocations, candidate_keys, repeated_spans.
+    # collocations, candidate_keys, repeated_spans, attribution,
+    # attribution_linear.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6473,6 +6585,8 @@ QUERIES: dict[str, QueryFn] = {
     "collocations": q_collocations,
     "candidate_keys": q_candidate_keys,
     "repeated_spans": q_repeated_spans,
+    "attribution": q_attribution,
+    "attribution_linear": q_attribution_linear,
 }
 
 ORACLES: dict[str, str] = {
@@ -6603,6 +6717,8 @@ ORACLES: dict[str, str] = {
     "collocations": SQL_COLLOCATIONS,
     "candidate_keys": SQL_CANDIDATE_KEYS,
     "repeated_spans": SQL_REPEATED_SPANS,
+    "attribution": SQL_ATTRIBUTION,
+    "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -30,6 +30,8 @@ from pyspark.sql.window import Window
 __all__ = [
     "frequent_pairs",
     "assoc_rules",
+    "attribution",
+    "attribution_linear",
     "collocations",
     "event_transitions",
 ]
@@ -360,4 +362,138 @@ def collocations(
         F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5))
         .cast("long")
         .alias("pmi_e6"),
+    )
+
+
+def attribution(
+    df: DataFrame,
+    *,
+    seq_col: str,
+    type_col: str,
+    order_cols: list[str],
+    conversion_type: str,
+    model: str = "last",
+) -> DataFrame:
+    """Single-touch marketing/journey attribution: split each
+    sequence's event stream into CONVERSION SEGMENTS (everything
+    after the previous conversion, up to and including the next one)
+    and credit each conversion to ONE touch in its segment — the
+    latest (``model="last"``) or the earliest (``model="first"``).
+    Returns (touch_type, n_credited) with exact long counts: every
+    credit is a whole conversion, so the output hashes bit-identically
+    in any engine with no quantization at all.
+
+    ``order_cols`` must totally order events within a sequence (pass
+    a unique tiebreaker, e.g. the event id). Conversions with no
+    preceding touch in their segment (self-converting sessions) are
+    simply uncredited; touches after the last conversion never
+    convert and are dropped.
+
+    Scale shape: one window shuffle on the sequence key computes the
+    running conversion count (the segment id — the `sessionize`
+    shape); segment membership is then an EQUI-join of touches
+    against the (sequence, segment) conversion set, the
+    pick-one-touch step is a row_number window on (sequence,
+    segment), and the final aggregate is |touch types|-sized. No
+    cross joins, no driver-side collects, no floats.
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"attribution: unknown model {model!r}")
+    w = Window.partitionBy("__seq").orderBy(*[F.col(c) for c in order_cols])
+    base = (
+        df.select(
+            F.col(seq_col).alias("__seq"),
+            F.col(type_col).alias("__type"),
+            *[F.col(c) for c in order_cols],
+        )
+        .filter(F.col("__seq").isNotNull() & F.col("__type").isNotNull())
+        .withColumn(
+            "__c",
+            F.sum((F.col("__type") == conversion_type).cast("long")).over(w),
+        )
+    )
+    convs = base.filter(F.col("__type") == conversion_type).select(
+        "__seq", F.col("__c").alias("__seg")
+    )
+    touches = base.filter(F.col("__type") != conversion_type).select(
+        "__seq",
+        "__type",
+        (F.col("__c") + 1).alias("__seg"),
+        *[F.col(c) for c in order_cols],
+    )
+    valid = touches.join(convs, ["__seq", "__seg"])
+    order = [F.col(c).desc() if model == "last" else F.col(c).asc() for c in order_cols]
+    pick = Window.partitionBy("__seq", "__seg").orderBy(*order)
+    credited = valid.withColumn("__rn", F.row_number().over(pick)).filter(
+        F.col("__rn") == 1
+    )
+    return credited.groupBy(F.col("__type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited")
+    )
+
+
+def attribution_linear(
+    df: DataFrame,
+    *,
+    seq_col: str,
+    type_col: str,
+    order_cols: list[str],
+    conversion_type: str,
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution, emitted at the
+    (touch_type, segment_size) granularity so every number stays a
+    pure function of exact integer counts: a conversion segment with
+    k touches gives each touch 1/k of the conversion, and the output
+    row (touch_type, segment_size=k, n_touches, credit_e6) carries
+
+      credit_e6 = floor(n_touches / k · 1e6 + 0.5)
+
+    — ONE IEEE division of two exact longs per row (the repo's e6
+    idiom), never an order-dependent float sum. Total credit for a
+    type is Σ rows, and the caller can resum exactly.
+
+    Scale shape: the :func:`attribution` segment machinery plus two
+    hash aggregates — (sequence, segment) sizes (≤ one row per
+    conversion), then (type, k) counts (≤ |types|·|distinct k| rows).
+    """
+    w = Window.partitionBy("__seq").orderBy(*[F.col(c) for c in order_cols])
+    base = (
+        df.select(
+            F.col(seq_col).alias("__seq"),
+            F.col(type_col).alias("__type"),
+            *[F.col(c) for c in order_cols],
+        )
+        .filter(F.col("__seq").isNotNull() & F.col("__type").isNotNull())
+        .withColumn(
+            "__c",
+            F.sum((F.col("__type") == conversion_type).cast("long")).over(w),
+        )
+    )
+    convs = base.filter(F.col("__type") == conversion_type).select(
+        "__seq", F.col("__c").alias("__seg")
+    )
+    touches = base.filter(F.col("__type") != conversion_type).select(
+        "__seq", "__type", (F.col("__c") + 1).alias("__seg")
+    )
+    valid = touches.join(convs, ["__seq", "__seg"])
+    sizes = valid.groupBy("__seq", "__seg").agg(
+        F.count(F.lit(1)).cast("long").alias("segment_size")
+    )
+    per_type = valid.groupBy("__seq", "__seg", "__type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    joined = per_type.join(sizes, ["__seq", "__seg"])
+    out = joined.groupBy(
+        F.col("__type").alias("touch_type"), "segment_size"
+    ).agg(F.sum("__n").cast("long").alias("n_touches"))
+    credit = F.col("n_touches").cast("double") / F.col("segment_size").cast(
+        "double"
+    )
+    return out.select(
+        "touch_type",
+        "segment_size",
+        "n_touches",
+        F.floor(credit * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("credit_e6"),
     )

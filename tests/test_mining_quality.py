@@ -362,3 +362,62 @@ def test_repeated_spans_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         repeated_spans(df, id_col="doc_id", text_col="text", window=0)
+
+
+def _journeys(spark):
+    # u1: click view PURCHASE click PURCHASE click(trailing)
+    #   seg1 touches {click, view}; seg2 touches {click}; trailing uncredited
+    # u2: PURCHASE with no touches — uncredited
+    rows = [
+        ("u1", 1, 1, "click"),
+        ("u1", 2, 2, "view"),
+        ("u1", 3, 3, "purchase"),
+        ("u1", 4, 4, "click"),
+        ("u1", 5, 5, "purchase"),
+        ("u1", 6, 6, "click"),
+        ("u2", 1, 7, "purchase"),
+    ]
+    return spark.createDataFrame(rows, ["u", "t", "id", "typ"])
+
+
+def test_attribution_last_and_first_hand(spark):
+    from spatially_databricks_etl_spark.operators.mining import attribution
+
+    kw = dict(
+        seq_col="u", type_col="typ", order_cols=["t", "id"],
+        conversion_type="purchase",
+    )
+    last = {r.touch_type: r.n_credited for r in attribution(
+        _journeys(spark), model="last", **kw
+    ).collect()}
+    assert last == {"view": 1, "click": 1}
+    first = {r.touch_type: r.n_credited for r in attribution(
+        _journeys(spark), model="first", **kw
+    ).collect()}
+    assert first == {"click": 2}
+
+
+def test_attribution_rejects_unknown_model(spark):
+    from spatially_databricks_etl_spark.operators.mining import attribution
+
+    with pytest.raises(ValueError, match="unknown model"):
+        attribution(
+            _journeys(spark), seq_col="u", type_col="typ",
+            order_cols=["t", "id"], conversion_type="purchase",
+            model="time_decay",
+        )
+
+
+def test_attribution_linear_hand(spark):
+    from spatially_databricks_etl_spark.operators.mining import attribution_linear
+
+    out = {(r.touch_type, r.segment_size): r for r in attribution_linear(
+        _journeys(spark), seq_col="u", type_col="typ",
+        order_cols=["t", "id"], conversion_type="purchase",
+    ).collect()}
+    assert out[("click", 2)].n_touches == 1
+    assert out[("click", 2)].credit_e6 == 500000
+    assert out[("view", 2)].credit_e6 == 500000
+    assert out[("click", 1)].credit_e6 == 1000000
+    # Total credit = 2 conversions exactly (e6 units).
+    assert sum(r.credit_e6 for r in out.values()) == 2_000_000
