@@ -453,3 +453,153 @@ def test_bm25_matches_python_reference(spark, texts, query):
         assert abs(got[d][0] - q6) <= 1, (d, got[d][0], q6)
     order = sorted(want, key=lambda d: (-want[d], d))
     assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=20),     # ts
+            st.sampled_from(["touchA", "touchB", "conv"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_attribution_conservation(spark, events):
+    """Invariants against a plain-Python replay: last-touch and
+    first-touch credit the SAME total (one per segment with >= 1
+    touch), and linear credit_e6 resums to exactly that total x 1e6."""
+    from spatially_databricks_etl_spark.operators.mining import (
+        attribution,
+        attribution_linear,
+    )
+
+    rows = [(u, t, i, typ) for i, (u, t, typ) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["u", "t", "id", "typ"])
+    kw = dict(
+        seq_col="u", type_col="typ", order_cols=["t", "id"],
+        conversion_type="conv",
+    )
+    # Python reference: count segments containing >= 1 touch.
+    per_user: dict[int, list[str]] = {}
+    for u, t, i, typ in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        per_user.setdefault(u, []).append(typ)
+    credited_segments = 0
+    for seq in per_user.values():
+        touches = 0
+        for typ in seq:
+            if typ == "conv":
+                credited_segments += 1 if touches else 0
+                touches = 0
+            else:
+                touches += 1
+    last_total = sum(
+        r.n_credited for r in attribution(df, model="last", **kw).collect()
+    )
+    first_total = sum(
+        r.n_credited for r in attribution(df, model="first", **kw).collect()
+    )
+    assert last_total == credited_segments
+    assert first_total == credited_segments
+    linear_total = sum(
+        r.credit_e6 for r in attribution_linear(df, **kw).collect()
+    )
+    assert linear_total == credited_segments * 1_000_000
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # basket
+            st.integers(min_value=0, max_value=4),   # item
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_assoc_rules_match_python_reference(spark, items):
+    """Confidence/lift against a from-scratch Python replay on
+    arbitrary basket sets (no pruning, so every pair is checked)."""
+    import math as m
+
+    from spatially_databricks_etl_spark.operators.mining import assoc_rules
+
+    df = spark.createDataFrame(items, ["b", "i"])
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in assoc_rules(
+            df, basket_col="b", item_col="i",
+            min_item_count=1, min_pair_count=1,
+        ).collect()
+    }
+    baskets: dict[int, set[int]] = {}
+    for b, i in items:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    item_n: dict[int, int] = {}
+    pair_n: dict[tuple[int, int], int] = {}
+    for s in baskets.values():
+        for i in s:
+            item_n[i] = item_n.get(i, 0) + 1
+        for i in s:
+            for j in s:
+                if i < j:
+                    pair_n[(i, j)] = pair_n.get((i, j), 0) + 1
+    want = {}
+    for (i, j), sup in pair_n.items():
+        for a, c in ((i, j), (j, i)):
+            want[(str(a), str(c))] = (
+                sup,
+                m.floor(sup / item_n[a] * 1e6 + 0.5),
+                m.floor(sup * nb / (item_n[a] * item_n[c]) * 1e6 + 0.5),
+            )
+    got_simple = {
+        (str(k[0]), str(k[1])): (v.support_n, v.conf_e6, v.lift_e6)
+        for k, v in got.items()
+    }
+    want_keys = {(str(a), str(c)) for (a, c) in want}
+    assert set(got_simple) == want_keys
+    for k in want:
+        assert got_simple[k] == want[k], (k, got_simple[k], want[k])
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_mutual_info_total_nonnegative_and_matches_python(spark, pairs):
+    """MI = sum of contributions must be >= 0 (within per-cell floor
+    slack) and each cell must match the Python ln replay exactly."""
+    import math as m
+
+    from spatially_databricks_etl_spark.operators.profile import mutual_info
+
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    out = mutual_info(df, col_x="x", col_y="y").collect()
+    joint: dict[tuple[int, int], int] = {}
+    for x, y in pairs:
+        joint[(x, y)] = joint.get((x, y), 0) + 1
+    n = len(pairs)
+    nx: dict[int, int] = {}
+    ny: dict[int, int] = {}
+    for (x, y), c in joint.items():
+        nx[x] = nx.get(x, 0) + c
+        ny[y] = ny.get(y, 0) + c
+    for r in out:
+        x, y = int(r.x), int(r.y)
+        pmi = m.log(joint[(x, y)] * n / (nx[x] * ny[y]))
+        assert r.pmi_e6 == m.floor(pmi * 1e6 + 0.5), (x, y)
+        assert r.mi_contrib_e6 == m.floor(
+            (joint[(x, y)] / n) * pmi * 1e6 + 0.5
+        ), (x, y)
+    assert sum(r.mi_contrib_e6 for r in out) >= -len(out)
