@@ -169,6 +169,7 @@ EXTRA = [
     "repeated_spans",
     "attribution",
     "attribution_linear",
+    "kmeans_outliers",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5569,12 +5569,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(*, k: int, iters: int, dim: int) -> str:
-    """Unrolled Lloyd replay: c0 = basis init; per iteration, assign
-    by min (dist², cluster) and recompute e6-snapped per-dimension
-    means (empty clusters coalesce to the previous centroid); the
-    final SELECT aggregates sizes + e6 inertia under the last
-    centroids."""
+def _kmeans_lloyd_ctes(*, k: int, iters: int, dim: int) -> list[str]:
+    """Unrolled Lloyd replay, shared by the cluster-summary and the
+    outlier oracles: c0 = basis init; per iteration, assign by min
+    (dist², cluster) and recompute e6-snapped per-dimension means
+    (empty clusters coalesce to the previous centroid); ends at the
+    ``af`` CTE = final (vec_id, cluster, d) assignment."""
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
         f"dims AS (SELECT i FROM generate_series(1, {dim}) AS g(i)),",
@@ -5607,15 +5607,64 @@ def _kmeans_oracle_sql(*, k: int, iters: int, dim: int) -> str:
         " SELECT vec_id, cluster, d,"
         " row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn"
         " FROM df) WHERE rn = 1)",
-        "SELECT CAST(cluster AS BIGINT) AS cluster,"
-        " CAST(count(*) AS BIGINT) AS n_vecs,"
-        " CAST(floor(sum(d) * 1000000 + 0.5) AS BIGINT) AS inertia_e6"
-        " FROM af GROUP BY cluster",
     ]
-    return "\n".join(parts)
+    return parts
+
+
+def _kmeans_oracle_sql(*, k: int, iters: int, dim: int) -> str:
+    """Cluster-summary form: sizes + e6 inertia under the final
+    centroids (see :func:`_kmeans_lloyd_ctes`)."""
+    return "\n".join(
+        _kmeans_lloyd_ctes(k=k, iters=iters, dim=dim)
+        + [
+            "SELECT CAST(cluster AS BIGINT) AS cluster,"
+            " CAST(count(*) AS BIGINT) AS n_vecs,"
+            " CAST(floor(sum(d) * 1000000 + 0.5) AS BIGINT) AS inertia_e6"
+            " FROM af GROUP BY cluster",
+        ]
+    )
+
+
+def _kmeans_outliers_oracle_sql(*, k: int, iters: int, dim: int, top_k: int) -> str:
+    """Outlier form: per-cluster top-k FARTHEST members under the
+    final centroids, dist² e6-floored, ties to the lower vec_id."""
+    return "\n".join(
+        _kmeans_lloyd_ctes(k=k, iters=iters, dim=dim)
+        + [
+            ", ranked AS (SELECT vec_id, cluster, d,"
+            " row_number() OVER (PARTITION BY cluster"
+            " ORDER BY d DESC, vec_id ASC) AS rank"
+            " FROM af)"
+            " SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,"
+            " CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dist2_e6,"
+            " CAST(rank AS INTEGER) AS rank"
+            f" FROM ranked WHERE rank <= {top_k}",
+        ]
+    )
 
 
 SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(k=8, iters=2, dim=64)
+
+
+def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over the organic embeddings corpus: per-
+    cluster top-10 farthest vectors under the same pinned-init,
+    e6-snapped two-iteration Lloyd fit as :func:`q_kmeans_clusters` —
+    the fit, the assignment AND the outlier ranking are all value-
+    hashed cross-engine (the oracle extends the unrolled Lloyd replay
+    with the d-DESC/vec_id rank)."""
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        kmeans_fit,
+        kmeans_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(8)]
+    cents = kmeans_fit(emb, k=8, iters=2, init_centroids=init, quantize_e=6)
+    return kmeans_outliers(emb, cents, top_k=10)
+
+
+SQL_KMEANS_OUTLIERS = _kmeans_outliers_oracle_sql(k=8, iters=2, dim=64, top_k=10)
 
 
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6369,6 +6418,15 @@ WHERE f.rn = f.n
 #: (xxhash64 has no DuckDB analog and organic pairs occupy every
 #: Hamming bin 0-3, so no planted closed form exists for that corpus).
 #:
+#: Round-9 family additions (all at positions 51+, all oracled):
+#: pattern mining (assoc_rules, collocations), sequence analytics
+#: (event_transitions Markov matrix; attribution last/first/linear),
+#: dependence profiling (mutual_info, grouped_ols), data-contract
+#: audits (fd_violations, candidate_keys), span-granularity dedup
+#: (repeated_spans), anomaly triage (kmeans_outliers), plus the
+#: retrieval/drift/clustering batch (hybrid3_topk, ann_recall,
+#: drift_chi2, drift_wasserstein, kmeans_clusters).
+#:
 #: Oracle-strength note (what each kind of oracle proves): the
 #: PLANTED forms (ann_lsh_topk, ann_ivf_topk, embedding_neardup,
 #: simhash_neardup) verify end-to-end determinism and plumbing — any
@@ -6409,7 +6467,7 @@ QUERIES: dict[str, QueryFn] = {
     # drift_wasserstein, kmeans_clusters, assoc_rules,
     # event_transitions, mutual_info, grouped_ols, fd_violations,
     # collocations, candidate_keys, repeated_spans, attribution,
-    # attribution_linear.
+    # attribution_linear, kmeans_outliers.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6587,6 +6645,7 @@ QUERIES: dict[str, QueryFn] = {
     "repeated_spans": q_repeated_spans,
     "attribution": q_attribution,
     "attribution_linear": q_attribution_linear,
+    "kmeans_outliers": q_kmeans_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -6719,6 +6778,7 @@ ORACLES: dict[str, str] = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "attribution": SQL_ATTRIBUTION,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
+    "kmeans_outliers": SQL_KMEANS_OUTLIERS,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

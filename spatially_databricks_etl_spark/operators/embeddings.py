@@ -576,3 +576,48 @@ def kmeans_fit(
                     mean = [math.floor(x * scale + 0.5) / scale for x in mean]
                 cents[j] = mean
     return cents
+
+
+def kmeans_outliers(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """Centroid-distance anomaly detection: assign every vector to its
+    nearest centroid (:func:`kmeans_assign` — map-only, deterministic
+    tie rule) and surface the ``top_k`` FARTHEST members of each
+    cluster — the classic cluster-then-inspect outlier triage for
+    embedding corpora (mislabeled docs, encoding failures, off-topic
+    contamination land far from every centroid). Returns
+    (id, cluster, dist2_e6, rank) with rank 1 = farthest; ties on
+    distance break to the lower id, so the cut is total.
+
+    Scale shape: the assignment is zero-shuffle (centroid matrix rides
+    a literal); the per-cluster top-k is ONE window shuffle on the
+    cluster key feeding a rank filter — k·top_k output rows. With few
+    clusters the cluster key is coarse (k partitions carry the whole
+    corpus), which is the documented trade-off of per-cluster ranking;
+    for huge corpora raise k (finer cells = finer partitions) or
+    pre-filter by a dist2 floor before ranking.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist2").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.floor(F.col("dist2") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("dist2_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

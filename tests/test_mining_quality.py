@@ -421,3 +421,37 @@ def test_attribution_linear_hand(spark):
     assert out[("click", 1)].credit_e6 == 1000000
     # Total credit = 2 conversions exactly (e6 units).
     assert sum(r.credit_e6 for r in out.values()) == 2_000_000
+
+
+def test_kmeans_outliers_hand_case(spark):
+    from spatially_databricks_etl_spark.operators.embeddings import kmeans_outliers
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    rows = [
+        (1, [0.0, 1.0]),    # cluster 0, d=1
+        (2, [0.0, 2.0]),    # cluster 0, d=4  -> rank 1
+        (3, [0.0, 0.0]),    # cluster 0, d=0  -> cut at top_k=2
+        (4, [10.0, 11.0]),  # cluster 1, d=1  -> rank 1
+        (5, [10.0, 10.0]),  # cluster 1, d=0  -> rank 2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.cluster, r.rank): (r.vec_id, r.dist2_e6) for r in kmeans_outliers(
+        df, cents, top_k=2
+    ).collect()}
+    assert got == {
+        (0, 1): (2, 4_000_000),
+        (0, 2): (1, 1_000_000),
+        (1, 1): (4, 1_000_000),
+        (1, 2): (5, 0),
+    }
+
+
+def test_kmeans_outliers_distance_tie_breaks_to_lower_id(spark):
+    from spatially_databricks_etl_spark.operators.embeddings import kmeans_outliers
+
+    rows = [(7, [0.0, 3.0]), (2, [3.0, 0.0]), (9, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [(r.vec_id, r.rank) for r in kmeans_outliers(
+        df, [[0.0, 0.0]], top_k=3
+    ).orderBy("rank").collect()]
+    assert got == [(2, 1), (7, 2), (9, 3)]
