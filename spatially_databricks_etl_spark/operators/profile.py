@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -1118,4 +1118,128 @@ def grouped_ols(
         F.col("__n").cast("long").alias("n"),
         F.floor(slope * e6 + half).cast("long").alias("slope_e6"),
         F.floor(intercept * e6 + half).cast("long").alias("intercept_e6"),
+    )
+
+
+def _profile_batch_rows(
+    df: DataFrame, cols: dict[str, int], batch_id: str
+) -> DataFrame:
+    """One (col_name, …) row per profiled column for ONE ingest batch:
+    exact mergeable statistics only (counts, scaled-integer sum, min,
+    max) — everything a later merge can combine without rescanning."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c, dec in cols.items():
+        scaled = F.floor(
+            F.col(c).cast("double") * F.lit(float(10**dec)) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.sum(scaled).cast("decimal(38,0)").alias(f"__s_{c}"))
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    outs = [
+        row.select(
+            F.lit(c).alias("col_name"),
+            F.lit(int(dec)).cast("int").alias("decimals"),
+            F.lit(batch_id).alias("batch_id"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__s_{c}").alias("sum_scaled"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c, dec in cols.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def profile_write_store(
+    df: DataFrame, path: str, *, cols: dict[str, int], batch_id: str
+) -> None:
+    """Materialize an INCREMENTAL column-profile store: per-batch
+    exact sufficient statistics (row/nonnull counts, fixed-decimal
+    scaled-integer sum, min, max) persisted as parquet partitioned by
+    ``batch_id``, plus a JSON sidecar pinning the profiled columns and
+    their declared decimal precisions (the :func:`grouped_ols`
+    exact-moment contract). At 100 TB the profile pass over history is
+    paid ONCE at ingest; each new batch adds one batch-sized scan and
+    a ≤|cols|-row partition — reading the whole-corpus profile never
+    rescans raw data (:func:`profile_read_store` merges the tiny stats
+    frame). ``cols`` maps column → decimals (0 for integer-valued,
+    2 for money, …).
+    """
+    import json
+    import os
+
+    stats = _profile_batch_rows(df, cols, batch_id)
+    (
+        stats.repartition(1)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(path, "stats"))
+    )
+    meta_dir = os.path.join(path, "_profile_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "meta.json"), "w") as fh:
+        json.dump({"cols": {c: int(d) for c, d in cols.items()}}, fh)
+
+
+def profile_append_store(df: DataFrame, path: str, *, batch_id: str) -> None:
+    """Profile ONE new ingest batch into an existing store: replays
+    the column/decimal contract from the sidecar and overwrites ONLY
+    this batch's partition (dynamic partition overwrite → re-ingesting
+    the same batch id is idempotent, the drift-sink discipline).
+    Raw history is never rescanned."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_profile_meta", "meta.json")) as fh:
+        cols = {c: int(d) for c, d in json.load(fh)["cols"].items()}
+    stats = _profile_batch_rows(df, cols, batch_id)
+    (
+        stats.repartition(1)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(path, "stats"))
+    )
+
+
+def profile_read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-corpus profile from the persisted store WITHOUT touching
+    raw data: merge the per-batch exact statistics (counts and scaled
+    sums add; min/max fold) and derive the mean as ONE division of the
+    exact decimal sum — so the merged profile is bit-identical to a
+    from-scratch profile over the unioned raw batches (pytest-pinned
+    append ≡ rebuild). Returns (col_name, n_batches, n_rows,
+    n_nonnull, min_val, max_val, mean_e6)."""
+    import os
+
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    merged = stats.groupBy("col_name", "decimals").agg(
+        F.countDistinct("batch_id").cast("long").alias("n_batches"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_nonnull").cast("long").alias("n_nonnull"),
+        F.sum("sum_scaled").cast("decimal(38,0)").alias("__s"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    mean = (
+        F.col("__s").cast("double") / F.col("n_nonnull").cast("double")
+    ) / F.pow(F.lit(10.0), F.col("decimals").cast("double"))
+    return merged.select(
+        "col_name",
+        "n_batches",
+        "n_rows",
+        "n_nonnull",
+        "min_val",
+        "max_val",
+        F.when(
+            F.col("n_nonnull") > 0,
+            F.floor(mean * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        ).alias("mean_e6"),
     )

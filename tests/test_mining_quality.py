@@ -455,3 +455,63 @@ def test_kmeans_outliers_distance_tie_breaks_to_lower_id(spark):
         df, [[0.0, 0.0]], top_k=3
     ).orderBy("rank").collect()]
     assert got == [(2, 1), (7, 2), (9, 3)]
+
+
+def _store_rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(float(i), float(i) * 0.25) for i in range(lo, hi)]
+        + [(None, None)],  # nulls counted in n_rows, not n_nonnull
+        ["qty", "price"],
+    )
+
+
+def test_profile_store_append_equals_rebuild(spark, tmp_path):
+    from spatially_databricks_etl_spark.operators.profile import (
+        profile_append_store,
+        profile_read_store,
+        profile_write_store,
+    )
+
+    cols = {"qty": 0, "price": 2}
+    b1 = _store_rows(spark, 0, 50)
+    b2 = _store_rows(spark, 50, 80)
+
+    inc = str(tmp_path / "inc")
+    profile_write_store(b1, inc, cols=cols, batch_id="b1")
+    profile_append_store(b2, inc, batch_id="b2")
+
+    full = str(tmp_path / "full")
+    profile_write_store(b1.unionByName(b2), full, cols=cols, batch_id="all")
+
+    got = {r.col_name: r for r in profile_read_store(spark, inc).collect()}
+    want = {r.col_name: r for r in profile_read_store(spark, full).collect()}
+    assert got.keys() == want.keys() == {"qty", "price"}
+    for c in got:
+        g, w = got[c], want[c]
+        assert (g.n_rows, g.n_nonnull, g.min_val, g.max_val, g.mean_e6) == (
+            w.n_rows, w.n_nonnull, w.min_val, w.max_val, w.mean_e6
+        ), c
+    assert got["qty"].n_batches == 2 and want["qty"].n_batches == 1
+    # Hand check: qty mean over 0..79 = 39.5
+    assert got["qty"].mean_e6 == 39_500_000
+    assert got["qty"].n_rows == 82 and got["qty"].n_nonnull == 80
+
+
+def test_profile_store_reingest_is_idempotent(spark, tmp_path):
+    from spatially_databricks_etl_spark.operators.profile import (
+        profile_append_store,
+        profile_read_store,
+        profile_write_store,
+    )
+
+    path = str(tmp_path / "store")
+    profile_write_store(
+        _store_rows(spark, 0, 10), path, cols={"qty": 0}, batch_id="b1"
+    )
+    profile_append_store(_store_rows(spark, 10, 20), path, batch_id="b2")
+    before = {r.col_name: r for r in profile_read_store(spark, path).collect()}
+    # Replaying batch b2 (same id) must overwrite, not double-count.
+    profile_append_store(_store_rows(spark, 10, 20), path, batch_id="b2")
+    after = {r.col_name: r for r in profile_read_store(spark, path).collect()}
+    assert before["qty"].n_rows == after["qty"].n_rows == 22
+    assert before["qty"].mean_e6 == after["qty"].mean_e6 == 9_500_000
