@@ -519,3 +519,61 @@ def drift_monitor_sink_categorical(
         )
 
     return write
+
+
+def quality_monitor_sink(
+    path: str,
+    rules: "dict[str, Column]",
+    *,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` data-quality monitor: evaluate the declared
+    expectation rules (name → boolean Column, the
+    :mod:`operators.quality` contract — null results count as
+    failures) against every micro-batch and land ONE row PER RULE per
+    batch, (rule, n_violations, n_rows), through the idempotent
+    batch_id-partitioned writer — the streaming half of the quality
+    family, alongside the drift monitors: drift pages when the
+    DISTRIBUTION moves, this pages when declared ROW CONTRACTS start
+    failing (null keys, out-of-range amounts, malformed enums).
+
+    Clean rules still land a row (n_violations = 0) — a monitor that
+    goes silent when healthy is indistinguishable from a dead one, so
+    every batch writes the full |rules|-sized frame as its heartbeat.
+
+    Scale shape: ONE aggregate over the micro-batch computes the row
+    count and every rule's violation count as k+1 codegen'd
+    conditional sums (no explode, no join, no second scan); the
+    per-rule unpivot runs on the ONE-row aggregate frame. All outputs
+    exact longs. Replayed batches overwrite their own partition, so
+    recovery never double-counts a monitoring row (the
+    :func:`foreach_batch_writer` contract).
+    """
+    base = foreach_batch_writer(path, fmt)
+    names = list(rules)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i, name in enumerate(names):
+            aggs.append(
+                F.sum(
+                    F.when(F.coalesce(rules[name], F.lit(False)), 0).otherwise(1)
+                )
+                .cast("long")
+                .alias(f"__v_{i}")
+            )
+        row = batch_df.agg(*aggs)
+        outs = [
+            row.select(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+                F.col("__n").alias("n_rows"),
+            )
+            for i, name in enumerate(names)
+        ]
+        frame = outs[0]
+        for o in outs[1:]:
+            frame = frame.unionByName(o)
+        base(frame, batch_id)
+
+    return write

@@ -1094,3 +1094,62 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         ).collect()
     }
     assert (2, 20, None) in batch and (1, 10, 100) in batch
+
+
+def test_quality_monitor_sink_per_rule_rows_and_replay(spark, tmp_path):
+    """Streaming data-quality monitor: every micro-batch lands one row
+    PER RULE (including clean rules — the heartbeat contract) whose
+    counts equal a batch recompute over the same rows, and a replayed
+    batch overwrites its own partition leaving history unchanged."""
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        quality_monitor_sink,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("value", "event_type")
+    src = str(tmp_path / "qm_src")
+    sink = str(tmp_path / "qm_sink")
+    ev.repartition(3).write.parquet(src)
+
+    rules = {
+        "value_nonnull": F.col("value").isNotNull(),
+        "value_small": F.col("value") < F.lit(50.0),
+        "known_type": F.col("event_type").isin("click", "view", "purchase",
+                                               "signup", "error"),
+    }
+    seen: list[tuple[int, list]] = []
+    inner = quality_monitor_sink(sink, rules)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(seen) >= 2
+    # one row per rule per batch — clean rules included
+    assert len(rows) == 3 * len(seen)
+    got = {(r["__batch_id"], r["rule"]): (r["n_violations"], r["n_rows"]) for r in rows}
+    for bid, batch_rows in seen:
+        n = len(batch_rows)
+        want_nonnull = sum(1 for r in batch_rows if r["value"] is None)
+        want_small = sum(
+            1 for r in batch_rows if r["value"] is None or not r["value"] < 50.0
+        )
+        assert got[(bid, "value_nonnull")] == (want_nonnull, n)
+        assert got[(bid, "value_small")] == (want_small, n)
+        # the fixture's event_type enum is closed: clean-rule heartbeat
+        assert got[(bid, "known_type")] == (0, n)
+
+    # verbatim replay of the last batch: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    after = {
+        (r["__batch_id"], r["rule"]): (r["n_violations"], r["n_rows"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert after == got
