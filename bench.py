@@ -170,6 +170,7 @@ EXTRA = [
     "attribution",
     "attribution_linear",
     "kmeans_outliers",
+    "null_safe_join",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

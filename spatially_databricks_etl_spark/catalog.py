@@ -5646,6 +5646,47 @@ def _kmeans_outliers_oracle_sql(*, k: int, iters: int, dim: int, top_k: int) -> 
 SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(k=8, iters=2, dim=64)
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ↔ SQL ``IS NOT DISTINCT
+    FROM``): per-key event counts from the even/odd event-id halves,
+    joined on a key where 'error' is mapped to NULL — the NULL row's
+    PRESENCE in the output is exactly the semantics under test (a
+    plain equi-join drops it, because NULL = NULL is not true). Joins
+    run on the two ≤|event types|-row aggregate frames, so the shape
+    is a broadcast hash join with the null-safe comparator."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.when(F.col("event_type") == "error", None).otherwise(
+        F.col("event_type")
+    )
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_even"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_odd"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("key"), "n_even", "n_odd"
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+  FROM events),
+a AS (SELECT k, count(*) AS n_even FROM t WHERE event_id % 2 = 0 GROUP BY k),
+b AS (SELECT k, count(*) AS n_odd  FROM t WHERE event_id % 2 = 1 GROUP BY k)
+SELECT a.k AS key,
+       CAST(a.n_even AS BIGINT) AS n_even,
+       CAST(b.n_odd AS BIGINT) AS n_odd
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
 def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection over the organic embeddings corpus: per-
     cluster top-10 farthest vectors under the same pinned-init,
@@ -6467,7 +6508,7 @@ QUERIES: dict[str, QueryFn] = {
     # drift_wasserstein, kmeans_clusters, assoc_rules,
     # event_transitions, mutual_info, grouped_ols, fd_violations,
     # collocations, candidate_keys, repeated_spans, attribution,
-    # attribution_linear, kmeans_outliers.
+    # attribution_linear, kmeans_outliers, null_safe_join.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6646,6 +6687,7 @@ QUERIES: dict[str, QueryFn] = {
     "attribution": q_attribution,
     "attribution_linear": q_attribution_linear,
     "kmeans_outliers": q_kmeans_outliers,
+    "null_safe_join": q_null_safe_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -6779,6 +6821,7 @@ ORACLES: dict[str, str] = {
     "attribution": SQL_ATTRIBUTION,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "kmeans_outliers": SQL_KMEANS_OUTLIERS,
+    "null_safe_join": SQL_NULL_SAFE_JOIN,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,
