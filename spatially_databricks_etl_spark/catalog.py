@@ -5916,9 +5916,9 @@ def _fd_oracle_branch(lhs: str, rhs: str) -> str:
     return f"""
 SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
        CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_violating_groups,
-       CAST(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN rows_ ELSE 0 END), 0) AS BIGINT)
          AS n_violating_rows,
        CAST(max(nd) AS BIGINT) AS max_rhs_distinct
 FROM (

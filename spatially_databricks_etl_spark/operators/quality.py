@@ -99,10 +99,17 @@ def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
         outs.append(
             groups.agg(
                 F.count(F.lit(1)).cast("long").alias("n_groups"),
-                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                # coalesce: sum over ZERO groups (empty input) is SQL
+                # NULL, but "no violations" is the honest audit answer
+                F.coalesce(
+                    F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_violating_groups"),
-                F.sum(F.when(F.col("__nd") > 1, F.col("__rows")).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("__nd") > 1, F.col("__rows")).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_violating_rows"),
                 F.max("__nd").cast("long").alias("max_rhs_distinct"),

@@ -515,3 +515,63 @@ def test_profile_store_reingest_is_idempotent(spark, tmp_path):
     after = {r.col_name: r for r in profile_read_store(spark, path).collect()}
     assert before["qty"].n_rows == after["qty"].n_rows == 22
     assert before["qty"].mean_e6 == after["qty"].mean_e6 == 9_500_000
+
+
+def test_round9_operators_survive_empty_input(spark):
+    """Every round-9 operator must return an EMPTY (not crashed)
+    result on an empty input frame — the degenerate case a pipeline
+    hits on an empty ingest partition."""
+    from spatially_databricks_etl_spark.operators.curate import repeated_spans
+    from spatially_databricks_etl_spark.operators.embeddings import kmeans_outliers
+    from spatially_databricks_etl_spark.operators.mining import (
+        assoc_rules,
+        attribution,
+        attribution_linear,
+        collocations,
+        event_transitions,
+        frequent_pairs,
+    )
+    from spatially_databricks_etl_spark.operators.profile import (
+        grouped_ols,
+        mutual_info,
+    )
+    from spatially_databricks_etl_spark.operators.quality import (
+        candidate_keys,
+        fd_violations,
+    )
+
+    eb = spark.createDataFrame([], "basket string, item string")
+    assert frequent_pairs(eb, basket_col="basket", item_col="item").count() == 0
+    assert assoc_rules(eb, basket_col="basket", item_col="item").count() == 0
+
+    ee = spark.createDataFrame([], "u string, t long, id long, s string")
+    assert event_transitions(
+        ee, seq_col="u", state_col="s", order_cols=["t", "id"]
+    ).count() == 0
+    kw = dict(seq_col="u", type_col="s", order_cols=["t", "id"],
+              conversion_type="conv")
+    assert attribution(ee, model="last", **kw).count() == 0
+    assert attribution_linear(ee, **kw).count() == 0
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    assert collocations(ed, doc_col="doc_id", text_col="text").count() == 0
+    assert repeated_spans(ed, id_col="doc_id", text_col="text").count() == 0
+
+    ep = spark.createDataFrame([], "x string, y string")
+    assert mutual_info(ep, col_x="x", col_y="y").count() == 0
+
+    eo = spark.createDataFrame([], "g string, x double, y double")
+    assert grouped_ols(
+        eo, group_cols=["g"], x_col="x", y_col="y", x_decimals=0, y_decimals=0
+    ).count() == 0
+
+    ek = spark.createDataFrame([], "id long, v string")
+    # fd_violations / candidate_keys emit one summary row per FD/column
+    # even on empty input — counts all zero, is_unique_key vacuously true
+    fd = fd_violations(ek, fds=[("id", "v")]).collect()
+    assert len(fd) == 1 and fd[0].n_groups == 0 and fd[0].n_violating_groups == 0
+    ck = {r.col_name: r for r in candidate_keys(ek, ["id", "v"]).collect()}
+    assert ck["id"].n_rows == 0 and ck["id"].is_unique_key is True
+
+    ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_outliers(ev, [[0.0, 0.0]], top_k=3).count() == 0
