@@ -171,6 +171,8 @@ EXTRA = [
     "attribution_linear",
     "kmeans_outliers",
     "null_safe_join",
+    "token_diversity",
+    "column_entropy",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5687,6 +5687,73 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity audit of the documents corpus:
+    type-token ratio from exact token/distinct-token counts (the
+    templated-source detector). The oracle replays the whitespace
+    tokenization and both exact counts; TTR is one e6-floored
+    division."""
+    from spatially_databricks_etl_spark.operators.curate import token_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_diversity(
+        docs, group_col="source", id_col="doc_id", text_col="text"
+    )
+
+
+SQL_TOKEN_DIVERSITY = """
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+SELECT source AS group_key,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(floor(CAST(count(DISTINCT tok) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS ttr_e6
+FROM toks GROUP BY source
+"""
+
+
+def _entropy_oracle_branch(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(floor(sum(-(CAST(n_v AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(n_v AS DOUBLE) / CAST(n AS DOUBLE))
+                      ORDER BY v) * 1000000 + 0.5) AS BIGINT) AS entropy_e6,
+       CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS max_entropy_e6
+FROM (
+  WITH cnt AS (
+    SELECT CAST({col} AS VARCHAR) AS v, count(*) AS n_v
+    FROM documents WHERE {col} IS NOT NULL GROUP BY 1)
+  SELECT v, n_v, (SELECT sum(n_v) FROM cnt) AS n FROM cnt)
+"""
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the documents corpus's language and source
+    mixes — the distribution-skew one-number profile. H is a LEFT
+    FOLD over per-value contributions sorted by value (never a bare
+    float sum, whose partial order would differ between engines); the
+    oracle replays it with DuckDB's ordered aggregate, so the double
+    is bit-identical before the e6 floor."""
+    from spatially_databricks_etl_spark.operators.profile import column_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return column_entropy(docs, ["lang", "source"])
+
+
+SQL_COLUMN_ENTROPY = " UNION ALL ".join(
+    _entropy_oracle_branch(c) for c in ["lang", "source"]
+)
+
+
 def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection over the organic embeddings corpus: per-
     cluster top-10 farthest vectors under the same pinned-init,
@@ -6508,7 +6575,8 @@ QUERIES: dict[str, QueryFn] = {
     # drift_wasserstein, kmeans_clusters, assoc_rules,
     # event_transitions, mutual_info, grouped_ols, fd_violations,
     # collocations, candidate_keys, repeated_spans, attribution,
-    # attribution_linear, kmeans_outliers, null_safe_join.
+    # attribution_linear, kmeans_outliers, null_safe_join,
+    # token_diversity, column_entropy.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6688,6 +6756,8 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_linear": q_attribution_linear,
     "kmeans_outliers": q_kmeans_outliers,
     "null_safe_join": q_null_safe_join,
+    "token_diversity": q_token_diversity,
+    "column_entropy": q_column_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -6822,6 +6892,8 @@ ORACLES: dict[str, str] = {
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "kmeans_outliers": SQL_KMEANS_OUTLIERS,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
+    "token_diversity": SQL_TOKEN_DIVERSITY,
+    "column_entropy": SQL_COLUMN_ENTROPY,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -1190,3 +1190,53 @@ def repeated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def token_diversity(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group lexical diversity audit: documents, token count,
+    distinct-token count and the type-token ratio — the corpus-
+    composition check that flags templated/boilerplate/spammy sources
+    (a source whose million tokens use a few hundred types is
+    machine-generated or stamped from a template; healthy prose runs
+    far higher). Tokens are the lowercased whitespace split with
+    empties dropped (the repo's SQL-parity tokenization). Returns
+    (group_key, n_docs, n_tokens, n_distinct_tokens, ttr_e6) where
+    ttr_e6 = floor(distinct/tokens · 1e6 + 0.5) — exact longs plus
+    ONE e6-floored division.
+
+    Scale shape: one explode (map-side, no shuffle) feeding ONE hash
+    aggregate on the group key with an exact count(distinct token)
+    inside the shuffle (expand + two-phase agg); output is
+    |groups|-sized. A hot group is the standard count-distinct skew
+    case — Spark's partial aggregation absorbs it.
+    """
+    toks = df.filter(
+        F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__rid"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("__tok"),
+    )
+    out = toks.groupBy("__g").agg(
+        F.countDistinct("__rid").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("__tok").cast("long").alias("n_distinct_tokens"),
+    )
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return out.select(
+        F.col("__g").alias("group_key"),
+        "n_docs",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.floor(ttr * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("ttr_e6"),
+    )

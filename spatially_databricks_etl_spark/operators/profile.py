@@ -1243,3 +1243,86 @@ def profile_read_store(spark: SparkSession, path: str) -> DataFrame:
             F.floor(mean * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
         ).alias("mean_e6"),
     )
+
+
+def column_entropy(
+    df: DataFrame, cols: list[str], *, max_values: int = 100_000
+) -> DataFrame:
+    """Shannon entropy (nats) of each categorical column's value
+    distribution, from EXACT counts — the distribution-skew member of
+    the profiling family (`skew_profile` finds hot keys; entropy
+    summarizes the whole shape in one number: 0 = constant column,
+    ln(k) = uniform over k values). Per column:
+
+      H = Σ −(n_v/n)·ln(n_v/n)      over observed values v
+
+    Returns (col_name, n_rows, n_distinct, entropy_e6, max_entropy_e6)
+    where max_entropy = ln(n_distinct) — the pair normalizes to a
+    fill-ratio without hiding the raw value. Nulls are dropped (an
+    all-null column yields a zero row).
+
+    Cross-engine determinism: a bare float SUM of the per-value
+    contributions would be summation-ORDER-dependent, so H is a LEFT
+    FOLD over the contributions sorted by value (collect → array_sort
+    → aggregate) — any engine replays it with an ordered aggregate
+    (DuckDB ``sum(x ORDER BY v)``), making the double bit-identical
+    before the e6 floor. The collect runs on the ≤distinct-values
+    frame, guarded by ``max_values`` (the :func:`mutual_info`
+    fail-fast for id-typed columns).
+
+    Scale shape: per column, ONE groupBy(value) hash aggregate over
+    the data (map-side combine); the fold runs on the value-sized
+    frame. k columns = k aggregates over one shared scan.
+    """
+    outs = []
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_v"))
+        )
+        if counts.limit(max_values + 1).count() > max_values:
+            raise ValueError(
+                f"column_entropy: more than {max_values} distinct values in "
+                f"{c!r} — this profiler is for enum-like columns; raise "
+                "max_values explicitly if the cardinality is intended"
+            )
+        total = counts.agg(F.sum("__n_v").cast("long").alias("__n"))
+        p = F.col("__n_v").cast("double") / F.col("__n").cast("double")
+        contribs = F.array_sort(
+            F.collect_list(F.struct(F.col("__v"), (-p * F.log(p)).alias("__c")))
+        )
+        outs.append(
+            counts.crossJoin(F.broadcast(total))
+            .agg(
+                contribs.alias("__cs"),
+                F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            )
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                "n_distinct",
+                F.floor(
+                    F.aggregate(
+                        F.col("__cs"), F.lit(0.0), lambda acc, x: acc + x["__c"]
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("entropy_e6"),
+                F.when(
+                    F.col("n_distinct") > 0,
+                    F.floor(
+                        F.log(F.col("n_distinct").cast("double"))
+                        * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("max_entropy_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

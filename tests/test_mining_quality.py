@@ -575,3 +575,59 @@ def test_round9_operators_survive_empty_input(spark):
 
     ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans_outliers(ev, [[0.0, 0.0]], top_k=3).count() == 0
+
+
+def test_token_diversity_hand_case(spark):
+    from spatially_databricks_etl_spark.operators.curate import token_diversity
+
+    rows = [
+        ("s1", 1, "a b a"),      # 3 tokens, 2 distinct
+        ("s1", 2, "a  a"),       # 2 tokens (double space), 1 distinct
+        ("s2", 3, "x y z"),      # 3 tokens, 3 distinct
+        ("s2", 4, ""),           # zero tokens: not counted as a doc
+    ]
+    df = spark.createDataFrame(rows, ["src", "id", "text"])
+    out = {r.group_key: r for r in token_diversity(
+        df, group_col="src", id_col="id", text_col="text"
+    ).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_distinct_tokens) == (2, 5, 2)
+    assert s1.ttr_e6 == 400000
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_tokens, s2.n_distinct_tokens) == (1, 3, 3)
+    assert s2.ttr_e6 == 1000000
+
+
+def test_column_entropy_hand_cases(spark):
+    from spatially_databricks_etl_spark.operators.profile import column_entropy
+
+    rows = [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"),
+            ("a", None), ("a", "u")]
+    df = spark.createDataFrame(rows, ["c_const_ish", "c2"])
+    out = {r.col_name: r for r in column_entropy(
+        df, ["c_const_ish", "c2"]
+    ).collect()}
+    # c_const_ish: a=4, b=2, n=6
+    p_a, p_b = 4 / 6, 2 / 6
+    want = -(p_a) * math.log(p_a) + -(p_b) * math.log(p_b)
+    assert out["c_const_ish"].entropy_e6 == math.floor(want * 1e6 + 0.5)
+    assert out["c_const_ish"].n_rows == 6
+    assert out["c_const_ish"].max_entropy_e6 == math.floor(math.log(2) * 1e6 + 0.5)
+    # c2: nulls dropped -> u=3, v=2, n=5
+    assert out["c2"].n_rows == 5 and out["c2"].n_distinct == 2
+
+
+def test_column_entropy_constant_column_is_zero(spark):
+    from spatially_databricks_etl_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame([("k",)] * 7, ["c"])
+    r = column_entropy(df, ["c"]).collect()[0]
+    assert r.entropy_e6 == 0 and r.n_distinct == 1 and r.max_entropy_e6 == 0
+
+
+def test_column_entropy_max_values_guard(spark):
+    from spatially_databricks_etl_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["c"])
+    with pytest.raises(ValueError, match="more than 4"):
+        column_entropy(df, ["c"], max_values=4)

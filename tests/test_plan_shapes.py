@@ -126,6 +126,7 @@ def test_no_catalog_query_plans_a_smell(spark):
         "assoc_rules",
         "mutual_info",
         "collocations",
+        "column_entropy",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
