@@ -173,6 +173,7 @@ EXTRA = [
     "null_safe_join",
     "token_diversity",
     "column_entropy",
+    "weighted_quantiles",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5687,6 +5687,49 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity quantiles (p25/p50/p90): the exact
+    lower-bound weighted-quantile rule on integer arithmetic —
+    cumw·1000 ≥ q‰·W over decimal-scaled exact weights, so the cut is
+    bit-identical in any engine with no interpolation and no float
+    compare. The oracle replays the scaled weights, the cumulative
+    sum in value order and the same integer cut."""
+    from spatially_databricks_etl_spark.operators.profile import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li,
+        val_col="l_quantity",
+        weight_col="l_extendedprice",
+        qs_permille=[250, 500, 900],
+        weight_decimals=2,
+    )
+
+
+def _weighted_quantile_branch(q: int) -> str:
+    return f"""
+SELECT {q} AS q_permille, min(v) AS value FROM cum
+WHERE cw * 1000 >= {q} * W
+"""
+
+
+SQL_WEIGHTED_QUANTILES = (
+    """
+WITH b AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS HUGEINT)
+           AS w
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice > 0),
+c AS (SELECT v, sum(w) AS wv FROM b GROUP BY v),
+cum AS (
+  SELECT v, sum(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+         (SELECT sum(wv) FROM c) AS W
+  FROM c)
+"""
+    + " UNION ALL ".join(_weighted_quantile_branch(q) for q in [250, 500, 900])
+)
+
+
 def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical-diversity audit of the documents corpus:
     type-token ratio from exact token/distinct-token counts (the
@@ -6576,7 +6619,7 @@ QUERIES: dict[str, QueryFn] = {
     # event_transitions, mutual_info, grouped_ols, fd_violations,
     # collocations, candidate_keys, repeated_spans, attribution,
     # attribution_linear, kmeans_outliers, null_safe_join,
-    # token_diversity, column_entropy.
+    # token_diversity, column_entropy, weighted_quantiles.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6758,6 +6801,7 @@ QUERIES: dict[str, QueryFn] = {
     "null_safe_join": q_null_safe_join,
     "token_diversity": q_token_diversity,
     "column_entropy": q_column_entropy,
+    "weighted_quantiles": q_weighted_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -6894,6 +6938,7 @@ ORACLES: dict[str, str] = {
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "token_diversity": SQL_TOKEN_DIVERSITY,
     "column_entropy": SQL_COLUMN_ENTROPY,
+    "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -1326,3 +1326,82 @@ def column_entropy(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    *,
+    val_col: str,
+    weight_col: str,
+    qs_permille: list[int],
+    weight_decimals: int = 0,
+    max_values: int = 1_000_000,
+) -> DataFrame:
+    """EXACT weighted quantiles: the smallest value v whose cumulative
+    weight reaches q of the total — the profiling primitive behind
+    "the token-weighted median document length" or "the revenue-
+    weighted p90 order size", where unweighted quantiles mislead.
+    Quantiles are declared in PERMILLE (500 = median) so the cut rule
+
+      cumw · 1000 ≥ q_permille · W
+
+    is pure integer arithmetic on exact decimal(38,0) scaled weights
+    (``weight_decimals`` declares the weight column's fixed decimal
+    precision, the :func:`grouped_ols` contract) — no float compare,
+    no interpolation, bit-identical in any engine. Ties on the cut:
+    the lower-bound convention (first value reaching the mass).
+    Returns (q_permille, value) per requested quantile. Rows with
+    null or non-positive weight are dropped.
+
+    Scale shape: ONE groupBy(value) hash aggregate over the data
+    (map-side combine) compresses to the distinct-value frame
+    (``max_values``-guarded); the cumulative sum and the per-q picks
+    run on that frame (the single-partition window there is the
+    intended shape — same contract as drift_ks's cumsum). For
+    continuous high-cardinality columns, quantize the value column
+    first (the caller owns the bucketing rule).
+    """
+    if not qs_permille or any(not 0 < q <= 1000 for q in qs_permille):
+        raise ValueError("qs_permille must be within 1..1000")
+    scale = F.lit(float(10**weight_decimals))
+    w = F.floor(F.col(weight_col).cast("double") * scale + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    base = df.filter(
+        F.col(val_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(F.col(val_col).cast("double").alias("__v"), w.alias("__w"))
+    counts = base.groupBy("__v").agg(
+        F.sum("__w").cast("decimal(38,0)").alias("__wv")
+    )
+    if counts.limit(max_values + 1).count() > max_values:
+        raise ValueError(
+            f"weighted_quantiles: more than {max_values} distinct values in "
+            f"{val_col!r} — quantize the value column first, or raise "
+            "max_values explicitly"
+        )
+    from pyspark.sql.window import Window
+
+    cum = counts.withColumn(
+        "__cw",
+        F.sum("__wv")
+        .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,0)"),
+    )
+    total = counts.agg(F.sum("__wv").cast("decimal(38,0)").alias("__W"))
+    hit = cum.crossJoin(F.broadcast(total))
+    outs = []
+    for q in qs_permille:
+        outs.append(
+            hit.filter(
+                F.col("__cw") * F.lit(1000) >= F.lit(q) * F.col("__W")
+            )
+            .agg(F.min("__v").alias("value"))
+            .select(
+                F.lit(q).cast("int").alias("q_permille"),
+                "value",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

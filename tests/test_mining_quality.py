@@ -631,3 +631,38 @@ def test_column_entropy_max_values_guard(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["c"])
     with pytest.raises(ValueError, match="more than 4"):
         column_entropy(df, ["c"], max_values=4)
+
+
+def test_weighted_quantiles_hand_case(spark):
+    from spatially_databricks_etl_spark.operators.profile import weighted_quantiles
+
+    # values 1..4 with weights 1,1,2,6 (W=10):
+    #   cum: 1->1, 2->2, 3->4, 4->10
+    #   p25 (cum>=2.5) -> 3; p50 (cum>=5) -> 4; p10 (cum>=1) -> 1
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 6.0)]
+    df = spark.createDataFrame(rows, ["v", "w"])
+    got = {r.q_permille: r.value for r in weighted_quantiles(
+        df, val_col="v", weight_col="w", qs_permille=[100, 250, 500, 1000]
+    ).collect()}
+    assert got == {100: 1.0, 250: 3.0, 500: 4.0, 1000: 4.0}
+
+
+def test_weighted_quantiles_ignores_nonpositive_weights(spark):
+    from spatially_databricks_etl_spark.operators.profile import weighted_quantiles
+
+    rows = [(1.0, 0.0), (2.0, -5.0), (3.0, 1.0)]
+    df = spark.createDataFrame(rows, ["v", "w"])
+    got = weighted_quantiles(
+        df, val_col="v", weight_col="w", qs_permille=[500]
+    ).collect()
+    assert got[0].value == 3.0
+
+
+def test_weighted_quantiles_rejects_bad_q(spark):
+    from spatially_databricks_etl_spark.operators.profile import weighted_quantiles
+
+    df = spark.createDataFrame([(1.0, 1.0)], ["v", "w"])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, val_col="v", weight_col="w", qs_permille=[0])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, val_col="v", weight_col="w", qs_permille=[])

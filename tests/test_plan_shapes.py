@@ -127,6 +127,9 @@ def test_no_catalog_query_plans_a_smell(spark):
         "mutual_info",
         "collocations",
         "column_entropy",
+        # one-row total-weight frame via broadcast cross join — the
+        # accepted scalar-join pattern
+        "weighted_quantiles",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
