@@ -174,6 +174,7 @@ EXTRA = [
     "token_diversity",
     "column_entropy",
     "weighted_quantiles",
+    "gini_concentration",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5687,6 +5687,40 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: Gini coefficient of order totals
+    across customers, from exact decimal-scaled integer sums — the
+    numerator/denominator are exact integers and G is one IEEE
+    division before the e6 floor. The oracle replays the per-customer
+    totals, the (x, key) rank and the identical closed form."""
+    from spatially_databricks_etl_spark.operators.profile import gini_concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    return gini_concentration(
+        orders, group_col="o_custkey", value_col="o_totalprice", value_decimals=2
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH t AS (
+  SELECT o_custkey AS g,
+         sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS HUGEINT))
+           AS x
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC, g ASC) AS i FROM t),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(2 * i * x) AS s2ix, min(x) AS mn FROM r)
+SELECT CAST(n AS BIGINT) AS n_groups,
+       CAST(sx AS BIGINT) AS total_scaled,
+       CAST(floor(CASE WHEN n > 0 AND sx > 0 AND mn >= 0 THEN
+                    CAST(s2ix - (n + 1) * sx AS DOUBLE)
+                    / CAST(n * sx AS DOUBLE)
+                  END * 1000000 + 0.5) AS BIGINT) AS gini_e6
+FROM a
+"""
+
+
 def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-weighted quantity quantiles (p25/p50/p90): the exact
     lower-bound weighted-quantile rule on integer arithmetic —
@@ -6619,7 +6653,8 @@ QUERIES: dict[str, QueryFn] = {
     # event_transitions, mutual_info, grouped_ols, fd_violations,
     # collocations, candidate_keys, repeated_spans, attribution,
     # attribution_linear, kmeans_outliers, null_safe_join,
-    # token_diversity, column_entropy, weighted_quantiles.
+    # token_diversity, column_entropy, weighted_quantiles,
+    # gini_concentration.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6802,6 +6837,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_diversity": q_token_diversity,
     "column_entropy": q_column_entropy,
     "weighted_quantiles": q_weighted_quantiles,
+    "gini_concentration": q_gini_concentration,
 }
 
 ORACLES: dict[str, str] = {
@@ -6939,6 +6975,7 @@ ORACLES: dict[str, str] = {
     "token_diversity": SQL_TOKEN_DIVERSITY,
     "column_entropy": SQL_COLUMN_ENTROPY,
     "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
+    "gini_concentration": SQL_GINI_CONCENTRATION,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

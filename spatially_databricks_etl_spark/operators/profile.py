@@ -1405,3 +1405,80 @@ def weighted_quantiles(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    value_decimals: int = 0,
+) -> DataFrame:
+    """Gini coefficient of how concentrated a measure is across
+    groups — the inequality member of the profiling family
+    (``column_entropy`` scores a categorical MIX; this scores a
+    MEASURE's concentration: "do 1% of customers carry 90% of
+    revenue?", "does one source dominate token mass?"). Per-group
+    totals x₁ ≤ … ≤ xₙ (sorted ascending, group key as tiebreak):
+
+      G = Σᵢ (2i − n − 1)·xᵢ  /  (n · Σᵢ xᵢ)          ∈ [0, 1)
+
+    Returns ONE row (n_groups, total_scaled, gini_e6). The totals
+    accumulate as exact decimal(38,0) scaled integers
+    (``value_decimals`` — the :func:`grouped_ols` contract), the
+    numerator/denominator are exact integer sums/products, and G is
+    ONE IEEE division before the e6 floor — bit-identical anywhere.
+    The formula is permutation-invariant across equal totals, so the
+    tiebreak never changes the value, only makes the rank total.
+    Groups with negative totals are rejected (Gini is undefined).
+
+    Scale shape: ONE hash aggregate over the data to per-group totals
+    (map-side combine); the rank + two reductions run on the
+    |groups|-sized frame — the single-partition window there is the
+    intended shape (the weighted_quantiles cumsum contract). An
+    empty input yields (0, 0, null).
+    """
+    from pyspark.sql.window import Window
+
+    scale = F.lit(float(10**value_decimals))
+    xs = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    totals = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum(xs).cast("decimal(38,0)").alias("__x"))
+    )
+    w = Window.orderBy(F.col("__x").asc(), F.col("__g").asc())
+    ranked = totals.withColumn("__i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum("__x"), F.lit(0)).cast("decimal(38,0)").alias("__sx"),
+        F.coalesce(F.min("__x"), F.lit(0)).cast("decimal(38,0)").alias("__mn"),
+        F.coalesce(
+            F.sum(
+                (F.lit(2) * F.col("__i")).cast("decimal(38,0)") * F.col("__x")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__s2ix"),
+    )
+    # G = (Σ2i·x − (n+1)·Σx) / (n·Σx): both terms exact decimals, one
+    # double division. Negative totals make G meaningless — fail fast.
+    num = (
+        F.col("__s2ix")
+        - (F.col("n_groups") + F.lit(1)).cast("decimal(38,0)") * F.col("__sx")
+    ).cast("double")
+    den = (F.col("n_groups").cast("decimal(38,0)") * F.col("__sx")).cast("double")
+    gini = F.when(
+        (F.col("n_groups") > 0) & (F.col("__sx") > 0) & (F.col("__mn") >= 0),
+        num / den,
+    )
+    return agg.select(
+        "n_groups",
+        F.col("__sx").cast("long").alias("total_scaled"),
+        F.floor(gini * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("gini_e6"),
+    )

@@ -666,3 +666,46 @@ def test_weighted_quantiles_rejects_bad_q(spark):
         weighted_quantiles(df, val_col="v", weight_col="w", qs_permille=[0])
     with pytest.raises(ValueError):
         weighted_quantiles(df, val_col="v", weight_col="w", qs_permille=[])
+
+
+def test_gini_hand_cases(spark):
+    from spatially_databricks_etl_spark.operators.profile import gini_concentration
+
+    # Perfect equality: every group total 5 -> G = 0.
+    eq = spark.createDataFrame(
+        [(g, 5.0) for g in "abcd"], ["g", "v"]
+    )
+    r = gini_concentration(eq, group_col="g", value_col="v").collect()[0]
+    assert r.gini_e6 == 0 and r.n_groups == 4
+
+    # Total concentration in 1 of 4 groups: G = (n-1)/n = 0.75.
+    conc = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0), ("d", 8.0)], ["g", "v"]
+    )
+    r = gini_concentration(conc, group_col="g", value_col="v").collect()[0]
+    assert r.gini_e6 == 750000
+
+    # Known small case: totals [1, 3] -> G = (2*1*1 + 2*2*3 - 3*4)/(2*4)
+    #   = (2 + 12 - 12)/8 = 0.25
+    two = spark.createDataFrame([("a", 1.0), ("b", 3.0)], ["g", "v"])
+    r = gini_concentration(two, group_col="g", value_col="v").collect()[0]
+    assert r.gini_e6 == 250000
+
+    # Multi-row groups aggregate before ranking: a = 1+1, b = 2 -> G = 0.
+    multi = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0)], ["g", "v"]
+    )
+    r = gini_concentration(multi, group_col="g", value_col="v").collect()[0]
+    assert r.gini_e6 == 0
+
+
+def test_gini_empty_and_negative(spark):
+    from spatially_databricks_etl_spark.operators.profile import gini_concentration
+
+    empty = spark.createDataFrame([], "g string, v double")
+    r = gini_concentration(empty, group_col="g", value_col="v").collect()[0]
+    assert r.n_groups == 0 and r.gini_e6 is None
+
+    neg = spark.createDataFrame([("a", -1.0), ("b", 3.0)], ["g", "v"])
+    r = gini_concentration(neg, group_col="g", value_col="v").collect()[0]
+    assert r.gini_e6 is None  # undefined under negative totals
