@@ -175,6 +175,7 @@ EXTRA = [
     "column_entropy",
     "weighted_quantiles",
     "gini_concentration",
+    "benford_audit",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5687,6 +5687,55 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — which the SYNTHETIC
+    fixture prices fail loudly (uniform-ish leading digits), exactly
+    what the audit exists to flag. Digits come from the scaled
+    integer's STRING form (never float log10); the oracle replays the
+    digit extraction, the exact counts, and the pinned
+    ln((d+1)/d)/ln(10) expectation and chi-square arithmetic."""
+    from spatially_databricks_etl_spark.operators.quality import benford_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_audit(orders, value_col="o_totalprice", value_decimals=2)
+
+
+SQL_BENFORD_AUDIT = """
+WITH s AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS HUGEINT)
+           AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+d AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM s WHERE v > 0),
+c AS (SELECT digit, count(*) AS n_observed FROM d GROUP BY 1),
+t AS (SELECT sum(n_observed) AS n_total FROM c),
+g AS (SELECT CAST(gs.gd AS INTEGER) AS digit FROM generate_series(1, 9) gs(gd))
+SELECT g.digit,
+       CAST(coalesce(c.n_observed, 0) AS BIGINT) AS n_observed,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(floor(CAST(coalesce(c.n_observed, 0) AS DOUBLE)
+                  / CAST(t.n_total AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS p_obs_e6,
+       CAST(floor(ln((CAST(g.digit AS DOUBLE) + 1.0) / CAST(g.digit AS DOUBLE))
+                  / ln(10.0) * 1000000 + 0.5) AS BIGINT) AS p_benford_e6,
+       CAST(floor(
+         (CAST(coalesce(c.n_observed, 0) AS DOUBLE)
+           - CAST(t.n_total AS DOUBLE)
+             * (ln((CAST(g.digit AS DOUBLE) + 1.0) / CAST(g.digit AS DOUBLE))
+                / ln(10.0)))
+         * (CAST(coalesce(c.n_observed, 0) AS DOUBLE)
+           - CAST(t.n_total AS DOUBLE)
+             * (ln((CAST(g.digit AS DOUBLE) + 1.0) / CAST(g.digit AS DOUBLE))
+                / ln(10.0)))
+         / (CAST(t.n_total AS DOUBLE)
+            * (ln((CAST(g.digit AS DOUBLE) + 1.0) / CAST(g.digit AS DOUBLE))
+               / ln(10.0)))
+         * 1000000 + 0.5) AS BIGINT) AS chi2_contrib_e6
+FROM g LEFT JOIN c ON c.digit = g.digit CROSS JOIN t
+"""
+
+
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration audit: Gini coefficient of order totals
     across customers, from exact decimal-scaled integer sums — the
@@ -6654,7 +6703,7 @@ QUERIES: dict[str, QueryFn] = {
     # collocations, candidate_keys, repeated_spans, attribution,
     # attribution_linear, kmeans_outliers, null_safe_join,
     # token_diversity, column_entropy, weighted_quantiles,
-    # gini_concentration.
+    # gini_concentration, benford_audit.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6838,6 +6887,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_entropy": q_column_entropy,
     "weighted_quantiles": q_weighted_quantiles,
     "gini_concentration": q_gini_concentration,
+    "benford_audit": q_benford_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -6976,6 +7026,7 @@ ORACLES: dict[str, str] = {
     "column_entropy": SQL_COLUMN_ENTROPY,
     "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
     "gini_concentration": SQL_GINI_CONCENTRATION,
+    "benford_audit": SQL_BENFORD_AUDIT,
     "q4_order_priority": SQL_Q4,
     "q13_customer_distribution": SQL_Q13,
     "q14_promo_revenue": SQL_Q14,

@@ -171,3 +171,80 @@ def candidate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def benford_audit(
+    df: DataFrame, *, value_col: str, value_decimals: int = 0
+) -> DataFrame:
+    """Benford's-law first-digit audit: compare the leading-digit
+    distribution of a positive measure against the Benford expectation
+    P(d) = log10(1 + 1/d) — the classic fabricated/synthetic-data
+    screen for naturally-spanning quantities (amounts, populations,
+    counts). Per digit d ∈ 1..9:
+
+      (digit, n_observed, n_total, p_obs_e6, p_benford_e6,
+       chi2_contrib_e6)
+
+    with chi2_contrib = (n_d − n·P(d))² / (n·P(d)) — large totals mean
+    even small deviations are significant, which is the intended
+    reading. Digits with zero observations still emit a row (their
+    contribution is n·P(d), the full missing mass).
+
+    Determinism: the value scales to an exact decimal(38,0) integer
+    (``value_decimals``, the :func:`fd_violations` family's contract)
+    and the leading digit comes from the INTEGER's string form — never
+    from float log10, whose exactness at powers of ten is a
+    per-libm gamble. Expected probabilities are ln((d+1)/d)/ln(10)
+    in a pinned op order; every emitted double is one or two libm
+    calls plus IEEE arithmetic away from exact longs, e6-floored.
+
+    Scale shape: ONE groupBy(digit) hash aggregate over the data
+    (map-side combine, ≤9 groups); the expectation join rides a
+    9-row literal frame and the total a one-row broadcast.
+    """
+    scale = F.lit(float(10**value_decimals))
+    scaled = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    digits = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(scaled.alias("__s"))
+        .filter(F.col("__s") > 0)
+        .select(
+            F.substring(F.col("__s").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed")
+    )
+    spark = df.sparkSession
+    all_digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = counts.agg(
+        F.coalesce(F.sum("n_observed"), F.lit(0)).cast("long").alias("n_total")
+    )
+    out = (
+        all_digits.join(counts, "digit", "left")
+        .withColumn("n_observed", F.coalesce(F.col("n_observed"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    d = F.col("digit").cast("double")
+    p_ben = F.log((d + F.lit(1.0)) / d) / F.log(F.lit(10.0))
+    n = F.col("n_total").cast("double")
+    p_obs = F.col("n_observed").cast("double") / n
+    expected = n * p_ben
+    diff = F.col("n_observed").cast("double") - expected
+    chi2 = (diff * diff) / expected
+    e6 = F.lit(1000000.0)
+    half = F.lit(0.5)
+    return out.select(
+        "digit",
+        "n_observed",
+        "n_total",
+        F.when(F.col("n_total") > 0, F.floor(p_obs * e6 + half).cast("long"))
+        .alias("p_obs_e6"),
+        F.floor(p_ben * e6 + half).cast("long").alias("p_benford_e6"),
+        F.when(F.col("n_total") > 0, F.floor(chi2 * e6 + half).cast("long"))
+        .alias("chi2_contrib_e6"),
+    )

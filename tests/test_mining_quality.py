@@ -709,3 +709,38 @@ def test_gini_empty_and_negative(spark):
     neg = spark.createDataFrame([("a", -1.0), ("b", 3.0)], ["g", "v"])
     r = gini_concentration(neg, group_col="g", value_col="v").collect()[0]
     assert r.gini_e6 is None  # undefined under negative totals
+
+
+def test_benford_audit_hand_case(spark):
+    from spatially_databricks_etl_spark.operators.quality import benford_audit
+
+    # Values with known first digits: 1xx ×3, 2x ×1, 9.x ×1 (digit 9),
+    # 0 and negative and null dropped.
+    rows = [(100.0,), (150.0,), (199.0,), (25.0,), (9.5,),
+            (0.0,), (-3.0,), (None,)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = {r.digit: r for r in benford_audit(
+        df, value_col="v", value_decimals=1
+    ).collect()}
+    assert len(out) == 9  # every digit emits a row
+    assert out[1].n_observed == 3 and out[1].n_total == 5
+    assert out[2].n_observed == 1
+    assert out[9].n_observed == 1
+    assert out[5].n_observed == 0  # zero-count digit still present
+    # p_benford for digit 1 = log10(2)
+    assert out[1].p_benford_e6 == math.floor(math.log10(2) * 1e6 + 0.5)
+    # chi2 contribution replay for digit 1
+    p1 = math.log(2.0 / 1.0) / math.log(10.0)
+    exp1 = 5 * p1
+    want = (3 - exp1) ** 2 / exp1
+    assert out[1].chi2_contrib_e6 == math.floor(want * 1e6 + 0.5)
+
+
+def test_benford_audit_empty_input(spark):
+    from spatially_databricks_etl_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame([], "v double")
+    out = benford_audit(df, value_col="v").collect()
+    assert len(out) == 9
+    assert all(r.n_observed == 0 and r.n_total == 0 for r in out)
+    assert all(r.p_obs_e6 is None and r.chi2_contrib_e6 is None for r in out)

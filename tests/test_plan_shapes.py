@@ -130,6 +130,9 @@ def test_no_catalog_query_plans_a_smell(spark):
         # one-row total-weight frame via broadcast cross join — the
         # accepted scalar-join pattern
         "weighted_quantiles",
+        # one-row total frame onto the 9-digit literal axis — same
+        # scalar-join pattern
+        "benford_audit",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
