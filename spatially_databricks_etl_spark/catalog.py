@@ -5987,7 +5987,8 @@ WITH s AS (
          lag(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
-  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
 m AS (
   SELECT prev AS prev_state, event_type AS next_state, count(*) AS n
   FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
@@ -6142,7 +6143,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatially_databricks_etl_spark.operators.mining import collocations
 
     docs = _t(spark, sf_dir, "documents")
-    return collocations(docs, doc_col="doc_id", text_col="text", min_pair_count=5)
+    return collocations(docs, text_col="text", min_pair_count=5)
 
 
 SQL_COLLOCATIONS = """
@@ -6275,7 +6276,8 @@ WITH base AS (
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS c
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
 convs AS (SELECT user_id, c AS seg FROM base WHERE event_type = 'purchase'),
 touches AS (
   SELECT user_id, event_type, ts, event_id, c + 1 AS seg
@@ -6324,7 +6326,8 @@ WITH base AS (
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS c
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL),
 convs AS (SELECT user_id, c AS seg FROM base WHERE event_type = 'purchase'),
 touches AS (
   SELECT user_id, event_type, c + 1 AS seg

@@ -37,6 +37,88 @@ __all__ = [
 ]
 
 
+def _basket_items(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int,
+    max_basket_size: int | None,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Shared basket-prep stage for :func:`frequent_pairs` and
+    :func:`assoc_rules`: distinct non-null (basket, item) pairs, the
+    optional degenerate-basket size cap, then the a-priori item-count
+    prune. Returns ``(items, item_counts, totals)`` where ``items`` is
+    the pruned (__basket, __item) frame, ``item_counts`` the
+    (__item, __icnt) counts of SURVIVING items, and ``totals`` a lazy
+    one-row (__nb) basket-universe count taken AFTER the size cap but
+    BEFORE item pruning — dropping an infrequent item must not shrink
+    the denominator of every lift (unused frames cost nothing).
+    """
+    items = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .filter(F.col("__basket").isNotNull() & F.col("__item").isNotNull())
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = items.groupBy("__basket").agg(
+            F.count(F.lit(1)).alias("__bsize")
+        )
+        items = items.join(
+            sizes.filter(F.col("__bsize") <= max_basket_size).select("__basket"),
+            "__basket",
+        )
+    totals = items.select("__basket").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    item_counts = items.groupBy("__item").agg(
+        F.count(F.lit(1)).cast("long").alias("__icnt")
+    )
+    if min_item_count > 1:
+        item_counts = item_counts.filter(F.col("__icnt") >= min_item_count)
+        items = items.join(item_counts.select("__item"), "__item", "semi")
+    return items, item_counts, totals
+
+
+def _order_cols_not_null(order_cols: "list[str]"):
+    """Conjunction requiring every sequence-order column to be
+    non-null: Spark windows sort ASC NULLS FIRST while ANSI engines
+    default NULLS LAST, so a null order key would place an event at a
+    different sequence position per engine. Every sequence operator
+    in this module excludes such rows up front."""
+    cond = F.lit(True)
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
+def _pair_counts(
+    items: DataFrame, *, min_pair_count: int, count_alias: str
+) -> DataFrame:
+    """Shared pair stage: ONE self-equi-join on the basket key
+    (per-basket quadratic, bounded by basket size after the
+    :func:`_basket_items` guards) then a pair hash-agg, filtered to
+    ``count_alias >= min_pair_count``."""
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__basket") == F.col("b.__basket"))
+            & (F.col("a.__item") < F.col("b.__item")),
+        )
+        .groupBy(
+            F.col("a.__item").alias("item_a"),
+            F.col("b.__item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias(count_alias))
+        .filter(F.col(count_alias) >= min_pair_count)
+    )
+
+
 def frequent_pairs(
     df: DataFrame,
     *,
@@ -67,47 +149,16 @@ def frequent_pairs(
     by basket size), one pair hash-agg. No cross joins, no
     driver-side data collects.
     """
-    items = (
-        df.select(
-            F.col(basket_col).alias("__basket"),
-            F.col(item_col).alias("__item"),
-        )
-        .filter(F.col("__basket").isNotNull() & F.col("__item").isNotNull())
-        .distinct()
+    items, _, _ = _basket_items(
+        df,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
     )
-    if max_basket_size is not None:
-        sizes = items.groupBy("__basket").agg(
-            F.count(F.lit(1)).alias("__bsize")
-        )
-        items = items.join(
-            sizes.filter(F.col("__bsize") <= max_basket_size).select("__basket"),
-            "__basket",
-        )
-    if min_item_count > 1:
-        frequent = items.groupBy("__item").agg(
-            F.count(F.lit(1)).alias("__icnt")
-        )
-        items = items.join(
-            frequent.filter(F.col("__icnt") >= min_item_count).select("__item"),
-            "__item",
-            "semi",
-        )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.__basket") == F.col("b.__basket"))
-            & (F.col("a.__item") < F.col("b.__item")),
-        )
-        .groupBy(
-            F.col("a.__item").alias("item_a"),
-            F.col("b.__item").alias("item_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
-        .filter(F.col("pair_n") >= min_pair_count)
+    return _pair_counts(
+        items, min_pair_count=min_pair_count, count_alias="pair_n"
     )
-    return pairs
 
 
 def assoc_rules(
@@ -138,52 +189,21 @@ def assoc_rules(
     n_consequent, conf_e6, lift_e6).
 
     Scale shape: :func:`frequent_pairs` plus two equi-joins against
-    the item-count frame and a one-row broadcast of the basket total.
+    the item-count frame and a one-row broadcast of the basket total
+    (the :func:`_basket_items` / :func:`_pair_counts` stages are
+    shared with :func:`frequent_pairs`, so the two cannot drift).
     The n_baskets total counts baskets SURVIVING the guards (size
     cap), so every ratio is internally consistent.
     """
-    items = (
-        df.select(
-            F.col(basket_col).alias("__basket"),
-            F.col(item_col).alias("__item"),
-        )
-        .filter(F.col("__basket").isNotNull() & F.col("__item").isNotNull())
-        .distinct()
+    items, item_counts, totals = _basket_items(
+        df,
+        basket_col=basket_col,
+        item_col=item_col,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
     )
-    if max_basket_size is not None:
-        sizes = items.groupBy("__basket").agg(
-            F.count(F.lit(1)).alias("__bsize")
-        )
-        items = items.join(
-            sizes.filter(F.col("__bsize") <= max_basket_size).select("__basket"),
-            "__basket",
-        )
-    # n_baskets is the size of the basket UNIVERSE after the skew
-    # guard but BEFORE a-priori item pruning: dropping an infrequent
-    # item must not shrink the denominator of every lift.
-    totals = items.select("__basket").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__nb")
-    )
-    item_counts = items.groupBy("__item").agg(
-        F.count(F.lit(1)).cast("long").alias("__icnt")
-    )
-    if min_item_count > 1:
-        item_counts = item_counts.filter(F.col("__icnt") >= min_item_count)
-        items = items.join(item_counts.select("__item"), "__item", "semi")
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.__basket") == F.col("b.__basket"))
-            & (F.col("a.__item") < F.col("b.__item")),
-        )
-        .groupBy(
-            F.col("a.__item").alias("item_a"),
-            F.col("b.__item").alias("item_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("support_n"))
-        .filter(F.col("support_n") >= min_pair_count)
+    pairs = _pair_counts(
+        items, min_pair_count=min_pair_count, count_alias="support_n"
     )
     # Both rule directions from one pair row, then resolve the two
     # item counts by equi-join (the item-count frame is
@@ -263,7 +283,13 @@ def event_transitions(
             F.col(state_col).alias("__state"),
             *[F.col(c) for c in order_cols],
         )
-        .filter(F.col("__seq").isNotNull() & F.col("__state").isNotNull())
+        .filter(
+            F.col("__seq").isNotNull() & F.col("__state").isNotNull()
+        )
+        # a null order key has no defined position in the sequence
+        # (Spark sorts NULLS FIRST, DuckDB NULLS LAST — either choice
+        # silently diverges cross-engine), so such rows are excluded.
+        .filter(_order_cols_not_null(order_cols))
         .withColumn("__prev", F.lag("__state").over(w))
         .filter(F.col("__prev").isNotNull())
     )
@@ -287,7 +313,6 @@ def event_transitions(
 def collocations(
     df: DataFrame,
     *,
-    doc_col: str,
     text_col: str,
     min_pair_count: int = 5,
 ) -> DataFrame:
@@ -295,9 +320,10 @@ def collocations(
     pointwise mutual information (Church & Hanks, Computational
     Linguistics 1990) — the phrase-discovery member of the text
     family ("new york", "machine learning" score high because they
-    co-occur far more than their unigram frequencies predict). Tokens
-    are the lowercased text split on single spaces with empties
-    dropped; for each bigram surviving ``min_pair_count``:
+    co-occur far more than their unigram frequencies predict). Each
+    ROW of ``text_col`` is the document boundary — bigrams never span
+    rows. Tokens are the lowercased text split on single spaces with
+    empties dropped; for each bigram surviving ``min_pair_count``:
 
       pmi = ln( n_pair · N  /  (n_w1 · n_w2) )     N = total tokens
 
@@ -407,6 +433,7 @@ def attribution(
             *[F.col(c) for c in order_cols],
         )
         .filter(F.col("__seq").isNotNull() & F.col("__type").isNotNull())
+        .filter(_order_cols_not_null(order_cols))
         .withColumn(
             "__c",
             F.sum((F.col("__type") == conversion_type).cast("long")).over(w),
@@ -464,6 +491,7 @@ def attribution_linear(
             *[F.col(c) for c in order_cols],
         )
         .filter(F.col("__seq").isNotNull() & F.col("__type").isNotNull())
+        .filter(_order_cols_not_null(order_cols))
         .withColumn(
             "__c",
             F.sum((F.col("__type") == conversion_type).cast("long")).over(w),

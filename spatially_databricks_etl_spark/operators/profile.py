@@ -1170,6 +1170,13 @@ def profile_write_store(
     rescans raw data (:func:`profile_read_store` merges the tiny stats
     frame). ``cols`` maps column → decimals (0 for integer-valued,
     2 for money, …).
+
+    This is the CREATE operation: a STATIC overwrite that truncates
+    any stats directory already at ``path``, so re-creating over an
+    old store can never mix stale batch partitions or a changed
+    cols/decimals contract into later merges. Incremental ingest goes
+    through :func:`profile_append_store`, which alone uses dynamic
+    partition overwrite.
     """
     import json
     import os
@@ -1177,8 +1184,7 @@ def profile_write_store(
     stats = _profile_batch_rows(df, cols, batch_id)
     (
         stats.repartition(1)
-        .write.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
+        .write.mode("overwrite")
         .partitionBy("batch_id")
         .parquet(os.path.join(path, "stats"))
     )

@@ -555,9 +555,16 @@ def quality_monitor_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
         for i, name in enumerate(names):
+            # coalesce the SUM too: an empty micro-batch sums zero rows
+            # to NULL, and the heartbeat contract is n_violations = 0.
             aggs.append(
-                F.sum(
-                    F.when(F.coalesce(rules[name], F.lit(False)), 0).otherwise(1)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.coalesce(rules[name], F.lit(False)), 0
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__v_{i}")

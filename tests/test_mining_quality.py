@@ -270,7 +270,7 @@ def test_collocations_hand_pmi(spark):
     from spatially_databricks_etl_spark.operators.mining import collocations
 
     out = {(r.w1, r.w2): r for r in collocations(
-        df, doc_col="doc_id", text_col="text", min_pair_count=1
+        df, text_col="text", min_pair_count=1
     ).collect()}
     ab = out[("a", "b")]
     assert ab.n_pair == 3 and ab.n_w1 == 4 and ab.n_w2 == 3
@@ -287,7 +287,7 @@ def test_collocations_lowercases_and_drops_empty_tokens(spark):
     )
     from spatially_databricks_etl_spark.operators.mining import collocations
 
-    out = collocations(df, doc_col="doc_id", text_col="text", min_pair_count=1)
+    out = collocations(df, text_col="text", min_pair_count=1)
     rows = out.collect()
     assert len(rows) == 1
     assert (rows[0].w1, rows[0].w2, rows[0].n_pair) == ("a", "b", 2)
@@ -301,7 +301,7 @@ def test_collocations_no_cross_document_bigrams(spark):
     from spatially_databricks_etl_spark.operators.mining import collocations
 
     got = {(r.w1, r.w2) for r in collocations(
-        df, doc_col="doc_id", text_col="text", min_pair_count=1
+        df, text_col="text", min_pair_count=1
     ).collect()}
     assert got == {("x", "y"), ("z", "w")}
 
@@ -517,6 +517,34 @@ def test_profile_store_reingest_is_idempotent(spark, tmp_path):
     assert before["qty"].mean_e6 == after["qty"].mean_e6 == 9_500_000
 
 
+def test_profile_store_recreate_truncates_stale_batches(spark, tmp_path):
+    """profile_write_store is CREATE semantics: re-creating over an
+    existing store truncates stale batch partitions (and any old
+    cols/decimals contract) instead of silently merging them."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        profile_append_store,
+        profile_read_store,
+        profile_write_store,
+    )
+
+    path = str(tmp_path / "store")
+    profile_write_store(
+        _store_rows(spark, 0, 10), path, cols={"qty": 0, "price": 2},
+        batch_id="old1",
+    )
+    profile_append_store(_store_rows(spark, 10, 20), path, batch_id="old2")
+    # Re-create with a NARROWER contract and a fresh batch id: the
+    # old1/old2 partitions (and the price column) must be gone.
+    profile_write_store(
+        _store_rows(spark, 100, 110), path, cols={"qty": 0}, batch_id="b1"
+    )
+    got = {r.col_name: r for r in profile_read_store(spark, path).collect()}
+    assert set(got) == {"qty"}
+    assert got["qty"].n_batches == 1
+    assert got["qty"].n_rows == 11 and got["qty"].n_nonnull == 10
+    assert got["qty"].mean_e6 == 104_500_000
+
+
 def test_round9_operators_survive_empty_input(spark):
     """Every round-9 operator must return an EMPTY (not crashed)
     result on an empty input frame — the degenerate case a pipeline
@@ -554,7 +582,7 @@ def test_round9_operators_survive_empty_input(spark):
     assert attribution_linear(ee, **kw).count() == 0
 
     ed = spark.createDataFrame([], "doc_id long, text string")
-    assert collocations(ed, doc_col="doc_id", text_col="text").count() == 0
+    assert collocations(ed, text_col="text").count() == 0
     assert repeated_spans(ed, id_col="doc_id", text_col="text").count() == 0
 
     ep = spark.createDataFrame([], "x string, y string")

@@ -1153,3 +1153,14 @@ def test_quality_monitor_sink_per_rule_rows_and_replay(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert after == got
+
+    # an EMPTY micro-batch still heartbeats (rule, 0, 0) — a NULL sum
+    # over zero rows must coalesce to the documented n_violations = 0
+    empty_bid = max(b for b, _ in seen) + 1
+    inner(spark.createDataFrame([], schema=ev.schema), empty_bid)
+    empty_rows = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in spark.read.parquet(sink).collect()
+        if r["__batch_id"] == empty_bid
+    }
+    assert empty_rows == {name: (0, 0) for name in rules}
