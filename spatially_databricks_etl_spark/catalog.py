@@ -6699,14 +6699,29 @@ QUERIES: dict[str, QueryFn] = {
     # family is now represented by its canonical quantile forms;
     # bm25_topk → hybrid_topk composes the full BM25 pipeline plus the
     # cosine retriever and the RRF fusion on top).
-    # Round-10 rotation candidates (judge-attested in r9 once the
-    # diffcheck sweep lands): hybrid3_topk, ann_recall, drift_chi2,
-    # drift_wasserstein, kmeans_clusters, assoc_rules,
-    # event_transitions, mutual_info, grouped_ols, fd_violations,
-    # collocations, candidate_keys, repeated_spans, attribution,
-    # attribution_linear, kmeans_outliers, null_safe_join,
-    # token_diversity, column_entropy, weighted_quantiles,
-    # gini_concentration, benford_audit.
+    # Round-10 rotation (VERDICT r9 item 1): ten round-9 operators
+    # judge-attested at sf0.001/sf0.01-vanilla/sf0.1 move INTO the
+    # prefix (hybrid3_topk, ann_recall, drift_chi2, drift_wasserstein,
+    # kmeans_clusters, assoc_rules, attribution, weighted_quantiles,
+    # gini_concentration, fd_violations — the family representatives
+    # from the verdict's list); ten same-family twins already
+    # driver-attested in earlier rounds move to 51+ and remain fully
+    # oracled (hybrid_topk → hybrid3_topk composes the same two
+    # retrievers plus a third and the weighted fusion; ann_pq_topk →
+    # ann_recall grades the live IVF path end-to-end;
+    # drift_psi_quantile + drift_ks → the drift family rotates to its
+    # chi2/Wasserstein members; semdedup → kmeans_clusters keeps an
+    # embedding-clustering row; sessionize → attribution is the same
+    # segment-window shape; column_profile → weighted_quantiles +
+    # gini_concentration are the exact-integer profiling forms;
+    # expectations → fd_violations is the data-contract audit;
+    # udtf_tokens + grouped_map_zscore → the Arrow-UDF family keeps
+    # pandas_sigmoid + udaf_weighted_mean in the prefix). Remaining
+    # round-9 judge-attested candidates for a later rotation:
+    # event_transitions, mutual_info, grouped_ols, collocations,
+    # candidate_keys, repeated_spans, attribution_linear,
+    # kmeans_outliers, null_safe_join, token_diversity,
+    # column_entropy, benford_audit.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -6719,44 +6734,45 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
-    "column_profile": q_column_profile,
-    "drift_psi_quantile": q_drift_psi_quantile,
-    "drift_ks": q_drift_ks,
+    "weighted_quantiles": q_weighted_quantiles,
+    "gini_concentration": q_gini_concentration,
+    "drift_chi2": q_drift_chi2,
+    "drift_wasserstein": q_drift_wasserstein,
     # -- sketches / sampling ----------------------------------------------
     "heavy_hitters": q_heavy_hitters,
     "sample_mixture": q_sample_mixture,
-    # -- data-quality expectations ---------------------------------------
-    "expectations": q_expectations,
+    # -- data-quality / contract audits -----------------------------------
+    "fd_violations": q_fd_violations,
     # -- window / set ops ------------------------------------------------
     "window_topk": q_window_topk,
     "union_by_name": q_union_by_name,
     # -- time-series / sequence ------------------------------------------
     "resample_interpolate": q_resample_interpolate,
     "scd2": q_scd2,
-    "sessionize": q_sessionize,
+    "attribution": q_attribution,
+    # -- pattern mining ---------------------------------------------------
+    "assoc_rules": q_assoc_rules,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
     "range_bin_join": q_range_bin_join,
-    # -- pandas UDF / UDAF / grouped-map / UDTF --------------------------
+    # -- pandas UDF / UDAF ------------------------------------------------
     "pandas_sigmoid": q_pandas_sigmoid,
     "udaf_weighted_mean": q_udaf_weighted_mean,
-    "grouped_map_zscore": q_grouped_map_zscore,
-    "udtf_tokens": q_udtf_tokens,
     # -- dedup family -----------------------------------------------------
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": q_minhash_neardup,
     "dedup_lines": q_dedup_lines,
     "neardup_clusters": q_neardup_clusters,
-    "semdedup": q_semdedup,
-    # -- similarity / ANN / embeddings -----------------------------------
+    # -- similarity / ANN / embeddings / clustering -----------------------
     "ann_brute_topk": q_ann_brute_topk,
     "quantize_embeddings": q_quantize_embeddings,
-    "ann_pq_topk": q_ann_pq_topk,
+    "ann_recall": q_ann_recall,
+    "kmeans_clusters": q_kmeans_clusters,
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
-    "hybrid_topk": q_hybrid_topk,
+    "hybrid3_topk": q_hybrid3_topk,
     # -- corpus curation + graph -----------------------------------------
     "decontaminate": q_decontaminate,
     "bigram_lm": q_bigram_lm,
@@ -6774,6 +6790,18 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "audio_energy": q_audio_energy,
     # ==== position 51+: same-family variants + rows-only queries ========
+    # round-10 displaced twins (driver-attested in earlier rounds,
+    # still fully oracled + judge-checked here)
+    "hybrid_topk": q_hybrid_topk,
+    "ann_pq_topk": q_ann_pq_topk,
+    "drift_psi_quantile": q_drift_psi_quantile,
+    "drift_ks": q_drift_ks,
+    "semdedup": q_semdedup,
+    "sessionize": q_sessionize,
+    "column_profile": q_column_profile,
+    "expectations": q_expectations,
+    "udtf_tokens": q_udtf_tokens,
+    "grouped_map_zscore": q_grouped_map_zscore,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -6868,28 +6896,18 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_organic": q_simhash_neardup_organic,
     "winsorize": q_winsorize,
     "weighted_sample": q_weighted_sample,
-    # round-9 additions (round-10 rotation candidates)
-    "hybrid3_topk": q_hybrid3_topk,
-    "ann_recall": q_ann_recall,
-    "drift_chi2": q_drift_chi2,
-    "drift_wasserstein": q_drift_wasserstein,
-    "kmeans_clusters": q_kmeans_clusters,
-    "assoc_rules": q_assoc_rules,
+    # round-9 additions not yet rotated into the prefix
     "event_transitions": q_event_transitions,
     "mutual_info": q_mutual_info,
     "grouped_ols": q_grouped_ols,
-    "fd_violations": q_fd_violations,
     "collocations": q_collocations,
     "candidate_keys": q_candidate_keys,
     "repeated_spans": q_repeated_spans,
-    "attribution": q_attribution,
     "attribution_linear": q_attribution_linear,
     "kmeans_outliers": q_kmeans_outliers,
     "null_safe_join": q_null_safe_join,
     "token_diversity": q_token_diversity,
     "column_entropy": q_column_entropy,
-    "weighted_quantiles": q_weighted_quantiles,
-    "gini_concentration": q_gini_concentration,
     "benford_audit": q_benford_audit,
 }
 
