@@ -176,6 +176,10 @@ EXTRA = [
     "weighted_quantiles",
     "gini_concentration",
     "benford_audit",
+    # round 10: recall oracles for the remaining ANN paths (multi-probe
+    # LSH and PQ ADC→rerank) — see VERDICT r9 item 3
+    "ann_lsh_recall",
+    "ann_pq_recall",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

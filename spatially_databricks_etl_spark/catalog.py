@@ -5216,6 +5216,232 @@ FROM q LEFT JOIN hits h USING (query_id)
 """
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the MULTI-PROBE LSH search path
+    (:func:`lsh_bucketed_topk`, multiprobe=2) against brute-force
+    truth on the organic embeddings — the LSH sibling of
+    :func:`q_ann_recall` (which pins the IVF path). Closes the
+    round-9 verdict gap: the multi-probe recall floor previously
+    lived only in pytest at tiny scale, not in the graded gate.
+
+    The pinned-quantizer trick, sign-projection form: the hyperplanes
+    are the 4 standard basis vectors e_0..e_3, so each sign projection
+    dot(v, e_j) folds to EXACTLY v[j] in IEEE arithmetic (every other
+    term multiplies by ±0.0) — bucket bit j = (v[j] >= 0), a 16-bucket
+    sign code any engine replays bit-for-bit. Multi-probe margins are
+    |v[j]| sorted ascending with ties on plane index (the operator's
+    (m, j) struct sort ≡ the oracle's ORDER BY m, plane), and each
+    probe flips one bit: bucket XOR 2^j. The DuckDB oracle re-derives
+    corpus buckets, the 3-bucket probe set per query, the exact-cosine
+    top-10 within probed buckets AND the brute-force truth, then
+    counts the per-query intersection. Four sign bits is a blunt
+    hash (deliberately — recall is honestly < 1); the measured
+    machinery (sign bucketing → probe explode → broadcast equi-join
+    on bucket → windowed top-k) is the exact production path the
+    seeded Gaussian planes use."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hp = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(4)]
+    approx = lsh_bucketed_topk(
+        emb, queries, k=10, multiprobe=2, hyperplanes=hp
+    )
+    truth = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), queries, k=10, query_id_col="query_id"
+    )
+    both = (
+        approx.select("query_id", "neighbor_id")
+        .unionByName(truth.select("query_id", "neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_q = (
+        both.filter(F.col("__n") == 2)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+SQL_ANN_LSH_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+        (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+marg AS (SELECT query_id, j - 1 AS plane, abs(qv[j]) AS m
+         FROM q CROSS JOIN generate_series(1, 4) AS gs(j)),
+flips AS (SELECT query_id, plane,
+                 row_number() OVER (PARTITION BY query_id ORDER BY m, plane) AS rn
+          FROM marg),
+probes AS (
+  SELECT query_id, qb AS bucket FROM q
+  UNION ALL
+  SELECT f.query_id, xor(q.qb, 1 << f.plane) AS bucket
+  FROM flips f JOIN q USING (query_id) WHERE f.rn <= 2),
+cand AS (SELECT p.query_id, c.vec_id FROM probes p JOIN b c USING (bucket)),
+lscored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                   list_cosine_similarity(c.v, q.qv) AS s
+            FROM cand JOIN b c ON c.vec_id = cand.vec_id JOIN q USING (query_id)),
+lshk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM lscored) WHERE rn <= 10),
+tscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(e.v, q.qv) AS s
+            FROM e CROSS JOIN q),
+truthk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM tscored) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit
+         FROM lshk JOIN truthk USING (query_id, neighbor_id) GROUP BY query_id)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) / 10.0 * 1000000 + 0.5) AS BIGINT) AS recall_e6
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ ADC → shortlist → exact-rerank path
+    (:func:`pq_topk`) against brute-force truth on the organic
+    embeddings — the PQ sibling of :func:`q_ann_recall`; with this
+    and :func:`q_ann_lsh_recall`, every ANN family (IVF, LSH, PQ) has
+    its recall floor in the graded gate, not just in pytest.
+
+    The pinned-quantizer trick, scalar form: the codebooks are m=64
+    one-dimensional subspaces (subdim=1) with the same 4 pinned
+    reconstruction values {-0.375, -0.125, 0.125, 0.375} (exact
+    eighths) per coordinate — product quantization degenerates to
+    per-coordinate scalar quantization, which is what makes the code
+    assignment REPLAYABLE: each candidate distance is the single
+    multiply (v_j − c)², so argmin + tie-to-lowest-index is exact in
+    any engine (no sum-order dependence inside a subspace). The ADC
+    distance is then the 64-term sum of exactly-derived per-coordinate
+    doubles; the oracle re-derives the codes, the ADC top-40
+    shortlist, the exact-cosine rerank top-10 AND the brute-force
+    truth. A 2-bit-per-coordinate quantizer is deliberately blunt
+    (recall honestly < 1); the measured machinery — Arrow-batched LUT
+    kernel with per-batch pre-reduction, global (adc_dist, id)
+    shortlist window, exact rerank join — is the production pq_topk
+    path bit-for-bit."""
+    from spatially_databricks_etl_spark.operators.embeddings import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = [[[-0.375], [-0.125], [0.125], [0.375]] for _ in range(64)]
+    approx = pq_topk(emb, queries, codebooks=cb, k=10, shortlist=40)
+    truth = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), queries, k=10, query_id_col="query_id"
+    )
+    both = (
+        approx.select("query_id", "neighbor_id")
+        .unionByName(truth.select("query_id", "neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_q = (
+        both.filter(F.col("__n") == 2)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+SQL_ANN_PQ_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN generate_series(1, 64) AS gs(j)),
+cvals AS (SELECT * FROM (VALUES (0, -0.375), (1, -0.125), (2, 0.125), (3, 0.375)) c(idx, val)),
+assign AS (
+  SELECT vec_id, j, val FROM (
+    SELECT comp.vec_id, comp.j, cvals.val,
+           row_number() OVER (
+             PARTITION BY comp.vec_id, comp.j
+             ORDER BY (comp.x - cvals.val) * (comp.x - cvals.val), cvals.idx
+           ) AS rn
+    FROM comp CROSS JOIN cvals) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+adc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+               sum((q.qv[a.j] - a.val) * (q.qv[a.j] - a.val)) AS dist
+        FROM assign a CROSS JOIN q
+        GROUP BY q.query_id, a.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 40),
+rescored AS (SELECT s.query_id, s.neighbor_id,
+                    list_cosine_similarity(e.v, q.qv) AS s
+             FROM short s JOIN e ON e.vec_id = s.neighbor_id JOIN q USING (query_id)),
+pqk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM rescored) WHERE rn <= 10),
+tscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(e.v, q.qv) AS s
+            FROM e CROSS JOIN q),
+truthk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+    FROM tscored) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit
+         FROM pqk JOIN truthk USING (query_id, neighbor_id) GROUP BY query_id)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) / 10.0 * 1000000 + 0.5) AS BIGINT) AS recall_e6
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values: first two weeks of
     January vs the rest of the month, 10 shared equal-width bins.
@@ -6857,6 +7083,11 @@ QUERIES: dict[str, QueryFn] = {
     "interval_join": q_interval_join,
     "radius_join": q_radius_join,
     "ann_lsh_topk": q_ann_lsh_topk,
+    # round-10: recall oracles for the remaining ANN paths (VERDICT r9
+    # item 3) — with ann_recall (IVF, in the graded prefix) these put
+    # every ANN family's recall floor under the oracle gate
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_pq_recall": q_ann_pq_recall,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7028,6 +7259,8 @@ ORACLES: dict[str, str] = {
     "drift_ks": SQL_DRIFT_KS,
     "hybrid3_topk": SQL_HYBRID3_TOPK,
     "ann_recall": SQL_ANN_RECALL,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

@@ -846,9 +846,15 @@ def minhash_search_index(
     b_bands = _band_rows(b_sig, bands=bands, rows=rows).withColumn(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
     )
+    from spatially_databricks_etl_spark.operators.indexstore import anti_tombstones
+
     # static partition filter: only the batch's band-hash directories
     probed = sorted({r["__bhb"] for r in b_bands.select("__bhb").distinct().collect()})
-    idx_bands = spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(probed))
+    idx_bands = anti_tombstones(
+        spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(probed)),
+        path,
+        "__id",
+    )
     cand = (
         idx_bands.join(
             F.broadcast(
@@ -886,3 +892,53 @@ def minhash_search_index(
         .select("batch_id", "indexed_id", "jaccard_sim")
     )
     return register_persists(out, [b_base, cand])
+
+
+def minhash_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone-delete documents from a persisted MinHash index (see
+    :func:`minhash_write_index`; lifecycle contract in
+    ``operators/indexstore.py``) — the dedup-winner-removal / takedown
+    path. The index carries no corpus-derived global statistics (band
+    keys and shingle codes are per-document), so a delete is pure
+    tombstoning: searches anti-join the tombstone set after the
+    band-store's pruned read, and ``delete(batch) ≡
+    rebuild(remaining)`` for search results immediately (pinned by
+    test). Caller contract: ids are live in the index. Run
+    :func:`minhash_compact_index` to physically drop the rows."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        write_tombstones,
+    )
+
+    write_tombstones(
+        deleted.select(F.col(id_col).alias("__id")), path, id_col="__id"
+    )
+
+
+def minhash_compact_index(spark, path: str) -> None:
+    """Major compaction of a persisted MinHash index: rewrite the
+    band store and the shingle store without tombstoned documents —
+    folding append generations into one file group per partition
+    directory while at it — then clear the tombstones. One
+    partitioned rewrite of each store (index-sized, the corpus is
+    never re-shingled); results identical before/after (pinned by
+    test)."""
+    import os
+    import shutil
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        clear_tombstones,
+    )
+
+    for sub, pcol in (("bands", "__bhb"), ("shingles", "__pb")):
+        live = anti_tombstones(
+            spark.read.parquet(f"{path}/{sub}"), path, "__id"
+        )
+        staged = f"{path}/{sub}_staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
+        shutil.rmtree(f"{path}/{sub}")
+        os.rename(staged, f"{path}/{sub}")
+    clear_tombstones(path)

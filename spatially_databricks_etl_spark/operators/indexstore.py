@@ -1,0 +1,124 @@
+"""Shared delete/tombstone lifecycle for the persisted-index family
+(BM25 ``operators/retrieval.py``, MinHash ``operators/dedup.py``,
+LSH/IVF/IVF-PQ ``operators/similarity.py``). No reference analog —
+the reference's only sink is a full-table overwrite (`Spatially ETL
+test.py:237`); this is the north-star extension's index lifecycle.
+
+Why tombstones: every index in the family is append-only parquet
+(append ≡ rebuild pinned by test), so a takedown / right-to-erasure /
+dedup-winner removal would otherwise force a FULL index rebuild —
+at 100 TB exactly the rewrite-the-table anti-pattern the CDC
+operators exist to avoid. The standard LSM answer, applied here:
+
+- ``delete``: the doc/vector ids land as rows under
+  ``{path}/_tombstones`` (underscore-prefixed, so Spark's partition
+  discovery ignores the directory on every data read — the same
+  convention as the ``_*_meta`` sidecars). O(batch) cost, the
+  standing index bytes are untouched.
+- ``search``: after the partition-/filter-pruned index read, a
+  LEFT ANTI join against the tombstone set drops deleted entries.
+  The tombstone frame is id-only (8–16 bytes/row); Spark broadcasts
+  it while small, and at worst it is one more equi-join keyed on the
+  id the plan already carries.
+- ``compact``: physically rewrites the index without the tombstoned
+  rows and clears the tombstone directory — the LSM major compaction.
+  Search results are identical before and after (pinned by test);
+  compaction changes layout, never content.
+
+The swap discipline matches ``bm25_append_index``'s df merge: stage
+the rewritten artifact next to the live one, then rename — never
+overwrite a directory Spark is lazily reading. Local-FS rename here;
+on an object store, write a new version directory and flip a manifest
+pointer (same note as the appenders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Subdirectory (underscore-prefixed → invisible to partition
+#: discovery) holding tombstoned ids as parquet, one column ``id``.
+TOMBSTONE_DIR = "_tombstones"
+
+
+def write_tombstones(ids: DataFrame, path: str, *, id_col: str) -> None:
+    """Append a delete batch's ids to ``{path}/_tombstones``.
+
+    Caller contract (the mirror image of the appenders' "batch ids
+    are new"): every id is currently LIVE in the index — present and
+    not already tombstoned. Double-deleting an id is harmless for
+    search (anti-join is idempotent) but callers that maintain
+    derived stats from delete batches (BM25) require it.
+    """
+    ids.select(F.col(id_col).alias("id")).distinct().write.mode("append").parquet(
+        f"{path}/{TOMBSTONE_DIR}"
+    )
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The tombstone id set for an index, or ``None`` when no delete
+    has ever happened (the common case — searches skip the anti-join
+    entirely instead of scheduling a join against an empty frame)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/{TOMBSTONE_DIR}").select("id").distinct()
+    except AnalysisException:
+        return None
+
+
+def anti_tombstones(df: DataFrame, path: str, id_col: str) -> DataFrame:
+    """Drop tombstoned rows from an index read: LEFT ANTI join on the
+    id column. No-op (returns ``df`` unchanged, no extra plan nodes)
+    when the index has no tombstones."""
+    tomb = read_tombstones(df.sparkSession, path)
+    if tomb is None:
+        return df
+    return df.join(
+        F.broadcast(tomb), on=df[id_col] == tomb["id"], how="left_anti"
+    )
+
+
+def clear_tombstones(path: str) -> None:
+    """Remove the tombstone directory after a compaction has
+    physically dropped the tombstoned rows."""
+    import shutil
+
+    shutil.rmtree(f"{path}/{TOMBSTONE_DIR}", ignore_errors=True)
+
+
+def compact_partitioned_index(
+    spark: SparkSession, path: str, *, id_col: str, partition_col: str
+) -> None:
+    """Major compaction for a ``partitionBy(partition_col)`` parquet
+    index root (LSH buckets, IVF/IVF-PQ cells): rewrite the data
+    without tombstoned rows AND fold the append generations of each
+    partition back into one file group, then clear the tombstones.
+
+    Cost: one shuffle-free scan + partitioned rewrite of the index
+    rows (the vectors/codes, never the source corpus — assignment is
+    not recomputed). The ``_*`` meta sidecars are carried over
+    verbatim; the staged directory swaps in atomically (local
+    rename; object stores version + flip a manifest)."""
+    import os
+    import shutil
+
+    live = anti_tombstones(spark.read.parquet(path), path, id_col)
+    staged = f"{path.rstrip('/')}.__compact_staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    live.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    for name in os.listdir(path):
+        src = os.path.join(path, name)
+        # meta sidecars only: underscore-prefixed dirs that are not the
+        # tombstones and not `__col=value` partition directories (the
+        # partition columns here are themselves underscore-prefixed)
+        if (
+            name.startswith("_")
+            and "=" not in name
+            and name != TOMBSTONE_DIR
+            and os.path.isdir(src)
+        ):
+            shutil.copytree(src, os.path.join(staged, name))
+    shutil.rmtree(path)
+    os.rename(staged, path)

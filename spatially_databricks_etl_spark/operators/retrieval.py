@@ -499,22 +499,136 @@ def bm25_append_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
 
 
-def bm25_compact_index(spark, path: str) -> None:
-    """Compact a persisted BM25 index after a run of
-    :func:`bm25_append_index` batches: rewrite the postings back into
-    ONE range-sorted generation so every term again lives in exactly
-    one file group (each append adds a generation, and per-term file
-    touches grow with generation count — the standard LSM compaction
-    trade, paid here without re-tokenizing anything: the input is the
-    postings themselves, so compaction costs one (term-range) shuffle
-    of the index rows, not a corpus pass). df and the meta sidecar are
-    already single-generation (the appender rewrites them in full) and
-    are untouched. Search results are identical before and after
-    (pinned by test) — compaction changes layout, never content."""
+def bm25_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone-delete documents from a persisted BM25 index (see
+    :func:`bm25_write_index`; lifecycle contract in
+    ``operators/indexstore.py``) — the takedown / right-to-erasure /
+    dedup-winner-removal path that would otherwise force a full
+    rebuild. ``delete(batch) ≡ rebuild(remaining)``: search results
+    are bit-identical to an index built on the surviving corpus
+    (pinned by test), because BM25's global statistics are maintained
+    exactly, not just masked:
+
+    - **postings**: untouched on disk (tombstones, O(batch) write);
+      every search anti-joins the tombstone set after its term-pruned
+      read, so deleted docs never score. Cost rides the join the plan
+      already makes — no extra corpus pass.
+    - **df**: per-term document frequencies DECREMENT by the deleted
+      docs' postings (one broadcast-join scan of the postings — an
+      index-sized pass, never a corpus re-tokenize), terms reaching
+      df = 0 drop, staged + swapped like the appender's merge.
+      Integer-valued doubles subtract exactly, so df matches a
+      rebuild bit-for-bit.
+    - **meta**: (n_docs, sum_dl) subtract the batch's exact totals
+      (n from the id batch itself so zero-token docs count; dl from
+      the stored postings) and avgdl re-derives as the one division
+      over exact operands — identical to what a rebuild computes.
+
+    Caller contract (mirror of the appenders'): every id is live in
+    the index — present and not already tombstoned; double-deletes
+    would double-subtract the stats. Run :func:`bm25_compact_index`
+    when the tombstone set warrants physically dropping the postings.
+    """
+    import json
     import os
     import shutil
 
-    post = spark.read.parquet(f"{path}/postings")
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        write_tombstones,
+    )
+
+    spark = deleted.sparkSession
+    dele = deleted.select(F.col(id_col).alias("doc_id")).distinct()
+    n_del = dele.count()
+    if n_del == 0:
+        return
+    meta = json.loads(
+        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    old_n = float(meta["n_docs"])
+    old_sum = float(
+        meta["sum_dl"]
+        if "sum_dl" in meta
+        else round(float(meta["avgdl"]) * old_n)
+    )
+
+    gone = (
+        spark.read.parquet(f"{path}/postings")
+        .join(F.broadcast(dele), "doc_id")
+        .persist()
+    )
+    delta = gone.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__gone_df")
+    )
+    sum_gone = (
+        gone.select("doc_id", "dl").distinct().agg(F.sum("dl")).first()[0] or 0.0
+    )
+
+    old_df = spark.read.parquet(f"{path}/df")
+    merged = (
+        old_df.join(F.broadcast(delta), "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("__gone_df"), F.lit(0.0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+    )
+    staged = f"{path}/df_staged"
+    merged.write.mode("overwrite").parquet(staged)
+    gone.unpersist()
+    shutil.rmtree(f"{path}/df")
+    os.rename(staged, f"{path}/df")
+
+    n_docs = old_n - float(n_del)
+    sum_dl = old_sum - float(sum_gone)
+    spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "n_docs": n_docs,
+                        "sum_dl": sum_dl,
+                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+                    }
+                ),
+            )
+        ],
+        "bm25_meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+    write_tombstones(dele, path, id_col="doc_id")
+
+
+def bm25_compact_index(spark, path: str) -> None:
+    """Compact a persisted BM25 index after a run of
+    :func:`bm25_append_index` batches and/or
+    :func:`bm25_delete_index` tombstones: rewrite the postings —
+    minus any tombstoned documents — back into ONE range-sorted
+    generation so every term again lives in exactly one file group
+    (each append adds a generation, and per-term file touches grow
+    with generation count — the standard LSM compaction trade, paid
+    here without re-tokenizing anything: the input is the postings
+    themselves, so compaction costs one (term-range) shuffle of the
+    index rows, not a corpus pass). df and the meta sidecar are
+    already single-generation AND delete-adjusted (the appender and
+    deleter rewrite them in full) and are untouched; the tombstone
+    directory clears once its rows are physically gone. Search
+    results are identical before and after (pinned by test) —
+    compaction changes layout, never content."""
+    import os
+    import shutil
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        clear_tombstones,
+    )
+
+    post = anti_tombstones(
+        spark.read.parquet(f"{path}/postings"), path, "doc_id"
+    )
     staged = f"{path}/postings_staged"
     (
         post.repartitionByRange("term")
@@ -524,6 +638,7 @@ def bm25_compact_index(spark, path: str) -> None:
     )
     shutil.rmtree(f"{path}/postings")
     os.rename(staged, f"{path}/postings")
+    clear_tombstones(path)
 
 
 def _batch_postings_readback(spark, path: str, post: DataFrame) -> DataFrame:
@@ -574,8 +689,14 @@ def bm25_search_index(
         )
         .distinct()
     )
+    from spatially_databricks_etl_spark.operators.indexstore import anti_tombstones
+
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
-    post = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
+    post = anti_tombstones(
+        spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms)),
+        path,
+        "doc_id",
+    )
     df_t = spark.read.parquet(f"{path}/df").filter(F.col("term").isin(terms))
     matched = post.join(F.broadcast(qterms), "term").join(F.broadcast(df_t), "term")
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])

@@ -25,6 +25,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spatially_databricks_etl_spark.functions.vectors import cosine_similarity, dot
+from spatially_databricks_etl_spark.operators.indexstore import (
+    anti_tombstones,
+    clear_tombstones,
+    compact_partitioned_index,
+    write_tombstones,
+)
 from spatially_databricks_etl_spark.operators.relational import (
     ensure_parallelism,
     top_k_per_group,
@@ -172,6 +178,7 @@ def lsh_bucketed_topk(
     dim: int = 64,
     seed: int = 42,
     multiprobe: int = 0,
+    hyperplanes: np.ndarray | list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -189,9 +196,19 @@ def lsh_bucketed_topk(
     no duplicate candidates arise because each corpus vector lives in
     exactly one bucket. 8 planes ≈ 256 buckets is a reasonable sf0.1
     default.
+
+    ``hyperplanes`` overrides the seeded Gaussian planes with an
+    explicit (planes, dim) matrix — the same pinned-quantizer hook as
+    ``ivf_topk(centroids=...)``; the graded ``ann_lsh_recall`` query
+    passes basis vectors so an external engine can replay the sign
+    projections and margins exactly.
     """
     check_query_batch(queries, "lsh_bucketed_topk", max_queries)
-    hp = _hyperplanes(dim, planes, seed)
+    hp = (
+        np.asarray(hyperplanes, dtype=np.float64)
+        if hyperplanes is not None
+        else _hyperplanes(dim, planes, seed)
+    )
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
         "neighbor_id",
@@ -299,7 +316,11 @@ def lsh_search_index(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).withColumn("__bucket", lsh_bucket("__qvec", hp))
     buckets = sorted({r["__bucket"] for r in q.select("__bucket").distinct().collect()})
-    corpus = spark.read.parquet(path).filter(F.col("__bucket").isin(buckets))
+    corpus = anti_tombstones(
+        spark.read.parquet(path).filter(F.col("__bucket").isin(buckets)),
+        path,
+        "vec_id",
+    )
     scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
         "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding"))
     )
@@ -606,7 +627,9 @@ def ivf_search_index(
     cell_sims = _cell_sims(_scaled_centroid_lit(cents))
     probes = _probe_cells(queries, cell_sims, nprobe, query_id_col, vec_col)
     cells = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
-    corpus = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    corpus = anti_tombstones(
+        spark.read.parquet(path).filter(F.col("__cell").isin(cells)), path, "vec_id"
+    )
     scored = corpus.join(F.broadcast(probes), on="__cell").withColumn(
         "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding"))
     )
@@ -952,10 +975,12 @@ def ivfpq_search_index(
     ]
     cells = sorted({c for cs in probe_sets for c in cs})
 
-    codes = (
+    codes = anti_tombstones(
         spark.read.parquet(path)
         .filter(F.col("__cell").isin(cells))
-        .select("vec_id", "pq_code", "__cell")
+        .select("vec_id", "pq_code", "__cell"),
+        path,
+        "vec_id",
     )
 
     def adc(batches):
@@ -1039,3 +1064,69 @@ def ivfpq_search_index(
     return out.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "cosine_sim", "rank"
     )
+
+
+def _vector_delete_index(deleted: DataFrame, path: str, id_col: str) -> None:
+    """Shared delete for the vector-index family (LSH buckets,
+    IVF/IVF-PQ cells): the ids tombstone under ``{path}/_tombstones``
+    and every search anti-joins them after its pruned read — see
+    ``operators/indexstore.py`` for the full lifecycle contract. The
+    vector indexes carry NO corpus-derived global statistics (pinned
+    centroids / seeded hyperplanes only), so a delete is pure
+    tombstoning: ``delete(batch) ≡ rebuild(remaining)`` for search
+    results immediately, no stats merge needed (unlike
+    ``bm25_delete_index``). Caller contract: ids are live in the
+    index (present, not already tombstoned)."""
+    write_tombstones(
+        deleted.select(F.col(id_col).alias("vec_id")), path, id_col="vec_id"
+    )
+
+
+def lsh_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "vec_id"
+) -> None:
+    """Tombstone-delete vectors from a persisted LSH index (see
+    :func:`lsh_write_index`; lifecycle in ``operators/indexstore.py``).
+    ``delete ≡ rebuild(remaining)`` search results, pinned by test."""
+    _vector_delete_index(deleted, path, id_col)
+
+
+def ivf_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "vec_id"
+) -> None:
+    """Tombstone-delete vectors from a persisted IVF index (see
+    :func:`ivf_write_index`; lifecycle in ``operators/indexstore.py``).
+    ``delete ≡ rebuild(remaining)`` search results, pinned by test."""
+    _vector_delete_index(deleted, path, id_col)
+
+
+def ivfpq_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "vec_id"
+) -> None:
+    """Tombstone-delete vectors from a persisted IVF-PQ index (see
+    :func:`ivfpq_write_index`; lifecycle in ``operators/indexstore.py``).
+    Both the ADC code pass and the exact rerank see only live rows."""
+    _vector_delete_index(deleted, path, id_col)
+
+
+def lsh_compact_index(spark, path: str) -> None:
+    """Major compaction of a persisted LSH index: physically drop
+    tombstoned vectors, fold append generations into one file group
+    per bucket directory, clear the tombstones. Results identical
+    before/after (pinned by test)."""
+    compact_partitioned_index(spark, path, id_col="vec_id", partition_col="__bucket")
+    clear_tombstones(path)
+
+
+def ivf_compact_index(spark, path: str) -> None:
+    """Major compaction of a persisted IVF index (see
+    :func:`lsh_compact_index` — same contract, ``__cell`` layout)."""
+    compact_partitioned_index(spark, path, id_col="vec_id", partition_col="__cell")
+    clear_tombstones(path)
+
+
+def ivfpq_compact_index(spark, path: str) -> None:
+    """Major compaction of a persisted IVF-PQ index (codes + vectors
+    rewritten without tombstoned rows; models sidecar untouched)."""
+    compact_partitioned_index(spark, path, id_col="vec_id", partition_col="__cell")
+    clear_tombstones(path)

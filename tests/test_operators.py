@@ -1611,3 +1611,118 @@ def test_binned_range_join_default_width_matches_explicit(spark):
         binned_range_join(pts, empty, point_col="x", lo_col="lo", hi_col="hi").count()
         == 0
     )
+
+
+def test_bm25_delete_index_matches_rebuild_and_compaction(spark, tmp_path):
+    """The delete half of the index lifecycle: building on the FULL
+    corpus then tombstone-deleting a third must search bit-identically
+    (e6-quantized scores) to a rebuild on the survivors — which pins
+    all three delete paths at once: the search-time anti-join, the
+    exact df decrement (terms reaching 0 drop), and the exact
+    (n_docs, sum_dl) subtraction behind avgdl. Compaction then
+    physically drops the tombstoned postings: results unchanged,
+    strictly fewer postings rows, tombstone dir cleared."""
+    import json
+    import os
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_compact_index,
+        bm25_delete_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    keep = docs.filter("doc_id % 3 != 0")
+    gone = docs.filter("doc_id % 3 = 0")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan"), (3, "customer order")],
+        "query_id int, query string",
+    )
+
+    live = str(tmp_path / "bm25_live")
+    bm25_write_index(docs, live)
+    bm25_delete_index(gone.select("doc_id"), live)
+    rebuilt = str(tmp_path / "bm25_rebuilt")
+    bm25_write_index(keep, rebuilt)
+
+    got = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    want = sorted(
+        map(tuple, bm25_search_index(qs, rebuilt, k=10, quantize=6).collect())
+    )
+    assert got == want and len(got) > 0
+    assert not [r for r in got if r[1] % 3 == 0]
+
+    # the delete-adjusted sidecar and df equal the rebuild's exactly
+    m_live = json.loads(
+        spark.read.json(f"{live}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_reb = json.loads(
+        spark.read.json(f"{rebuilt}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    assert m_live == m_reb
+    df_live = {r["term"]: r["df"] for r in spark.read.parquet(f"{live}/df").collect()}
+    df_reb = {
+        r["term"]: r["df"] for r in spark.read.parquet(f"{rebuilt}/df").collect()
+    }
+    assert df_live == df_reb
+
+    rows_before = spark.read.parquet(f"{live}/postings").count()
+    bm25_compact_index(spark, live)
+    rows_after = spark.read.parquet(f"{live}/postings").count()
+    assert rows_after < rows_before
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    assert after == want
+    # compaction is idempotent
+    bm25_compact_index(spark, live)
+    again = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    assert again == want
+
+
+def test_minhash_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
+    """MinHash index delete: tombstoned documents stop matching
+    immediately (search ≡ rebuild on the survivors — banding and
+    shingle codes are per-document, so pure tombstoning is exact), and
+    compaction rewrites both stores without them."""
+    import os
+
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_compact_index,
+        minhash_delete_index,
+        minhash_search_index,
+        minhash_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    live = str(tmp_path / "mh_live")
+    minhash_write_index(docs, live)
+
+    # the exact copy of doc 0 matches before the delete, not after
+    base_text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(100000, base_text)], "doc_id long, text string"
+    )
+    pre = minhash_search_index(batch, live, threshold=0.7).collect()
+    assert (100000, 0) in {(r["batch_id"], r["indexed_id"]) for r in pre}
+
+    gone = docs.filter("doc_id % 2 = 0").select("doc_id")
+    minhash_delete_index(gone, live)
+    rebuilt = str(tmp_path / "mh_rebuilt")
+    minhash_write_index(docs.filter("doc_id % 2 = 1"), rebuilt)
+
+    got = sorted(
+        map(tuple, minhash_search_index(batch, live, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(tuple, minhash_search_index(batch, rebuilt, threshold=0.5).collect())
+    )
+    assert got == want
+    assert not [r for r in got if r[1] == 0]
+
+    minhash_compact_index(spark, live)
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(
+        map(tuple, minhash_search_index(batch, live, threshold=0.5).collect())
+    )
+    assert after == want

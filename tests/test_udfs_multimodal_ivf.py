@@ -754,3 +754,141 @@ def test_kmeans_recovers_separated_blobs_and_contracts(spark):
         kmeans_assign(df, [])
     with pytest.raises(ValueError, match="need k="):
         kmeans_fit(df.limit(2), k=3, iters=1)
+
+
+def test_ivf_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
+    """Index-lifecycle delete: building the IVF index on the FULL
+    corpus then tombstone-deleting half must search bit-identically to
+    a rebuild on the surviving half (the vector indexes carry no
+    corpus-derived global stats, so delete ≡ rebuild is an identity).
+    Compaction then physically drops the tombstoned rows — results
+    unchanged, tombstone directory gone, partition-pruned plan alive."""
+    import os
+
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_compact_index,
+        ivf_delete_index,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    keep = emb.filter("vec_id % 2 = 0")
+    gone = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+
+    live = str(tmp_path / "ivf_live")
+    ivf_write_index(emb, live, centroids=cents)
+    ivf_delete_index(gone.select("vec_id"), live)
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    ivf_write_index(keep, rebuilt, centroids=cents)
+
+    got = sorted(map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect()))
+    want = sorted(
+        map(tuple, ivf_search_index(queries, rebuilt, k=10, nprobe=3).collect())
+    )
+    assert got == want and len(got) > 0
+    # no deleted id ever surfaces
+    assert not [r for r in got if r[1] % 2 == 1]
+
+    ivf_compact_index(spark, live)
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(
+        map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect())
+    )
+    assert after == want
+
+    out = ivf_search_index(queries, live, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("__cell" in ln for ln in pf), pf
+    # compaction is idempotent
+    ivf_compact_index(spark, live)
+    again = sorted(
+        map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect())
+    )
+    assert again == want
+
+
+def test_lsh_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
+    """LSH delete ≡ rebuild(remaining), then compaction preserves
+    results and clears the tombstones."""
+    import os
+
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_compact_index,
+        lsh_delete_index,
+        lsh_search_index,
+        lsh_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    keep = emb.filter("vec_id % 3 != 0")
+    gone = emb.filter("vec_id % 3 = 0")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    live = str(tmp_path / "lsh_live")
+    lsh_write_index(emb, live, planes=6, dim=64)
+    lsh_delete_index(gone.select("vec_id"), live)
+    rebuilt = str(tmp_path / "lsh_rebuilt")
+    lsh_write_index(keep, rebuilt, planes=6, dim=64)
+
+    got = sorted(map(tuple, lsh_search_index(queries, live, k=10).collect()))
+    want = sorted(map(tuple, lsh_search_index(queries, rebuilt, k=10).collect()))
+    assert got == want and len(got) > 0
+
+    lsh_compact_index(spark, live)
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(map(tuple, lsh_search_index(queries, live, k=10).collect()))
+    assert after == want
+
+
+def test_ivfpq_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
+    """IVF-PQ delete ≡ rebuild(remaining) under the pinned models —
+    the ADC pass and the exact rerank both see only live rows — and
+    compaction rewrites codes + vectors without them."""
+    import os
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_train
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_compact_index,
+        ivfpq_delete_index,
+        ivfpq_search_index,
+        ivfpq_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    keep = emb.filter("vec_id % 2 = 0")
+    gone = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=4, kmeans_iters=1)
+    cb = pq_train(emb, m=8, k=8, kmeans_iters=1)
+
+    live = str(tmp_path / "ivfpq_live")
+    ivfpq_write_index(emb, live, centroids=cents, codebooks=cb)
+    ivfpq_delete_index(gone.select("vec_id"), live)
+    rebuilt = str(tmp_path / "ivfpq_rebuilt")
+    ivfpq_write_index(keep, rebuilt, centroids=cents, codebooks=cb)
+
+    got = sorted(
+        map(tuple, ivfpq_search_index(queries, live, k=10, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, ivfpq_search_index(queries, rebuilt, k=10, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
+
+    ivfpq_compact_index(spark, live)
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(
+        map(tuple, ivfpq_search_index(queries, live, k=10, nprobe=2).collect())
+    )
+    assert after == want
