@@ -5442,6 +5442,58 @@ FROM q LEFT JOIN hits h USING (query_id)
 """
 
 
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residual anomaly scoring of the hourly event
+    series per event_type (period = 24 h — hour-of-day seasonality):
+    the time-series member of the profiling family (drift detects
+    shift BETWEEN snapshots; this scores anomalies ALONG time). The
+    oracle replays the exact-decimal bucket sums, the interval
+    equi-join seasonal match, the per-key median/MAD
+    (quantile_cont ≡ F.percentile on identical doubles) and the
+    robust-z e6 floor."""
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return ts_anomaly(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        bucket="hour",
+        period=24,
+        threshold=3.5,
+    )
+
+
+SQL_TS_ANOMALY = """
+WITH y AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS DECIMAL(38,0))) AS ys
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.bucket,
+         CAST(a.ys AS DOUBLE) / 100 AS y,
+         CAST(b.ys AS DOUBLE) / 100 AS y_prev,
+         CAST(a.ys - b.ys AS DOUBLE) / 100 AS residual
+  FROM y a JOIN y b
+    ON a.event_type = b.event_type
+   AND a.bucket = b.bucket + INTERVAL 24 HOURS),
+med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med FROM j GROUP BY 1),
+mads AS (SELECT j.event_type, quantile_cont(abs(j.residual - m.med), 0.5) AS mad
+         FROM j JOIN med m USING (event_type) GROUP BY j.event_type),
+z AS (SELECT j.event_type, j.bucket, j.y, j.y_prev, j.residual,
+             CASE WHEN s.mad > 0
+                  THEN 0.6745 * (j.residual - m.med) / s.mad END AS zval
+      FROM j JOIN med m USING (event_type) JOIN mads s USING (event_type))
+SELECT event_type, bucket, y, y_prev, residual,
+       CAST(floor(zval * 1000000 + 0.5) AS BIGINT) AS z_e6,
+       CASE WHEN zval IS NOT NULL THEN abs(zval) > 3.5 END AS is_anomaly
+FROM z
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values: first two weeks of
     January vs the rest of the month, 10 shared equal-width bins.
@@ -7088,6 +7140,9 @@ QUERIES: dict[str, QueryFn] = {
     # every ANN family's recall floor under the oracle gate
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_pq_recall": q_ann_pq_recall,
+    # round-10: the time-series member of the profiling family
+    # (VERDICT r9 item 4) — seasonal-naive residual robust-z
+    "ts_anomaly": q_ts_anomaly,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7261,6 +7316,7 @@ ORACLES: dict[str, str] = {
     "ann_recall": SQL_ANN_RECALL,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "ts_anomaly": SQL_TS_ANOMALY,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

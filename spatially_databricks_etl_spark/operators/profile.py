@@ -1488,3 +1488,124 @@ def gini_concentration(
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+def ts_anomaly(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    bucket: str = "hour",
+    period: int = 24,
+    threshold: float = 3.5,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Time-series anomaly scoring by SEASONAL-NAIVE residuals — the
+    member the drift family lacks: drift_psi/ks/chi2/wasserstein
+    detect distribution shift BETWEEN two snapshots; this scores
+    anomalies ALONG time within one series. No reference analog (the
+    reference never aggregates, `Spatially ETL test.py:120-168`).
+
+    Method (seasonal-naive forecast + robust residual z, the
+    textbook first-line detector — Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice", §5.2 public material):
+    per key, the series y(t) = Σ value over ``bucket`` windows; the
+    forecast for bucket t is y(t − period buckets) (e.g. hour-of-day
+    seasonality for hourly buckets with period=24); the residual
+    r(t) = y(t) − y(t − period) is scored with the
+    :func:`robust_zscore` kernel per key — z = 0.6745·(r − median(r))
+    / MAD(r) — so a level shift or spike is measured against the
+    key's own typical seasonal deviation, and the estimator is not
+    dragged by the anomalies it hunts. Buckets with no observation a
+    period earlier are not scored (no forecast exists); a key with
+    MAD = 0 yields null z (the robust_zscore degenerate contract).
+
+    Cross-engine determinism: the bucket sums accumulate as exact
+    ``decimal(38, value_decimals)`` integers (the grouped_ols /
+    weighted_quantiles discipline) so y, y_prev and r are exact in
+    any summation order; the seasonal match is a timestamp EQUI-join
+    (bucket = prev_bucket + period, exact interval arithmetic — no
+    positional lag, so gaps in the series align correctly); medians
+    are exact linear interpolation (``F.percentile`` ≡ DuckDB
+    ``quantile_cont``) over identical doubles; z is three IEEE ops on
+    identical operands. The graded form emits z e6-floored.
+
+    Returns (key..., bucket, y, y_prev, residual, z_e6, is_anomaly)
+    for every scored bucket.
+
+    Scale shape (100 TB): ONE hash aggregate compresses the raw
+    events to the bucket grid (map-side combine; the shuffle carries
+    |keys|·|buckets| rows, not events); the seasonal join and the
+    per-key median/MAD aggregates run on that compressed frame; the
+    per-key stats frame (|keys| rows) broadcast-joins back. No
+    windows over the raw data, no driver collects.
+    """
+    keys = list(key_cols) if key_cols else ["event_type"]
+    scale = 10**value_decimals
+    ts_b = F.date_trunc(bucket, F.col(ts_col))
+    y = (
+        df.filter(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(*[F.col(k) for k in keys], ts_b.alias("bucket"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col(value_col).cast("double") * F.lit(float(scale))
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("__ys")
+        )
+    )
+    cur = y.alias("cur")
+    prev = y.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in keys],
+        (
+            F.col("bucket")
+            + F.expr(f"INTERVAL {int(period)} {bucket.upper()}S")
+        ).alias("__pbucket"),
+        F.col("__ys").alias("__ys_prev"),
+    ).alias("prev")
+    cond = F.col("cur.bucket") == F.col("prev.__pbucket")
+    for k in keys:
+        cond = cond & (F.col(f"cur.{k}") == F.col(f"prev.__pk_{k}"))
+    scored = cur.join(prev, cond, "inner").select(
+        *[F.col(f"cur.{k}") for k in keys],
+        F.col("cur.bucket").alias("bucket"),
+        (F.col("cur.__ys").cast("double") / F.lit(float(scale))).alias("y"),
+        (F.col("prev.__ys_prev").cast("double") / F.lit(float(scale))).alias(
+            "y_prev"
+        ),
+        (
+            (F.col("cur.__ys") - F.col("prev.__ys_prev")).cast("double")
+            / F.lit(float(scale))
+        ).alias("residual"),
+    )
+    stats = scored.groupBy(*[F.col(k) for k in keys]).agg(
+        F.percentile(F.col("residual"), F.lit(0.5)).alias("__med")
+    )
+    with_med = scored.join(F.broadcast(stats), keys)
+    mad = with_med.groupBy(*[F.col(k) for k in keys]).agg(
+        F.percentile(
+            F.abs(F.col("residual") - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    full = with_med.join(F.broadcast(mad), keys)
+    z = F.when(
+        F.col("__mad") > 0.0,
+        F.lit(0.6745) * (F.col("residual") - F.col("__med")) / F.col("__mad"),
+    )
+    return full.select(
+        *keys,
+        "bucket",
+        "y",
+        "y_prev",
+        "residual",
+        F.floor(z * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("z_e6"),
+        F.when(
+            z.isNotNull(), F.abs(z) > F.lit(float(threshold))
+        ).alias("is_anomaly"),
+    )

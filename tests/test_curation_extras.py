@@ -604,3 +604,57 @@ def test_resample_interpolate_linear_values(spark):
     assert out[5] == (50.0, False)
     assert out[6] == (40.0, True)
     assert out[7] == (30.0, False)
+
+
+def test_ts_anomaly_flags_injected_spike(spark):
+    """Injected-anomaly property: a periodic series with small
+    deterministic jitter (so residual MAD is small but non-zero) and
+    ONE spiked bucket must flag exactly the spike bucket and the
+    next period's bucket (the spike inflates its own residual AND
+    the next day's forecast), with |z| far above threshold, while no
+    clean bucket flags. A perfectly periodic series (every residual
+    0 → MAD = 0) must hit the degenerate contract instead: null z,
+    nothing flagged. Also pins the no-forecast warm-up (first period
+    unscored)."""
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    def series(spike: bool):
+        rows = []
+        for day in range(12):
+            for slot, base in enumerate([10.0, 20.0, 30.0, 40.0]):
+                # quadratic jitter: varied residual values (a LINEAR ramp
+                # yields only two residual values, leaving MAD degenerate)
+                v = base + 0.01 * ((day * day * 7 + slot * 13) % 23)
+                if spike and day == 6 and slot == 2:
+                    v += 500.0
+                rows.append((f"2024-03-{day + 1:02d} 0{slot}:00:00", "m", v))
+        return spark.createDataFrame(
+            rows, "ts_s string, k string, value double"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "value")
+
+    out = ts_anomaly(
+        series(True), ts_col="ts", value_col="value", key_cols=["k"],
+        bucket="hour", period=24, threshold=3.5,
+    ).collect()
+    # 12 days - 1 day of warm-up = 44 scored buckets
+    assert len(out) == 44
+    flagged = {(r["bucket"].day, r["bucket"].hour) for r in out if r["is_anomaly"]}
+    assert flagged == {(7, 2), (8, 2)}, flagged
+    spike = [r for r in out if r["bucket"].day == 7 and r["bucket"].hour == 2][0]
+    assert abs(spike["residual"] - 500.0) < 1.0 and spike["z_e6"] > 3_500_000
+
+    # exactly periodic control: drop the jitter → every residual 0 →
+    # MAD = 0 → null z, nothing flagged (robust_zscore degenerate)
+    const_rows = [
+        (f"2024-03-{day + 1:02d} 0{slot}:00:00", "m", base)
+        for day in range(12)
+        for slot, base in enumerate([10.0, 20.0, 30.0, 40.0])
+    ]
+    const = spark.createDataFrame(
+        const_rows, "ts_s string, k string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "value")
+    out2 = ts_anomaly(
+        const, ts_col="ts", value_col="value", key_cols=["k"],
+        bucket="hour", period=24, threshold=3.5,
+    ).collect()
+    assert out2 and all(r["z_e6"] is None and r["is_anomaly"] is None for r in out2)

@@ -113,9 +113,13 @@ def test_no_catalog_query_plans_a_smell(spark):
         # retriever (keyless broadcast join against the corpus scan —
         # the ann_brute_topk pattern)
         "hybrid3_topk",
-        # recall query composes brute_force_topk (broadcast query set
-        # against the corpus scan, by design)
+        # recall queries compose brute_force_topk (broadcast query set
+        # against the corpus scan, by design); the LSH/PQ recall
+        # siblings additionally share the pattern via the approximate
+        # side's broadcast probe/shortlist joins
         "ann_recall",
+        "ann_lsh_recall",
+        "ann_pq_recall",
         # one-row contingency-totals frame via broadcast cross join —
         # the accepted scalar-join pattern
         "drift_chi2",
