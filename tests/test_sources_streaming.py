@@ -1164,3 +1164,88 @@ def test_quality_monitor_sink_per_rule_rows_and_replay(spark, tmp_path):
         if r["__batch_id"] == empty_bid
     }
     assert empty_rows == {name: (0, 0) for name in rules}
+
+
+def test_heavy_hitters_monitor_sink_matches_batch_and_replays(spark, tmp_path):
+    """Streaming heavy-hitters monitor: every micro-batch's sink rows
+    (minus the null-key heartbeat) must equal the batch heavy_hitters
+    operator run over the same rows — same exact-count two-pass
+    semantics — the heartbeat must carry the batch row count, and a
+    replayed batch must overwrite its own partition leaving history
+    unchanged. A skewed key is planted in the source so at least one
+    batch has a real hitter."""
+    from spatially_databricks_etl_spark.operators.sketches import heavy_hitters
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        heavy_hitters_monitor_sink,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    # plant a dominating key so hitters exist at threshold 1/4
+    skew = spark.range(400).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit("hotkey").alias("event_type"),
+    )
+    src = str(tmp_path / "hh_src")
+    sink = str(tmp_path / "hh_sink")
+    ev.unionByName(skew).repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = heavy_hitters_monitor_sink(
+        sink, "event_type", capacity=3, threshold_fraction=0.25
+    )
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(seen) >= 2
+    got: dict[int, dict] = {}
+    beats: dict[int, int] = {}
+    for r in rows:
+        if r["event_type"] is None:
+            assert r["share"] is None
+            beats[r["__batch_id"]] = r["n_rows"]
+        else:
+            got.setdefault(r["__batch_id"], {})[r["event_type"]] = (
+                r["n_rows"],
+                round(r["share"], 12),
+            )
+    any_hitter = False
+    for bid, batch_rows in seen:
+        # heartbeat per batch with the batch's row count
+        assert beats[bid] == len(batch_rows)
+        # sink hitters == batch operator over the same rows
+        bdf = spark.createDataFrame(batch_rows, schema=ev.schema)
+        want = {
+            r["event_type"]: (r["n_rows"], round(r["share"], 12))
+            for r in heavy_hitters(
+                bdf, "event_type", capacity=3, threshold_fraction=0.25
+            ).collect()
+        }
+        assert got.get(bid, {}) == want, bid
+        any_hitter = any_hitter or bool(want)
+    assert any_hitter  # the planted skew surfaced somewhere
+
+    # verbatim replay of the last batch: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    after = spark.read.parquet(sink).collect()
+    assert sorted(map(tuple, after), key=repr) == sorted(map(tuple, rows), key=repr)
+
+    # an EMPTY micro-batch still heartbeats (null, 0, null)
+    empty_bid = max(b for b, _ in seen) + 1
+    inner(spark.createDataFrame([], schema=ev.schema), empty_bid)
+    empty = [
+        r
+        for r in spark.read.parquet(sink).collect()
+        if r["__batch_id"] == empty_bid
+    ]
+    assert len(empty) == 1 and empty[0]["event_type"] is None
+    assert empty[0]["n_rows"] == 0 and empty[0]["share"] is None
