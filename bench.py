@@ -180,8 +180,9 @@ EXTRA = [
     # LSH and PQ ADC→rerank) — see VERDICT r9 item 3
     "ann_lsh_recall",
     "ann_pq_recall",
-    # round 10: time-series seasonal-naive anomaly member
+    # round 10: time-series seasonal-naive anomaly + CUSUM changepoint
     "ts_anomaly",
+    "ts_changepoint",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5494,6 +5494,63 @@ FROM z
 """
 
 
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the hourly event series per
+    event_type — the "when did it change" member of the time-series
+    trio (see :func:`operators.profile.ts_changepoint`). Exact
+    integer arithmetic end-to-end: the oracle replays the scaled
+    bucket sums, the running-sum window, the n·C_t − t·T centered
+    CUSUM (HUGEINT on the DuckDB side — its decimal product would
+    overflow width 38), the earliest-argmax changepoint and the one
+    final division behind the e6-floored statistic."""
+    from spatially_databricks_etl_spark.operators.profile import ts_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return ts_changepoint(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        bucket="hour",
+        min_buckets=8,
+    )
+
+
+SQL_TS_CHANGEPOINT = """
+WITH y AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS DECIMAL(38,0)))
+              AS HUGEINT) AS ys
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket,
+         sum(ys) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS HUGEINT) AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+         sum(ys) OVER (PARTITION BY event_type) AS tot
+  FROM y),
+s AS (SELECT event_type, bucket, abs(n * cum - t * tot) AS s_abs, n, tot FROM c),
+pk AS (SELECT event_type, count(*) AS n_buckets, max(s_abs) AS smax,
+              max(n) AS nn, max(tot) AS t_tot
+       FROM s GROUP BY 1),
+am AS (SELECT s.event_type, min(s.bucket) AS cp_bucket
+       FROM s JOIN pk USING (event_type)
+       WHERE s.s_abs = pk.smax GROUP BY 1)
+SELECT pk.event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       am.cp_bucket,
+       CAST(smax AS BIGINT) AS s_abs_max,
+       CAST(floor(CASE WHEN t_tot <> 0
+                       THEN CAST(smax AS DOUBLE) / CAST(nn * abs(t_tot) AS DOUBLE)
+                  END * 1000000 + 0.5) AS BIGINT) AS cusum_e6
+FROM pk JOIN am USING (event_type)
+WHERE n_buckets >= 8
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values: first two weeks of
     January vs the rest of the month, 10 shared equal-width bins.
@@ -7140,9 +7197,11 @@ QUERIES: dict[str, QueryFn] = {
     # every ANN family's recall floor under the oracle gate
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_pq_recall": q_ann_pq_recall,
-    # round-10: the time-series member of the profiling family
-    # (VERDICT r9 item 4) — seasonal-naive residual robust-z
+    # round-10: the time-series members of the profiling family
+    # (VERDICT r9 item 4) — seasonal-naive residual robust-z anomaly
+    # scoring + CUSUM changepoint location
     "ts_anomaly": q_ts_anomaly,
+    "ts_changepoint": q_ts_changepoint,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7317,6 +7376,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ts_anomaly": SQL_TS_ANOMALY,
+    "ts_changepoint": SQL_TS_CHANGEPOINT,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

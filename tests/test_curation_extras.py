@@ -658,3 +658,47 @@ def test_ts_anomaly_flags_injected_spike(spark):
         bucket="hour", period=24, threshold=3.5,
     ).collect()
     assert out2 and all(r["z_e6"] is None and r["is_anomaly"] is None for r in out2)
+
+
+def test_ts_changepoint_locates_injected_level_shift(spark):
+    """Injected-changepoint property: a series that steps from level
+    10 to level 30 exactly at bucket 61 of 120 must report its
+    changepoint at the LAST pre-shift bucket (the centered CUSUM
+    |S_t| peaks where the mass-vs-time discrepancy is widest — the
+    boundary bucket) with a large statistic; a constant series scores
+    exactly 0 (C_t/T = t/n identically); a key under min_buckets is
+    dropped."""
+    from spatially_databricks_etl_spark.operators.profile import ts_changepoint
+
+    rows = []
+    for h in range(120):
+        day, hour = divmod(h, 24)
+        ts = f"2024-03-{day + 1:02d} {hour:02d}:00:00"
+        rows.append((ts, "shift", 10.0 if h < 60 else 30.0))
+        rows.append((ts, "flat", 20.0))
+    # a key with too few buckets to score
+    rows += [(f"2024-03-01 0{h}:00:00", "tiny", 5.0) for h in range(4)]
+    df = spark.createDataFrame(
+        rows, "ts_s string, k string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "value")
+
+    out = {
+        r["k"]: r
+        for r in ts_changepoint(
+            df, ts_col="ts", value_col="value", key_cols=["k"],
+            bucket="hour", min_buckets=8,
+        ).collect()
+    }
+    assert set(out) == {"shift", "flat"}
+    sh = out["shift"]
+    # |S'_t| = |n*C_t - t*T| peaks at t=60 (the last level-10 bucket):
+    # hour index 59 -> 2024-03-03 11:00
+    assert (sh["cp_bucket"].day, sh["cp_bucket"].hour) == (3, 11)
+    # closed form: n=120, T=1000*(60*10+60*30)=2400_000 scaled? value
+    # scale 100: y=1000/3000; T=240000; S'_60 = 120*60000 - 60*240000
+    # = 7_200_000 - 14_400_000 -> |.| = 7_200_000
+    assert sh["s_abs_max"] == 7_200_000
+    # D = 7.2e6 / (120*240000) = 0.25
+    assert sh["cusum_e6"] == 250_000
+    fl = out["flat"]
+    assert fl["s_abs_max"] == 0 and fl["cusum_e6"] == 0
