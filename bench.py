@@ -183,6 +183,8 @@ EXTRA = [
     # round 10: time-series seasonal-naive anomaly + CUSUM changepoint
     "ts_anomaly",
     "ts_changepoint",
+    # round 10: retrieval evaluation layer (recall/MRR/nDCG)
+    "retrieval_metrics",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

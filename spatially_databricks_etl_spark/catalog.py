@@ -5551,6 +5551,79 @@ WHERE n_buckets >= 8
 """
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a graded query: recall@10,
+    MRR@10 and nDCG@10 of exact cosine retrieval against LABEL-match
+    relevance on the embeddings fixture (a query's relevant set = all
+    vectors sharing its class label — the classic
+    labels-as-judgments eval). Exercises
+    :func:`operators.retrieval.retrieval_metrics` end-to-end: the
+    oracle replays the brute-force run (the established
+    list_cosine_similarity parity), the label-join qrels, the
+    first-hit reciprocal rank, and the DCG/IDCG sums with
+    log2 = ln/ln2 on both engines (binary gains, so every DCG term
+    is 1/log2(rank+1))."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = brute_force_topk(emb, queries, k=10, query_id_col="query_id").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qlab = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    )
+    qrels = qlab.join(lab, qlab["__ql"] == lab["label"]).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel")
+    )
+    return retrieval_metrics(run, qrels, k=10)
+
+
+SQL_RETRIEVAL_METRICS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS qlab FROM e WHERE vec_id < 20),
+tscored AS (SELECT q.query_id, e.vec_id AS doc_id,
+                   list_cosine_similarity(e.v, q.qv) AS s
+            FROM e CROSS JOIN q),
+run AS (SELECT query_id, doc_id, rnk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+          FROM tscored) WHERE rnk <= 10),
+rels AS (SELECT q.query_id, e.vec_id AS doc_id
+         FROM q JOIN e ON e.label = q.qlab),
+hits AS (SELECT r.query_id, r.rnk FROM run r JOIN rels USING (query_id, doc_id)),
+pqh AS (SELECT query_id, count(*) AS n_hits, min(rnk) AS first_rank,
+               -- binary gains: each DCG term is 1/log2(rank+1), with
+               -- log2 = ln/ln2 exactly as the Spark side computes it
+               sum(1.0 / (ln(rnk + 1.0) / 0.6931471805599453)) AS dcg
+        FROM hits GROUP BY 1),
+pqr AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY 1),
+ideal AS (SELECT query_id, irank FROM (
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS irank
+            FROM rels) WHERE irank <= 10),
+pqi AS (SELECT query_id, sum(1.0 / (ln(irank + 1.0) / 0.6931471805599453)) AS idcg
+        FROM ideal GROUP BY 1)
+SELECT r.query_id,
+       CAST(r.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(floor(coalesce(h.n_hits, 0) / CAST(r.n_rel AS DOUBLE) * 1000000 + 0.5)
+            AS BIGINT) AS recall_e6,
+       CAST(floor(coalesce(1.0 / h.first_rank, 0.0) * 1000000 + 0.5)
+            AS BIGINT) AS mrr_e6,
+       CAST(floor(coalesce(h.dcg / i.idcg, 0.0) * 1000000 + 0.5)
+            AS BIGINT) AS ndcg_e6
+FROM pqr r JOIN pqi i USING (query_id) LEFT JOIN pqh h USING (query_id)
+"""
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of event values: first two weeks of
     January vs the rest of the month, 10 shared equal-width bins.
@@ -7202,6 +7275,9 @@ QUERIES: dict[str, QueryFn] = {
     # scoring + CUSUM changepoint location
     "ts_anomaly": q_ts_anomaly,
     "ts_changepoint": q_ts_changepoint,
+    # round-10: the measurement layer for the retrieval family —
+    # recall@k / MRR@k / nDCG@k of any run against any judgment set
+    "retrieval_metrics": q_retrieval_metrics,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7377,6 +7453,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ts_anomaly": SQL_TS_ANOMALY,
     "ts_changepoint": SQL_TS_CHANGEPOINT,
+    "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

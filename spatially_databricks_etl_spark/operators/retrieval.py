@@ -722,3 +722,130 @@ def bm25_search_index(
         rank_col="rank",
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics — recall@k, MRR@k and
+    nDCG@k (Järvelin & Kekäläinen, "Cumulated gain-based evaluation
+    of IR techniques", TOIS 2002) — over a ranked ``run`` (query_id,
+    doc_id, rank: any retriever output in this module's contract)
+    judged against ``qrels`` (query_id, doc_id, rel > 0, graded).
+    This is the measurement layer every retrieval/RAG stack needs
+    next to its retrievers: the recall ORACLES grade fixed pinned
+    paths; this operator evaluates ANY run against ANY judgment set.
+
+    - recall@k = |top-k ∩ relevant| / |relevant| — exact integer
+      ratio;
+    - MRR@k = 1/rank of the first relevant hit (0 when none) — exact
+      reciprocal of a small integer;
+    - DCG@k = Σ_hits (2^rel − 1)/log2(rank+1), IDCG@k the same sum
+      over the query's top-k judgments by (rel DESC, doc_id), and
+      nDCG = DCG/IDCG. log2 is computed as ln(x)/ln(2) on BOTH
+      engines so cross-engine parity rests on the already-pinned ln
+      (the BM25 idf precedent); gains 2^rel − 1 are exact small
+      integers. ``quantize`` e6-floors the three ratios (the repo's
+      derived-continuous-score idiom).
+
+    Rows with rel ≤ 0 or null are ignored (a qrels file often carries
+    judged-irrelevant rows); queries present in qrels but absent from
+    the run still emit a row (recall/mrr/ndcg = 0) — silent query
+    drop-out is exactly what an eval harness must surface.
+
+    Scale shape: one equi-join of the (n_queries·k)-bounded run
+    against qrels, two per-query hash aggregates, and a window over
+    qrels bounded per query — every frame is judgment-sized, never
+    corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    LN2 = 0.6931471805599453  # ln(2), the same literal both engines fold
+    rels = qrels.filter(
+        F.col(rel_col).isNotNull() & (F.col(rel_col) > 0)
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    runk = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    hits = runk.join(rels, ["query_id", "doc_id"]).select(
+        "query_id",
+        "rank",
+        (gain / (F.log(F.col("rank") + F.lit(1.0)) / F.lit(LN2))).alias("__dg"),
+    )
+    per_q_hits = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rank").alias("__first"),
+        F.sum("__dg").alias("__dcg"),
+    )
+    ideal = top_k_per_group(
+        rels,
+        ["query_id"],
+        [F.col("rel").desc(), F.col("doc_id")],
+        k,
+        rank_col="__irank",
+    ).select(
+        "query_id",
+        (gain / (F.log(F.col("__irank") + F.lit(1.0)) / F.lit(LN2))).alias("__idg"),
+    )
+    per_q_rel = rels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    per_q_ideal = ideal.groupBy("query_id").agg(F.sum("__idg").alias("__idcg"))
+    out = (
+        per_q_rel.join(per_q_ideal, "query_id")
+        .join(per_q_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("__recall"),
+            F.coalesce(
+                F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+            ).alias("__mrr"),
+            F.coalesce(F.col("__dcg") / F.col("__idcg"), F.lit(0.0)).alias(
+                "__ndcg"
+            ),
+        )
+    )
+    if quantize is None:
+        return out.select(
+            "query_id",
+            "n_rel",
+            "n_hits",
+            F.col("__recall").alias("recall"),
+            F.col("__mrr").alias("mrr"),
+            F.col("__ndcg").alias("ndcg"),
+        )
+    q = float(10**quantize)
+
+    def e6(c):
+        return F.floor(F.col(c) * F.lit(q) + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "query_id",
+        "n_rel",
+        "n_hits",
+        e6("__recall").alias("recall_e6"),
+        e6("__mrr").alias("mrr_e6"),
+        e6("__ndcg").alias("ndcg_e6"),
+    )

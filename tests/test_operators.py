@@ -1726,3 +1726,50 @@ def test_minhash_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
         map(tuple, minhash_search_index(batch, live, threshold=0.5).collect())
     )
     assert after == want
+
+
+def test_retrieval_metrics_closed_form(spark):
+    """Hand case pinning all three metrics: graded gains, the
+    first-relevant reciprocal rank, judged-irrelevant (rel=0) rows
+    ignored, and a query missing from the run emitting zeros rather
+    than disappearing."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "a", 1)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, "b", 2),   # hit at rank 2, gain 3
+            (1, "c", 1),   # hit at rank 3, gain 1
+            (1, "z", 3),   # relevant, not retrieved
+            (1, "a", 0),   # judged irrelevant: ignored entirely
+            (2, "q", 1),   # query 2: nothing retrieved is relevant
+            (3, "x", 1),   # query 3: absent from the run -> zeros
+        ],
+        "query_id int, doc_id string, rel int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(run, qrels, k=10).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    def log2(x):
+        return math.log(x) / 0.6931471805599453
+
+    r1 = got[1]
+    assert (r1["n_rel"], r1["n_hits"]) == (3, 2)
+    assert r1["recall_e6"] == math.floor(2 / 3 * 1e6 + 0.5)
+    assert r1["mrr_e6"] == 500_000  # first relevant at rank 2
+    dcg = 3 / log2(3.0) + 1 / log2(4.0)
+    # ideal order by (rel desc, doc_id): z(3), b(2), c(1)
+    idcg = 7 / log2(2.0) + 3 / log2(3.0) + 1 / log2(4.0)
+    assert r1["ndcg_e6"] == math.floor(dcg / idcg * 1e6 + 0.5)
+    assert (got[2]["n_hits"], got[2]["mrr_e6"], got[2]["ndcg_e6"]) == (0, 0, 0)
+    assert (got[3]["n_rel"], got[3]["n_hits"], got[3]["recall_e6"]) == (1, 0, 0)

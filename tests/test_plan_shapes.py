@@ -120,6 +120,7 @@ def test_no_catalog_query_plans_a_smell(spark):
         "ann_recall",
         "ann_lsh_recall",
         "ann_pq_recall",
+        "retrieval_metrics",
         # one-row contingency-totals frame via broadcast cross join —
         # the accepted scalar-join pattern
         "drift_chi2",
