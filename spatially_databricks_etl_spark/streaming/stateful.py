@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -649,5 +650,118 @@ def heavy_hitters_monitor_sink(
             )
         finally:
             release_intermediates(hh)
+
+    return write
+
+
+def seasonal_monitor_sink(
+    path: str,
+    reference: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: "list[str] | None" = None,
+    threshold: float = 3.5,
+    value_decimals: int = 2,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` seasonal-anomaly monitor — the streaming
+    sibling of :func:`operators.profile.ts_anomaly`, in the
+    static-reference shape all the drift sinks use (a micro-batch
+    rarely contains its own prior season, so the seasonal expectation
+    comes from a profiled REFERENCE window instead of a lag):
+
+    - at sink construction, the reference frame profiles once into
+      per (key..., hour-of-day) robust level stats — exact-decimal
+      hourly bucket sums (the ts_anomaly discipline), then
+      median/MAD via ``F.percentile`` — a |keys|·24-row frame,
+      persisted and broadcast into every batch;
+    - per micro-batch, the batch's hourly bucket sums join their
+      phase stats and score z = 0.6745·(y − med)/MAD; one row per
+      (key, bucket) lands through the idempotent
+      batch_id-partitioned writer as (key..., bucket, y, z_e6,
+      is_anomaly). MAD = 0 phases yield null z (the robust_zscore
+      degenerate contract); phases unseen in the reference emit the
+      row with null z — a silent drop would hide exactly the novel
+      traffic an anomaly monitor exists to flag.
+
+    Division of monitoring labor: drift sinks page when the VALUE
+    DISTRIBUTION moves, the quality sink when row contracts fail,
+    the heavy-hitters sink when one key dominates, this when a key's
+    VOLUME/LEVEL leaves its seasonal envelope (traffic drop, job
+    stall, runaway producer at 3 am).
+
+    Scale shape: the reference pays one hash aggregate + one
+    per-(key, phase) percentile at construction; each batch pays one
+    hash aggregate over the micro-batch plus a broadcast join against
+    the 24·|keys|-row profile. Replays overwrite their own partition
+    (:func:`foreach_batch_writer`).
+    """
+    keys = list(key_cols) if key_cols else ["event_type"]
+    scale = float(10**value_decimals)
+
+    def bucket_sums(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+            .groupBy(
+                *[F.col(k) for k in keys],
+                F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            )
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("__ys")
+            )
+            .withColumn("y", F.col("__ys").cast("double") / F.lit(scale))
+            .withColumn("__phase", F.hour("bucket"))
+        )
+
+    profile = (
+        bucket_sums(reference)
+        .groupBy(*[F.col(k) for k in keys], F.col("__phase"))
+        .agg(F.percentile(F.col("y"), F.lit(0.5)).alias("__med"))
+    )
+    ref_with_med = bucket_sums(reference).join(
+        F.broadcast(profile), [*keys, "__phase"]
+    )
+    stats = (
+        ref_with_med.groupBy(*[F.col(k) for k in keys], F.col("__phase"))
+        .agg(
+            F.percentile(
+                F.abs(F.col("y") - F.col("__med")), F.lit(0.5)
+            ).alias("__mad"),
+            F.min("__med").alias("__med"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats.count()  # force the reference profile once, at construction
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        scored = bucket_sums(batch_df).join(
+            F.broadcast(stats), [*keys, "__phase"], "left"
+        )
+        z = F.when(
+            F.col("__mad") > 0.0,
+            F.lit(0.6745) * (F.col("y") - F.col("__med")) / F.col("__mad"),
+        )
+        base(
+            scored.select(
+                *keys,
+                "bucket",
+                "y",
+                F.floor(z * F.lit(1000000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("z_e6"),
+                F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).alias(
+                    "is_anomaly"
+                ),
+            ),
+            batch_id,
+        )
 
     return write

@@ -1249,3 +1249,95 @@ def test_heavy_hitters_monitor_sink_matches_batch_and_replays(spark, tmp_path):
     ]
     assert len(empty) == 1 and empty[0]["event_type"] is None
     assert empty[0]["n_rows"] == 0 and empty[0]["share"] is None
+
+
+def test_seasonal_monitor_sink_matches_independent_recompute(spark, tmp_path):
+    """Streaming seasonal-anomaly monitor: every micro-batch's sink
+    rows must equal an INDEPENDENT pure-Python recompute — reference
+    profiled to per-(key, hour-of-day) median/MAD of the exact scaled
+    hourly sums, each batch bucket scored 0.6745·(y − med)/MAD with
+    the same IEEE op order — including the MAD=0 → null-z degenerate
+    and e6 floors. Replay overwrites in place."""
+    import statistics
+    from collections import defaultdict
+    from math import floor
+
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        seasonal_monitor_sink,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    ref = ev.limit(2000)
+    src = str(tmp_path / "sm_src")
+    sink = str(tmp_path / "sm_sink")
+    ev.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = seasonal_monitor_sink(sink, ref, key_cols=["event_type"])
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # independent reference profile in plain Python
+    def bucket_sums(rows):
+        acc: dict = defaultdict(int)
+        for r in rows:
+            if r["ts"] is None or r["value"] is None:
+                continue
+            b = r["ts"].replace(minute=0, second=0, microsecond=0)
+            acc[(r["event_type"], b)] += floor(r["value"] * 100 + 0.5)
+        return {k: v / 100 for k, v in acc.items()}
+
+    ref_sums = bucket_sums(ref.collect())
+    by_phase: dict = defaultdict(list)
+    for (k, b), y in ref_sums.items():
+        by_phase[(k, b.hour)].append(y)
+    prof = {}
+    for kp, ys in by_phase.items():
+        med = statistics.median(ys)
+        mad = statistics.median([abs(y - med) for y in ys])
+        prof[kp] = (med, mad)
+
+    rows = spark.read.parquet(sink).collect()
+    got = {
+        (r["__batch_id"], r["event_type"], r["bucket"]): (
+            r["y"],
+            r["z_e6"],
+            r["is_anomaly"],
+        )
+        for r in rows
+    }
+    assert len(seen) >= 2 and len(got) == len(rows)
+    n_checked = 0
+    for bid, batch_rows in seen:
+        for (k, b), y in bucket_sums(batch_rows).items():
+            stats = prof.get((k, b.hour))
+            if stats is None or stats[1] == 0.0:
+                want = (y, None, None)
+            else:
+                med, mad = stats
+                z = 0.6745 * (y - med) / mad
+                want = (y, floor(z * 1000000.0 + 0.5), abs(z) > 3.5)
+            assert got[(bid, k, b)] == want, (bid, k, b, got[(bid, k, b)], want)
+            n_checked += 1
+    assert n_checked == len(rows)
+
+    # verbatim replay of the last batch: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=ev.schema), bid)
+    after = {
+        (r["__batch_id"], r["event_type"], r["bucket"]): (
+            r["y"],
+            r["z_e6"],
+            r["is_anomaly"],
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert after == got
