@@ -765,3 +765,62 @@ def seasonal_monitor_sink(
         )
 
     return write
+
+
+def index_ingest_sink(path: str, append, *, empty_batches_log: bool = True):
+    """``foreachBatch`` INGEST into a persisted index — the streaming
+    write path for the whole index family: pass any of the family's
+    appenders (``bm25_append_index``, ``minhash``-style writers take
+    ``(batch_df, path)`` — so do ``lsh/ivf/ivfpq_append_index``) and
+    every micro-batch appends incrementally, never re-processing the
+    standing corpus (the appenders' contract).
+
+    Idempotence — the part a bare appender cannot give you: appends
+    are NOT naturally replay-safe (a restarted query re-delivers the
+    last micro-batch, and appending it twice double-counts postings /
+    duplicates vectors — the one violation the append contracts
+    forbid). This sink implements the keyed-transaction pattern the
+    :func:`foreach_batch_writer` docstring points to for Delta
+    (``txnAppId``/``txnVersion``), on plain parquet: a tiny
+    ``{path}/_ingest_log`` sidecar records every committed batch_id;
+    a batch already in the log is SKIPPED wholesale. Residual window,
+    stated honestly: if the process dies between append-complete and
+    log-commit, the replay re-appends (at-least-once for that one
+    batch). Closing that window needs an atomic commit protocol —
+    exactly what Delta's transaction log provides and this
+    environment cannot install (SCALE.md "Dependency gates"); on
+    such a store, swap the log for the table's native txn keys.
+
+    ``empty_batches_log=True`` logs empty batches too (so a replayed
+    empty batch skips the appender — some appenders pay a standing-
+    index read even for zero rows).
+
+    Scale shape: the log read is one tiny sidecar scan per batch
+    (batch-count rows); everything else is the appender's own
+    incremental cost. Compaction (``*_compact_index``) is unaffected
+    — it rewrites data generations, and the log keeps only batch ids,
+    not layout.
+    """
+    from pyspark.errors import AnalysisException
+
+    log_path = f"{path}/_ingest_log"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            done = spark.read.parquet(log_path).filter(
+                F.col("batch_id") == int(batch_id)
+            ).limit(1).count()
+        except AnalysisException:
+            done = 0
+        if done:
+            return
+        is_empty = batch_df.limit(1).count() == 0
+        if not is_empty:
+            append(batch_df, path)
+        if not is_empty or empty_batches_log:
+            spark.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).write.mode("append").parquet(log_path)
+
+    return write

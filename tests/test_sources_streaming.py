@@ -1341,3 +1341,103 @@ def test_seasonal_monitor_sink_matches_independent_recompute(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert after == got
+
+
+def test_index_ingest_sink_streams_into_ivf_exactly_once(spark, tmp_path):
+    """Streaming ingest into a persisted IVF index: a base build plus
+    micro-batch appends through index_ingest_sink must search exactly
+    like one full build (the append ≡ rebuild identity), and a
+    replayed batch must be SKIPPED via the ingest log — search results
+    and log rows unchanged."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter("vec_id < 150")
+    rest = emb.filter("vec_id >= 150")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+
+    live = str(tmp_path / "ivf_stream")
+    ivf_write_index(base, live, centroids=cents)
+
+    src = str(tmp_path / "ivf_src")
+    rest.repartition(3).write.parquet(src)
+    seen: list[tuple[int, list]] = []
+    inner = index_ingest_sink(live, ivf_append_index)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(rest.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(seen) >= 2
+
+    full = str(tmp_path / "ivf_full")
+    ivf_write_index(emb, full, centroids=cents)
+    got = sorted(map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect()))
+    want = sorted(map(tuple, ivf_search_index(queries, full, k=10, nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+    # the log holds one row per delivered batch; a replay is a no-op
+    log_before = spark.read.parquet(f"{live}/_ingest_log").count()
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=rest.schema), bid)
+    assert spark.read.parquet(f"{live}/_ingest_log").count() == log_before
+    after = sorted(map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect()))
+    assert after == want
+
+
+def test_index_ingest_sink_bm25_replay_skipped(spark, tmp_path):
+    """The same sink wraps the BM25 appender: two batches land, a
+    replayed batch is skipped (postings, df AND the meta totals would
+    all double otherwise), an empty batch logs without touching the
+    index, and the final index equals a full rebuild."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 = 1")
+    b2 = docs.filter("doc_id % 3 = 2")
+    live = str(tmp_path / "bm25_stream")
+    bm25_write_index(b0, live)
+    sink = index_ingest_sink(live, bm25_append_index)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # replay: must be skipped
+    sink(spark.createDataFrame([], "doc_id long, text string"), 2)  # empty: log only
+
+    full = str(tmp_path / "bm25_full2")
+    bm25_write_index(docs, full)
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")], "query_id int, query string"
+    )
+    got = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    want = sorted(map(tuple, bm25_search_index(qs, full, k=10, quantize=6).collect()))
+    assert got == want and len(got) > 0
+    m_live = json.loads(
+        spark.read.json(f"{live}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_full = json.loads(
+        spark.read.json(f"{full}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    assert m_live == m_full
+    assert spark.read.parquet(f"{live}/_ingest_log").count() == 3
