@@ -2,6 +2,7 @@ from spatially_databricks_etl_spark.sources.files import (
     read_csv,
     read_json,
     read_parquet,
+    read_parquet_evolved,
 )
 from spatially_databricks_etl_spark.sources.rest import (
     fetch_paginated_to_df,
@@ -12,6 +13,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_parquet_evolved",
     "fetch_paginated_to_df",
     "paginated_offsets_df",
 ]

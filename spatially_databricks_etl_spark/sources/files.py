@@ -10,6 +10,7 @@ every reader takes ``schema=``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -51,6 +52,99 @@ def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
     call site (ReadSchema shrinks to the requested columns)."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType | str,
+    *,
+    extra: str = "drop",
+) -> DataFrame:
+    """Schema-drift-tolerant parquet scan — the read every long-lived
+    lake needs once files from different pipeline versions share a
+    directory (no reference analog; its one-shot notebook never
+    re-reads its own output, `Spatially ETL test.py:237`):
+
+    - file generations are grouped by their PHYSICAL schema (Spark's
+      own ``mergeSchema`` hard-fails on a type conflict like
+      int→string, so conflicts are resolved here, not merged there);
+    - each group is ALIGNED to ``target_schema``: present columns
+      ``try_cast`` to the target type (null on an incompatible value,
+      never an ANSI runtime error mid-scan — the dirty-CSV
+      discipline), columns missing from a generation materialize as
+      typed nulls, and the aligned groups union by name;
+    - ``extra`` decides whether unexpected columns are dropped
+      (default — the consumer contract wins) or kept
+      (``extra="keep"``: appended after the target columns AS
+      STRINGS, since the same stray column may carry different types
+      in different generations — forensics, not a contract).
+
+    Scale note: footer-schema discovery is O(#files) driver work (one
+    footer read per file, the same cost class as ``mergeSchema``'s
+    planning pass); on a huge directory prefer a table format that
+    tracks schema in metadata. Column pruning still reaches the
+    scans: alignment is a plain projection per group, so unselected
+    source columns are never read.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    if extra not in ("drop", "keep"):
+        raise ValueError(f"extra must be 'drop' or 'keep', got {extra!r}")
+    target = (
+        _parse_datatype_string(target_schema)
+        if isinstance(target_schema, str)
+        else target_schema
+    )
+    # FS-agnostic file listing (binaryFile works on any Hadoop FS)
+    files = [
+        r["path"]
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("path")
+        .collect()
+    ]
+    if not files:
+        raise ValueError(f"read_parquet_evolved: no parquet files under {path}")
+    groups: dict[str, list[str]] = {}
+    schemas: dict[str, StructType] = {}
+    for f in files:
+        sch = spark.read.parquet(f).schema
+        key = sch.simpleString()
+        groups.setdefault(key, []).append(f)
+        schemas[key] = sch
+    tnames = [f.name for f in target.fields]
+    extras = sorted(
+        {
+            f.name
+            for sch in schemas.values()
+            for f in sch.fields
+            if f.name not in set(tnames)
+        }
+    ) if extra == "keep" else []
+
+    aligned = []
+    for key, group_files in sorted(groups.items()):
+        have = {f.name for f in schemas[key].fields}
+        df = spark.read.schema(schemas[key]).parquet(*group_files)
+        cols = []
+        for f in target.fields:
+            dt = f.dataType.simpleString()
+            if f.name in have:
+                cols.append(F.col(f.name).try_cast(dt).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(dt).alias(f.name))
+        for name in extras:
+            if name in have:
+                cols.append(F.col(name).cast("string").alias(name))
+            else:
+                cols.append(F.lit(None).cast("string").alias(name))
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for part in aligned[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def read_orc(

@@ -1441,3 +1441,46 @@ def test_index_ingest_sink_bm25_replay_skipped(spark, tmp_path):
     )
     assert m_live == m_full
     assert spark.read.parquet(f"{live}/_ingest_log").count() == 3
+
+
+def test_read_parquet_evolved_aligns_schema_generations(spark, tmp_path):
+    """Schema-drift-tolerant scan: two file generations with a type
+    change (int -> string id), a dropped column and an added column
+    must read as ONE frame aligned to the target schema — try_cast
+    nulls the incompatible value instead of an ANSI error, missing
+    columns materialize as typed nulls, and extra='keep' appends the
+    unexpected column for forensics."""
+    from spatially_databricks_etl_spark.sources.files import read_parquet_evolved
+
+    p = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, 10.0, "old")], "id int, amount double, legacy string"
+    ).write.parquet(p + "/gen1")
+    spark.createDataFrame(
+        [("x2", 20.0, True)], "id string, amount double, flag boolean"
+    ).write.parquet(p + "/gen2")
+    # move files into one directory (two generations side by side)
+    import glob
+    import shutil
+
+    for f in glob.glob(p + "/gen1/*.parquet") + glob.glob(p + "/gen2/*.parquet"):
+        shutil.move(f, p)
+    shutil.rmtree(p + "/gen1")
+    shutil.rmtree(p + "/gen2")
+
+    out = read_parquet_evolved(
+        spark, p, "id long, amount double, flag boolean, brand string"
+    )
+    assert [f.name for f in out.schema.fields] == ["id", "amount", "flag", "brand"]
+    rows = sorted(out.collect(), key=lambda r: r["amount"])
+    # gen1: id=1 casts to long; flag/brand missing -> nulls
+    assert tuple(rows[0]) == (1, 10.0, None, None)
+    # gen2: id='x2' fails the long try_cast -> null, flag survives
+    assert tuple(rows[1]) == (None, 20.0, True, None)
+
+    kept = read_parquet_evolved(
+        spark, p, "id long, amount double", extra="keep"
+    )
+    assert "legacy" in kept.columns and "flag" in kept.columns
+    with pytest.raises(ValueError, match="extra"):
+        read_parquet_evolved(spark, p, "id long", extra="wat")
