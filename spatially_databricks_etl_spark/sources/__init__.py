@@ -5,8 +5,10 @@ from spatially_databricks_etl_spark.sources.files import (
     read_parquet_evolved,
 )
 from spatially_databricks_etl_spark.sources.rest import (
+    PagedRestDataSource,
     fetch_paginated_to_df,
     paginated_offsets_df,
+    register_paged_rest,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "read_parquet_evolved",
     "fetch_paginated_to_df",
     "paginated_offsets_df",
+    "PagedRestDataSource",
+    "register_paged_rest",
 ]

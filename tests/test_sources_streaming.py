@@ -1484,3 +1484,50 @@ def test_read_parquet_evolved_aligns_schema_generations(spark, tmp_path):
     assert "legacy" in kept.columns and "flag" in kept.columns
     with pytest.raises(ValueError, match="extra"):
         read_parquet_evolved(spark, p, "id long", extra="wat")
+
+
+def test_paged_rest_python_datasource(spark):
+    """The Spark 4 Python Data Source: registration makes paged
+    REST ingest a first-class format — partitioned executor-side
+    fetches (one task per page group), user schema honored, and the
+    SQL surface (CREATE TEMPORARY VIEW ... USING paged_rest) works.
+    The offline synthetic fetcher stands in for HTTP (egress-less
+    env); a real deployment points fetch_fn at default_fetch_page."""
+    from spatially_databricks_etl_spark.sources.rest import register_paged_rest
+
+    register_paged_rest(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .schema("id long, v string")
+        .option("total_records", "25")
+        .option("limit", "10")
+        .option("pages_per_partition", "1")
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r["id"] for r in rows) == list(range(25))
+    assert {r["v"] for r in rows} == {f"r{i}" for i in range(25)}
+    # 3 pages, 1 page per partition -> 3 parallel fetch tasks
+    parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts == 3
+
+    # SQL surface: the source composes with CREATE ... USING
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW rest_view (id long, v string)
+        USING paged_rest
+        OPTIONS (total_records '12', `limit` '5')
+        """
+    )
+    assert spark.sql("select count(*) n from rest_view").collect()[0]["n"] == 12
+
+    # a malformed fetch_fn spec fails loudly on read
+    bad = (
+        spark.read.format("paged_rest")
+        .schema("id long, v string")
+        .option("total_records", "5")
+        .option("fetch_fn", "nodotsep")
+        .load()
+    )
+    with pytest.raises(Exception, match="module:callable"):
+        bad.collect()
