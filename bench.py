@@ -185,6 +185,8 @@ EXTRA = [
     "ts_changepoint",
     # round 10: retrieval evaluation layer (recall/MRR/nDCG)
     "retrieval_metrics",
+    # round 10: Spark 4 VARIANT semi-structured path
+    "variant_fns",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

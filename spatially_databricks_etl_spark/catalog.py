@@ -931,6 +931,53 @@ FROM events GROUP BY 1
 """
 
 
+def q_variant_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    ``props`` JSON parses ONCE into a variant column
+    (``parse_json`` — a binary-encoded tree, decoded per-path instead
+    of per-string re-parse, the open-format answer to repeated
+    ``get_json_object`` scans) and ``variant_get`` does typed path
+    extraction; ``schema_of_variant`` proves the value round-tripped
+    as structure, not text. Same aggregation shape as
+    :func:`q_json_fns` so the two paths cross-check; the oracle
+    replays the typed extraction with DuckDB's JSON path functions
+    (variant is an encoding, not a semantics change — identical
+    values fall out)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "value", F.parse_json("props").alias("__v")
+    )
+    k = F.variant_get("__v", "$.k", "long")
+    return (
+        v.select(
+            "event_type",
+            k.alias("__k"),
+            F.schema_of_variant(F.col("__v")).alias("__sch"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.min("__k").cast("long").alias("min_k"),
+            F.max("__k").cast("long").alias("max_k"),
+            F.count_distinct(F.col("__sch")).cast("long").alias("n_schemas"),
+        )
+    )
+
+
+SQL_VARIANT_FNS = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       -- every props row is {"k": <int>} -> one variant schema
+       CAST(count(DISTINCT 'OBJECT<k: BIGINT>') AS BIGINT) AS n_schemas
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -7278,6 +7325,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-10: the measurement layer for the retrieval family —
     # recall@k / MRR@k / nDCG@k of any run against any judgment set
     "retrieval_metrics": q_retrieval_metrics,
+    # round-10: Spark 4 VARIANT semi-structured path (parse once,
+    # typed per-path extraction) cross-checking the json_fns shape
+    "variant_fns": q_variant_fns,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7454,6 +7504,7 @@ ORACLES: dict[str, str] = {
     "ts_anomaly": SQL_TS_ANOMALY,
     "ts_changepoint": SQL_TS_CHANGEPOINT,
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
+    "variant_fns": SQL_VARIANT_FNS,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
