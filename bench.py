@@ -187,6 +187,8 @@ EXTRA = [
     "retrieval_metrics",
     # round 10: Spark 4 VARIANT semi-structured path
     "variant_fns",
+    # round 10: as-of join through the cogrouped Arrow boundary
+    "asof_join_cogroup",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -645,6 +645,33 @@ FROM events
 """
 
 
+def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of query as :func:`q_asof_join`, executed through
+    the cogrouped Arrow boundary (``cogroup().applyInPandas`` +
+    ``pandas.merge_asof`` per key group) instead of the union+window
+    plan — two independent engine paths against ONE oracle, which is
+    exactly what pins the as-of semantics (at-or-before, per key)
+    rather than one implementation's quirks."""
+    from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    out = asof_join_cogroup(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+        direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("error_ts").alias("last_error_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sort / top-k
 # ---------------------------------------------------------------------------
@@ -7328,6 +7355,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-10: Spark 4 VARIANT semi-structured path (parse once,
     # typed per-path extraction) cross-checking the json_fns shape
     "variant_fns": q_variant_fns,
+    # round-10: the as-of join through the cogrouped Arrow boundary —
+    # a second engine path against the same oracle
+    "asof_join_cogroup": q_asof_join_cogroup,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7505,6 +7535,7 @@ ORACLES: dict[str, str] = {
     "ts_changepoint": SQL_TS_CHANGEPOINT,
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "variant_fns": SQL_VARIANT_FNS,
+    "asof_join_cogroup": SQL_ASOF_JOIN,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,

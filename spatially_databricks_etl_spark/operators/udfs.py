@@ -114,3 +114,88 @@ def tokenize_lateral(df: DataFrame, text_col: str, *carry: str) -> DataFrame:
         f"SELECT {cols}, t.pos, t.tok "
         f"FROM __tokenize_src s, LATERAL tokenize_udtf(s.{text_col}) t"
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: "list[str]",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join through the COGROUPED Arrow boundary
+    (``groupBy(k).cogroup(right.groupBy(k)).applyInPandas``) — the
+    same semantics as ``relational.asof_join`` (most recent right row
+    at-or-before each left row, per key; ``forward`` for
+    at-or-after), executed as one ``pandas.merge_asof`` per key group
+    instead of the union+window plan. Kept alongside the relational
+    form for two reasons: it completes the Python-boundary family
+    (pandas UDF, UDAF, grouped map, UDTF — and now cogrouped map,
+    the one Arrow entry point the engine didn't exercise), and it is
+    the natural host for merge logic SQL windows cannot express
+    (tolerance bounds, nearest-of-both-directions, per-group custom
+    tie rules — pandas ``merge_asof`` exposes all three).
+
+    Contracts: rows with a null left time emit with null annotations
+    (they order nowhere); null right times never match. Ties on the
+    right time resolve to the LATEST right row in (time, input
+    order) — pandas' stable sort, matching the window form's
+    last-wins fold. Output schema = left columns + ``right_values``
+    (names must not collide with left columns, except the
+    ``right_time`` column itself).
+
+    Scale shape: one shuffle of each side on the key (exactly the
+    union+window plan's cost), then per-group Arrow batches; the
+    per-group merge is O(n log n) local work. Skewed keys behave
+    like any cogroup — AQE cannot split a single group, so a
+    mega-key needs pre-bucketing (the documented cogroup trade vs
+    the window form, which shares the same limit per partition
+    ordering)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    left_names = set(left.columns)
+    out_fields = list(left.schema.fields) + [
+        StructField(c, right.schema[c].dataType, True)
+        for c in right_values
+        if c not in left_names
+    ]
+    schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+    val_cols = [c for c in right_values if c not in left_names]
+    lt, rt, d = left_time, right_time, direction
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        lnull = l[l[lt].isna()]
+        lok = l[l[lt].notna()].sort_values(lt, kind="stable")
+        r2 = r[r[rt].notna()].sort_values(rt, kind="stable") if not r.empty else r
+        if r2 is None or len(r2) == 0:
+            m = lok.copy()
+            for c in val_cols:
+                m[c] = None
+        else:
+            m = pd.merge_asof(
+                lok,
+                r2[[rt, *[c for c in right_values if c != rt]]],
+                left_on=lt,
+                right_on=rt,
+                direction=d,
+            )
+        if len(lnull):
+            ln = lnull.copy()
+            for c in val_cols:
+                ln[c] = None
+            m = pd.concat([m, ln], ignore_index=True)
+        return m[out_cols]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema)
+    )

@@ -892,3 +892,58 @@ def test_ivfpq_delete_index_matches_rebuild_and_compacts(spark, tmp_path):
         map(tuple, ivfpq_search_index(queries, live, k=10, nprobe=2).collect())
     )
     assert after == want
+
+
+def test_asof_join_cogroup_matches_window_form(spark):
+    """The cogrouped-Arrow as-of merge must agree with the
+    union+window asof_join on the fixture (both directions), emit
+    null annotations for null-time left rows, and null-match against
+    an empty right side."""
+    from spatially_databricks_etl_spark.operators.relational import asof_join
+    from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
+
+    ev = load_table(spark, SF_DIR, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    for direction in ("backward", "forward"):
+        a = sorted(
+            map(
+                tuple,
+                asof_join(
+                    left, errors, on="user_id", left_time="ts",
+                    right_time="error_ts", right_values=["error_ts"],
+                    direction=direction,
+                ).collect(),
+            ),
+            key=repr,
+        )
+        b = sorted(
+            map(
+                tuple,
+                asof_join_cogroup(
+                    left, errors, on="user_id", left_time="ts",
+                    right_time="error_ts", right_values=["error_ts"],
+                    direction=direction,
+                ).collect(),
+            ),
+            key=repr,
+        )
+        assert a == b and len(a) > 0, direction
+
+    # null left time -> row kept with null annotation; empty right ->
+    # all annotations null
+    l2 = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00"), (2, 7, None)],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = asof_join_cogroup(
+        l2,
+        errors.filter("user_id = -1"),
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+    ).collect()
+    assert len(out) == 2 and all(r["error_ts"] is None for r in out)
