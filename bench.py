@@ -189,6 +189,8 @@ EXTRA = [
     "variant_fns",
     # round 10: as-of join through the cogrouped Arrow boundary
     "asof_join_cogroup",
+    # round 10: Spark 4 recursive CTE reachability
+    "transitive_closure",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

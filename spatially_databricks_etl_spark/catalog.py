@@ -645,6 +645,67 @@ FROM events
 """
 
 
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE graph reachability (Spark 4's ``WITH RECURSIVE``,
+    SPARK-24497) — BFS over the event-type transition graph: distinct
+    (prev_type → type) edges from each user's time-ordered stream,
+    then bounded recursion from the 'signup' seed producing per-node
+    shortest-hop distance and bounded-depth path counts. The same SQL
+    text runs on both engines (DuckDB's recursive CTE is the oracle),
+    so this pins the recursion semantics — seed row, per-step join,
+    cycle behavior under the depth bound — not just the fixture
+    values. The iterative-DataFrame sibling of this shape is
+    ``neardup_clusters`` (driver-side loop); this is the declarative
+    form the SQL surface now supports."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__tc_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS src,
+                   event_type AS dst
+            FROM __tc_events) WHERE src IS NOT NULL
+        ),
+        reach(node, hops) AS (
+          SELECT CAST('signup' AS STRING), 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hops < 3
+        )
+        SELECT node,
+               CAST(min(hops) AS BIGINT) AS min_hops,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY node
+        """
+    )
+
+
+SQL_TRANSITIVE_CLOSURE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS src,
+           event_type AS dst
+    FROM events) WHERE src IS NOT NULL
+),
+reach(node, hops) AS (
+  SELECT CAST('signup' AS VARCHAR), 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node,
+       CAST(min(hops) AS BIGINT) AS min_hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
 def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of query as :func:`q_asof_join`, executed through
     the cogrouped Arrow boundary (``cogroup().applyInPandas`` +
@@ -7358,6 +7419,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-10: the as-of join through the cogrouped Arrow boundary —
     # a second engine path against the same oracle
     "asof_join_cogroup": q_asof_join_cogroup,
+    # round-10: Spark 4 WITH RECURSIVE — declarative BFS reachability,
+    # identical SQL text on both engines
+    "transitive_closure": q_transitive_closure,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7536,6 +7600,7 @@ ORACLES: dict[str, str] = {
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "variant_fns": SQL_VARIANT_FNS,
     "asof_join_cogroup": SQL_ASOF_JOIN,
+    "transitive_closure": SQL_TRANSITIVE_CLOSURE,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
