@@ -1215,6 +1215,26 @@ def profile_append_store(df: DataFrame, path: str, *, batch_id: str) -> None:
     )
 
 
+def profile_delete_batch(spark: SparkSession, path: str, batch_id: str) -> None:
+    """Delete ONE batch's statistics from the incremental profile
+    store — the lifecycle symmetry the index family's
+    ``*_delete_index`` established (``operators/indexstore.py``): a
+    quarantined / re-stated ingest batch drops out of the merged
+    profile without rescanning anything. Because the store is
+    partitioned by ``batch_id`` and every statistic is a mergeable
+    partial, the delete IS a partition drop — no tombstones, no
+    stats adjustment: :func:`profile_read_store` over the remaining
+    partitions is bit-identical to a store that never saw the batch
+    (pytest-pinned). Deleting an absent batch_id is a no-op; deleting
+    the last batch leaves a valid empty store (read returns zero
+    rows)."""
+    import os
+    import shutil
+
+    part = os.path.join(path, "stats", f"batch_id={batch_id}")
+    shutil.rmtree(part, ignore_errors=True)
+
+
 def profile_read_store(spark: SparkSession, path: str) -> DataFrame:
     """Whole-corpus profile from the persisted store WITHOUT touching
     raw data: merge the per-batch exact statistics (counts and scaled
@@ -1222,10 +1242,23 @@ def profile_read_store(spark: SparkSession, path: str) -> DataFrame:
     exact decimal sum — so the merged profile is bit-identical to a
     from-scratch profile over the unioned raw batches (pytest-pinned
     append ≡ rebuild). Returns (col_name, n_batches, n_rows,
-    n_nonnull, min_val, max_val, mean_e6)."""
+    n_nonnull, min_val, max_val, mean_e6); a store whose every batch
+    has been deleted (:func:`profile_delete_batch`) reads as zero
+    rows, not an error."""
     import os
 
-    stats = spark.read.parquet(os.path.join(path, "stats"))
+    from pyspark.errors import AnalysisException
+
+    try:
+        stats = spark.read.parquet(os.path.join(path, "stats"))
+    except AnalysisException:
+        # every batch partition deleted — schema can no longer be
+        # inferred from files; an empty store is a valid store
+        return spark.createDataFrame(
+            [],
+            "col_name string, n_batches long, n_rows long, n_nonnull long, "
+            "min_val double, max_val double, mean_e6 long",
+        )
     merged = stats.groupBy("col_name", "decimals").agg(
         F.countDistinct("batch_id").cast("long").alias("n_batches"),
         F.sum("n_rows").cast("long").alias("n_rows"),

@@ -772,3 +772,47 @@ def test_benford_audit_empty_input(spark):
     assert len(out) == 9
     assert all(r.n_observed == 0 and r.n_total == 0 for r in out)
     assert all(r.p_obs_e6 is None and r.chi2_contrib_e6 is None for r in out)
+
+
+def test_profile_store_delete_batch_equals_rebuild(spark, tmp_path):
+    """Lifecycle symmetry for the profile store: dropping one batch's
+    partition must make the merged profile bit-identical to a store
+    that never ingested it; deleting an absent id is a no-op; deleting
+    every batch leaves a readable empty store."""
+    from spatially_databricks_etl_spark.operators.profile import (
+        profile_append_store,
+        profile_delete_batch,
+        profile_read_store,
+        profile_write_store,
+    )
+
+    cols = {"qty": 0, "price": 2}
+    b1 = _store_rows(spark, 0, 50)
+    b2 = _store_rows(spark, 50, 80)
+    b3 = _store_rows(spark, 80, 90)
+
+    inc = str(tmp_path / "inc_del")
+    profile_write_store(b1, inc, cols=cols, batch_id="b1")
+    profile_append_store(b2, inc, batch_id="b2")
+    profile_append_store(b3, inc, batch_id="b3")
+    profile_delete_batch(spark, inc, "b2")
+
+    want_store = str(tmp_path / "without_b2")
+    profile_write_store(b1, want_store, cols=cols, batch_id="b1")
+    profile_append_store(b3, want_store, batch_id="b3")
+
+    got = {r.col_name: tuple(r) for r in profile_read_store(spark, inc).collect()}
+    want = {
+        r.col_name: tuple(r) for r in profile_read_store(spark, want_store).collect()
+    }
+    assert got == want and set(got) == {"qty", "price"}
+
+    # absent id: no-op
+    profile_delete_batch(spark, inc, "nope")
+    again = {r.col_name: tuple(r) for r in profile_read_store(spark, inc).collect()}
+    assert again == got
+
+    # deleting every batch leaves a readable empty store
+    profile_delete_batch(spark, inc, "b1")
+    profile_delete_batch(spark, inc, "b3")
+    assert profile_read_store(spark, inc).count() == 0
