@@ -275,16 +275,12 @@ def lsh_append_index(
     drift — only bucket-size SKEW can grow; monitor it and re-seed +
     rewrite if a mega-bucket forms (the same hazard note as
     :func:`lsh_bucketed_topk`)."""
-    import json
-
-    spark = new_vecs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
+    bucketed = _lsh_assigned(
+        new_vecs.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        path,
     )
-    hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
-    bucketed = new_vecs.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).withColumn("__bucket", lsh_bucket("embedding", hp))
     bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
 
 
@@ -582,12 +578,12 @@ def ivf_append_index(
     monitors over the ``__cell`` column) and retrain + rewrite via
     :func:`ivf_build` + :func:`ivf_write_index` when it matters,
     exactly as FAISS re-trains an IVF list structure."""
-    spark = new_vecs.sparkSession
-    cents = ivf_read_centroids(spark, path)
-    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
-    assigned = new_vecs.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+    assigned = _ivf_assigned(
+        new_vecs.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        path,
+    )
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -875,22 +871,12 @@ def ivfpq_append_index(
     :func:`ivf_append_index` (stale codebooks additionally inflate ADC
     error for drifted batches; retrain + rewrite when cell-size or
     residual drift says so)."""
-    import json
-
-    from spatially_databricks_etl_spark.operators.embeddings import pq_encode
-
-    spark = new_vecs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
+    assigned = _ivfpq_assigned(
+        new_vecs.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        path,
     )
-    cents, codebooks = meta["centroids"], meta["codebooks"]
-    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
-    assigned = pq_encode(
-        new_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        codebooks,
-        vec_col="embedding",
-        out_col="pq_code",
-    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -1107,6 +1093,154 @@ def ivfpq_delete_index(
     :func:`ivfpq_write_index`; lifecycle in ``operators/indexstore.py``).
     Both the ADC code pass and the exact rerank see only live rows."""
     _vector_delete_index(deleted, path, id_col)
+
+
+def _vector_upsert_index(
+    new_vecs: DataFrame, path: str, assigned_fn, pcol: str, id_col: str, vec_col: str
+) -> None:
+    """Shared upsert for the vector-index family — a PARTITION-SCOPED
+    rewrite, not a tombstone (an id-only tombstone cannot distinguish
+    the replaced old row from its re-ingested successor, so upsert
+    needs physical replacement):
+
+    1. the batch assigns under the index's pinned models
+       (``assigned_fn`` — the same code path the appenders use, so
+       upsert ≡ rebuild stays an identity);
+    2. the AFFECTED partitions = the batch ids' current partitions ∪
+       the batch's newly-assigned partitions — everything else on
+       disk is untouched, which is what keeps the cost
+       O(affected partitions), not O(index);
+    3. their replacement content = (current rows of those partitions
+       minus batch ids minus tombstoned rows — upsert compacts what
+       it touches) ∪ the assigned batch, staged to a sibling
+       directory and swapped in (never overwrite what is being read);
+    4. batch ids leave the tombstone store (a previously-deleted id
+       that is re-ingested must become searchable again).
+
+    ``upsert(batch) ≡ rebuild(corpus − old versions ∪ batch)`` for
+    search results, pinned by test. Vector indexes can offer this
+    because every ingested id has an index row to locate; BM25
+    deliberately does NOT get an upsert — a zero-token document has
+    no postings row, so re-ingest detection from the index alone is
+    unsound there (a doc-id manifest would be required)."""
+    import os
+    import shutil
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        TOMBSTONE_DIR,
+        read_tombstones,
+    )
+
+    spark = new_vecs.sparkSession
+    assigned = assigned_fn(
+        new_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        path,
+    ).persist()
+    batch_ids = assigned.select("vec_id").distinct()
+    idx = spark.read.parquet(path)
+    old_parts = {
+        r[pcol]
+        for r in idx.join(F.broadcast(batch_ids), "vec_id")
+        .select(pcol)
+        .distinct()
+        .collect()
+    }
+    new_parts = {r[pcol] for r in assigned.select(pcol).distinct().collect()}
+    affected = sorted(old_parts | new_parts)
+
+    keep = (
+        anti_tombstones(idx.filter(F.col(pcol).isin(affected)), path, "vec_id")
+        .join(F.broadcast(batch_ids), "vec_id", "left_anti")
+    )
+    content = keep.select(*assigned.columns).unionByName(assigned)
+    staged = f"{path.rstrip('/')}.__upsert_staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    content.write.partitionBy(pcol).parquet(staged)
+    assigned.unpersist()
+    for v in affected:
+        shutil.rmtree(os.path.join(path, f"{pcol}={v}"), ignore_errors=True)
+    for name in os.listdir(staged):
+        if "=" in name:
+            os.rename(os.path.join(staged, name), os.path.join(path, name))
+    shutil.rmtree(staged)
+
+    # re-ingested ids must shed any standing tombstone
+    tomb = read_tombstones(spark, path)
+    if tomb is not None:
+        remaining = tomb.join(
+            F.broadcast(batch_ids), tomb["id"] == batch_ids["vec_id"], "left_anti"
+        )
+        tstaged = f"{path}/{TOMBSTONE_DIR}__staged"
+        remaining.write.mode("overwrite").parquet(tstaged)
+        shutil.rmtree(f"{path}/{TOMBSTONE_DIR}")
+        os.rename(tstaged, f"{path}/{TOMBSTONE_DIR}")
+
+
+def _lsh_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
+    """Batch bucket assignment under a persisted LSH index's sidecar
+    parameters — the shared half of append and upsert."""
+    import json
+
+    spark = new_vecs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
+    )
+    hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
+    return new_vecs.withColumn("__bucket", lsh_bucket("embedding", hp))
+
+
+def _ivf_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
+    """Batch cell assignment under a persisted IVF index's pinned
+    centroids — the shared half of append and upsert."""
+    cents = ivf_read_centroids(new_vecs.sparkSession, path)
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+    return new_vecs.withColumn(
+        "__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell")
+    )
+
+
+def _ivfpq_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
+    """Batch coarse assignment + PQ encoding under a persisted IVF-PQ
+    index's pinned models — the shared half of append and upsert."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.embeddings import pq_encode
+
+    spark = new_vecs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
+    )
+    cents, codebooks = meta["centroids"], meta["codebooks"]
+    cell_sims = _cell_sims(_scaled_centroid_lit(cents))
+    return pq_encode(
+        new_vecs, codebooks, vec_col="embedding", out_col="pq_code"
+    ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
+
+
+def lsh_upsert_index(
+    new_vecs: DataFrame, path: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Upsert into a persisted LSH index: re-ingested ids replace
+    their old vectors via a partition-scoped rewrite, new ids simply
+    land. See :func:`_vector_upsert_index` for the contract."""
+    _vector_upsert_index(new_vecs, path, _lsh_assigned, "__bucket", id_col, vec_col)
+
+
+def ivf_upsert_index(
+    new_vecs: DataFrame, path: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Upsert into a persisted IVF index (partition-scoped rewrite
+    under the pinned centroids). See :func:`_vector_upsert_index`."""
+    _vector_upsert_index(new_vecs, path, _ivf_assigned, "__cell", id_col, vec_col)
+
+
+def ivfpq_upsert_index(
+    new_vecs: DataFrame, path: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Upsert into a persisted IVF-PQ index (partition-scoped rewrite
+    with re-encoding under the pinned models). See
+    :func:`_vector_upsert_index`."""
+    _vector_upsert_index(new_vecs, path, _ivfpq_assigned, "__cell", id_col, vec_col)
 
 
 def lsh_compact_index(spark, path: str) -> None:

@@ -947,3 +947,94 @@ def test_asof_join_cogroup_matches_window_form(spark):
         right_values=["error_ts"],
     ).collect()
     assert len(out) == 2 and all(r["error_ts"] is None for r in out)
+
+
+def test_ivf_upsert_index_matches_rebuild(spark, tmp_path):
+    """Upsert completes the index CRUD: re-ingesting 30 ids with
+    CHANGED embeddings (reversed arrays) plus 20 brand-new ids must
+    search bit-identically to a rebuild over (corpus − old versions ∪
+    batch); a second upsert of the same batch is idempotent for
+    search; compaction afterwards preserves results and clears the
+    tombstones."""
+    import os
+
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_compact_index,
+        ivf_search_index,
+        ivf_upsert_index,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+    changed = emb.filter("vec_id < 30").select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    fresh = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    batch = changed.unionByName(fresh)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    live = str(tmp_path / "ivf_upsert")
+    ivf_write_index(emb.select("vec_id", "embedding"), live, centroids=cents)
+    ivf_upsert_index(batch, live)
+
+    rebuilt = str(tmp_path / "ivf_upsert_rebuilt")
+    ivf_write_index(
+        emb.filter("vec_id >= 30").select("vec_id", "embedding").unionByName(batch),
+        rebuilt,
+        centroids=cents,
+    )
+    got = sorted(map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect()))
+    want = sorted(
+        map(tuple, ivf_search_index(queries, rebuilt, k=10, nprobe=3).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # idempotent for search: upserting the identical batch again
+    ivf_upsert_index(batch, live)
+    again = sorted(
+        map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect())
+    )
+    assert again == want
+
+    ivf_compact_index(spark, live)
+    assert not os.path.exists(f"{live}/_tombstones")
+    after = sorted(
+        map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect())
+    )
+    assert after == want
+
+
+def test_lsh_upsert_index_matches_rebuild(spark, tmp_path):
+    """Same upsert ≡ rebuild identity for the LSH index."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_search_index,
+        lsh_upsert_index,
+        lsh_write_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = emb.filter("vec_id < 25").select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    live = str(tmp_path / "lsh_upsert")
+    lsh_write_index(emb.select("vec_id", "embedding"), live, planes=6, dim=64)
+    lsh_upsert_index(batch, live)
+    rebuilt = str(tmp_path / "lsh_upsert_rebuilt")
+    lsh_write_index(
+        emb.filter("vec_id >= 25").select("vec_id", "embedding").unionByName(batch),
+        rebuilt,
+        planes=6,
+        dim=64,
+    )
+    got = sorted(map(tuple, lsh_search_index(queries, live, k=10).collect()))
+    want = sorted(map(tuple, lsh_search_index(queries, rebuilt, k=10).collect()))
+    assert got == want and len(got) > 0
