@@ -798,6 +798,61 @@ def minhash_write_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_minhash_meta")
 
 
+def minhash_append_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a NEW document batch to a persisted MinHash index (see
+    :func:`minhash_write_index`) — the append half that completes the
+    family symmetry (every other index gained it earlier; BM25
+    `retrieval.py:402`, vectors `similarity.py`): only the BATCH is
+    shingled and signed with the sidecar's pinned parameters
+    (shingling, signatures and band keys are per-document and
+    seed-deterministic, so append ≡ rebuild exactly — pinned by
+    test), and its band/shingle rows land as additional files inside
+    the existing ``__bhb=``/``__pb=`` partition directories. The
+    standing corpus is never re-shingled, never re-signed. Caller
+    contract: batch ids are new (re-ingesting an id duplicates its
+    rows — route replacements through delete + append, or the
+    family's ingest sink for replay safety)."""
+    import json
+
+    spark = new_docs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
+    )
+    bands, num_hashes = meta["bands"], meta["num_hashes"]
+    hash_buckets, seed = meta["hash_buckets"], meta["seed"]
+    rows = num_hashes // bands
+    src = ensure_parallelism(
+        new_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    sh = ngrams(F.col("__text"), meta["shingle_size"], character=True)
+    base = (
+        src.select("__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h"))
+        .filter(F.size("__h") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.select(
+        "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
+    ).write.mode("append").partitionBy("__pb").parquet(f"{path}/shingles")
+    sig = minhash_signatures_df(
+        base.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    _band_rows(sig, bands=bands, rows=rows).withColumn(
+        "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
+    ).write.mode("append").partitionBy("__bhb").parquet(f"{path}/bands")
+    base.unpersist()
+
+
 def minhash_search_index(
     batch: DataFrame,
     path: str,

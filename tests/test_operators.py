@@ -1773,3 +1773,50 @@ def test_retrieval_metrics_closed_form(spark):
     assert r1["ndcg_e6"] == math.floor(dcg / idcg * 1e6 + 0.5)
     assert (got[2]["n_hits"], got[2]["mrr_e6"], got[2]["ndcg_e6"]) == (0, 0, 0)
     assert (got[3]["n_rel"], got[3]["n_hits"], got[3]["recall_e6"]) == (1, 0, 0)
+
+
+def test_minhash_append_index_matches_full_rebuild(spark, tmp_path):
+    """MinHash index append ≡ rebuild: building on half the corpus
+    then appending the other half must search bit-identically to one
+    full build (shingles, signatures and band keys are per-document
+    and seed-deterministic), and the append composes with the
+    exactly-once ingest sink (replay skipped)."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_append_index,
+        minhash_search_index,
+        minhash_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+
+    inc = str(tmp_path / "mh_inc")
+    minhash_write_index(first, inc)
+    minhash_append_index(second, inc)
+    full = str(tmp_path / "mh_full")
+    minhash_write_index(docs, full)
+
+    base_text = docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(200000, base_text)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, minhash_search_index(batch, inc, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(tuple, minhash_search_index(batch, full, threshold=0.5).collect())
+    )
+    assert got == want and (200000, 1, 1.0) in got
+
+    # the ingest sink wraps the appender: replay of a batch is a no-op
+    sink_idx = str(tmp_path / "mh_sink_idx")
+    minhash_write_index(first, sink_idx)
+    sink = index_ingest_sink(sink_idx, minhash_append_index)
+    sink(second, 0)
+    sink(second, 0)  # replay: skipped, no duplicate rows
+    got2 = sorted(
+        map(tuple, minhash_search_index(batch, sink_idx, threshold=0.5).collect())
+    )
+    assert got2 == want
