@@ -1660,7 +1660,8 @@ def ts_changepoint(
     :func:`ts_anomaly` flags single-bucket spikes, this locates a
     sustained level change (Page, "Continuous Inspection Schemes",
     Biometrika 1954 — public algorithm, re-expressed as exact
-    DataFrame algebra).
+    DataFrame algebra). No reference analog — the reference has no
+    aggregation surface at all (`Spatially ETL test.py:120-168`).
 
     Per key, the bucketed series y_1..y_n (Σ value per ``bucket``
     window, exact scaled-integer decimals — the ts_anomaly/grouped_ols

@@ -743,6 +743,8 @@ def retrieval_metrics(
     This is the measurement layer every retrieval/RAG stack needs
     next to its retrievers: the recall ORACLES grade fixed pinned
     paths; this operator evaluates ANY run against ANY judgment set.
+    No reference analog (the reference has no search surface,
+    `Spatially ETL test.py:120-168`).
 
     - recall@k = |top-k ∩ relevant| / |relevant| — exact integer
       ratio;

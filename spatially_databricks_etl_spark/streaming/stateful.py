@@ -601,7 +601,8 @@ def heavy_hitters_monitor_sink(
     candidates only) over every micro-batch and land its
     (key, n_rows, share) rows through the idempotent
     batch_id-partitioned writer — the streaming member the sketch
-    family lacked. Hot-key EMERGENCE is exactly what an ops team
+    family lacked (no reference analog; the reference is pure batch,
+    `SURVEY.md` §2b). Hot-key EMERGENCE is exactly what an ops team
     watches between drift pages: drift monitors page when a value
     DISTRIBUTION moves, the quality monitor when row contracts fail,
     this when one key starts dominating a batch (skew forming, a
