@@ -7264,7 +7264,11 @@ QUERIES: dict[str, QueryFn] = {
     # event_transitions, mutual_info, grouped_ols, collocations,
     # candidate_keys, repeated_spans, attribution_linear,
     # kmeans_outliers, null_safe_join, token_diversity,
-    # column_entropy, benford_audit.
+    # column_entropy, benford_audit. Round-10 additions (all at 51+,
+    # all three-scale-swept 0-failure — SCALE.md round-10 notes) for
+    # the round-11 rotation: ann_lsh_recall, ann_pq_recall,
+    # ts_anomaly, ts_changepoint, retrieval_metrics, variant_fns,
+    # asof_join_cogroup, transitive_closure.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,

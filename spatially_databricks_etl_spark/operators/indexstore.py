@@ -122,3 +122,35 @@ def compact_partitioned_index(
             shutil.copytree(src, os.path.join(staged, name))
     shutil.rmtree(path)
     os.rename(staged, path)
+
+
+def apply_allowed_ids(
+    df: DataFrame, allowed_ids: "DataFrame | None", id_col: str
+) -> DataFrame:
+    """Candidate-set restriction for FILTERED search over a persisted
+    index — the access-control / tenant-scope / freshness-window
+    filter every production retrieval deployment needs: a LEFT SEMI
+    join of the pruned index read against the caller's allowed-id
+    frame (first column = the id; broadcast while small). ``None``
+    is a no-op with zero extra plan nodes.
+
+    Contract (the standard filtered-search semantics): the filter
+    restricts CANDIDATES, not the collection statistics — BM25 keeps
+    full-corpus df/avgdl, so a document's score is identical with and
+    without the filter and the filtered top-k is exactly the
+    unfiltered ranking restricted to allowed ids (pinned by test).
+    For in-memory operators no parameter is needed — pre-filter the
+    corpus frame; this hook exists because a PERSISTED index's stored
+    corpus cannot be pre-filtered at search time."""
+    if allowed_ids is None:
+        return df
+    ids = (
+        allowed_ids.select(
+            allowed_ids[allowed_ids.columns[0]].alias("__allow_id")
+        ).distinct()
+    )
+    from pyspark.sql import functions as F
+
+    return df.join(
+        F.broadcast(ids), df[id_col] == ids["__allow_id"], "left_semi"
+    )

@@ -660,6 +660,7 @@ def bm25_search_index(
     query_id_col: str = "query_id",
     query_col: str = "query",
     quantize: int | None = None,
+    allowed_ids: DataFrame | None = None,
     max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted BM25 index (see :func:`bm25_write_index`):
@@ -689,12 +690,19 @@ def bm25_search_index(
         )
         .distinct()
     )
-    from spatially_databricks_etl_spark.operators.indexstore import anti_tombstones
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        apply_allowed_ids,
+    )
 
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
-    post = anti_tombstones(
-        spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms)),
-        path,
+    post = apply_allowed_ids(
+        anti_tombstones(
+            spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms)),
+            path,
+            "doc_id",
+        ),
+        allowed_ids,
         "doc_id",
     )
     df_t = spark.read.parquet(f"{path}/df").filter(F.col("term").isin(terms))

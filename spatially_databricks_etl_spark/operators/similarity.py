@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from spatially_databricks_etl_spark.functions.vectors import cosine_similarity, dot
 from spatially_databricks_etl_spark.operators.indexstore import (
     anti_tombstones,
+    apply_allowed_ids,
     clear_tombstones,
     compact_partitioned_index,
     write_tombstones,
@@ -291,6 +292,7 @@ def lsh_search_index(
     k: int = 10,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
     max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted LSH index (see :func:`lsh_write_index`):
@@ -312,9 +314,13 @@ def lsh_search_index(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).withColumn("__bucket", lsh_bucket("__qvec", hp))
     buckets = sorted({r["__bucket"] for r in q.select("__bucket").distinct().collect()})
-    corpus = anti_tombstones(
-        spark.read.parquet(path).filter(F.col("__bucket").isin(buckets)),
-        path,
+    corpus = apply_allowed_ids(
+        anti_tombstones(
+            spark.read.parquet(path).filter(F.col("__bucket").isin(buckets)),
+            path,
+            "vec_id",
+        ),
+        allowed_ids,
         "vec_id",
     )
     scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
@@ -604,6 +610,7 @@ def ivf_search_index(
     centroids: list[list[float]] | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
     max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted IVF index (see :func:`ivf_write_index`).
@@ -623,8 +630,14 @@ def ivf_search_index(
     cell_sims = _cell_sims(_scaled_centroid_lit(cents))
     probes = _probe_cells(queries, cell_sims, nprobe, query_id_col, vec_col)
     cells = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
-    corpus = anti_tombstones(
-        spark.read.parquet(path).filter(F.col("__cell").isin(cells)), path, "vec_id"
+    corpus = apply_allowed_ids(
+        anti_tombstones(
+            spark.read.parquet(path).filter(F.col("__cell").isin(cells)),
+            path,
+            "vec_id",
+        ),
+        allowed_ids,
+        "vec_id",
     )
     scored = corpus.join(F.broadcast(probes), on="__cell").withColumn(
         "cosine_sim", cosine_similarity(F.col("__qvec"), F.col("embedding"))
@@ -889,6 +902,7 @@ def ivfpq_search_index(
     shortlist: int | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
     max_queries: int | None = ANN_MAX_QUERIES,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index: probe the ``nprobe`` nearest
@@ -961,11 +975,15 @@ def ivfpq_search_index(
     ]
     cells = sorted({c for cs in probe_sets for c in cs})
 
-    codes = anti_tombstones(
-        spark.read.parquet(path)
-        .filter(F.col("__cell").isin(cells))
-        .select("vec_id", "pq_code", "__cell"),
-        path,
+    codes = apply_allowed_ids(
+        anti_tombstones(
+            spark.read.parquet(path)
+            .filter(F.col("__cell").isin(cells))
+            .select("vec_id", "pq_code", "__cell"),
+            path,
+            "vec_id",
+        ),
+        allowed_ids,
         "vec_id",
     )
 

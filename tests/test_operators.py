@@ -1820,3 +1820,75 @@ def test_minhash_append_index_matches_full_rebuild(spark, tmp_path):
         map(tuple, minhash_search_index(batch, sink_idx, threshold=0.5).collect())
     )
     assert got2 == want
+
+
+def test_filtered_search_restricts_candidates_not_statistics(spark, tmp_path):
+    """Filtered search over persisted indexes (allowed_ids): the
+    filter restricts CANDIDATES while BM25 keeps full-corpus
+    df/avgdl — so the filtered top-k must equal the unfiltered
+    ranking restricted to the allowed ids, for BM25 and IVF alike."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_search_index,
+        bm25_write_index,
+    )
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    allowed = docs.filter("doc_id % 2 = 0").select("doc_id")
+    path = str(tmp_path / "bm25_filtered")
+    bm25_write_index(docs, path)
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")], "query_id int, query string"
+    )
+    wide = bm25_search_index(qs, path, k=100000, quantize=6).collect()
+    by_q: dict = {}
+    for r in sorted(wide, key=lambda r: (r["query_id"], -r["score"], r["doc_id"])):
+        if r["doc_id"] % 2 == 0:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    want = {
+        (q, d, s, i + 1)
+        for q, lst in by_q.items()
+        for i, (d, s) in enumerate(lst[:10])
+    }
+    got = {
+        tuple(r)
+        for r in bm25_search_index(
+            qs, path, k=10, quantize=6, allowed_ids=allowed
+        ).collect()
+    }
+    assert got == want and got
+    assert all(d % 2 == 0 for _, d, _, _ in got)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+    vpath = str(tmp_path / "ivf_filtered")
+    ivf_write_index(emb.select("vec_id", "embedding"), vpath, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vallowed = emb.filter("vec_id % 2 = 0").select("vec_id")
+    vwide = ivf_search_index(queries, vpath, k=100000, nprobe=3).collect()
+    vby_q: dict = {}
+    for r in sorted(
+        vwide, key=lambda r: (r["query_id"], -r["cosine_sim"], r["neighbor_id"])
+    ):
+        if r["neighbor_id"] % 2 == 0:
+            vby_q.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["cosine_sim"])
+            )
+    vwant = {
+        (q, n, s, i + 1)
+        for q, lst in vby_q.items()
+        for i, (n, s) in enumerate(lst[:10])
+    }
+    vgot = {
+        tuple(r)
+        for r in ivf_search_index(
+            queries, vpath, k=10, nprobe=3, allowed_ids=vallowed
+        ).collect()
+    }
+    assert vgot == vwant and vgot
