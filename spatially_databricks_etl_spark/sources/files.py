@@ -87,12 +87,10 @@ def read_parquet_evolved(
     scans: alignment is a plain projection per group, so unselected
     source columns are never read.
     """
-    from pyspark.sql.types import _parse_datatype_string
-
     if extra not in ("drop", "keep"):
         raise ValueError(f"extra must be 'drop' or 'keep', got {extra!r}")
     target = (
-        _parse_datatype_string(target_schema)
+        StructType.fromDDL(target_schema)
         if isinstance(target_schema, str)
         else target_schema
     )
