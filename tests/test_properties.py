@@ -603,3 +603,126 @@ def test_mutual_info_total_nonnegative_and_matches_python(spark, pairs):
             (joint[(x, y)] / n) * pmi * 1e6 + 0.5
         ), (x, y)
     assert sum(r.mi_contrib_e6 for r in out) >= -len(out)
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_ts_changepoint_matches_python_reference(spark, values):
+    """The exact-integer CUSUM against a from-scratch Python replay on
+    arbitrary hourly series: scaled sums, S'_t = n·C_t − t·T, earliest
+    argmax, and the e6-floored D — all must agree exactly (the whole
+    point of the decimal(38,0) discipline)."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.profile import ts_changepoint
+
+    rows = [
+        (f"2024-03-{1 + i // 24:02d} {i % 24:02d}:00:00", "k", v)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "value"
+    )
+    out = ts_changepoint(
+        df, ts_col="ts", value_col="value", key_cols=["k"],
+        bucket="hour", min_buckets=8,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    ys = [math.floor(v * 100 + 0.5) for v in values]
+    n, tot = len(ys), sum(ys)
+    cum, best, best_i = 0, -1, -1
+    for i, y in enumerate(ys, start=1):
+        cum += y
+        s = abs(n * cum - i * tot)
+        if s > best:
+            best, best_i = s, i
+    assert r["n_buckets"] == n and r["s_abs_max"] == best
+    want_cp = (1 + (best_i - 1) // 24, (best_i - 1) % 24)
+    assert (r["cp_bucket"].day, r["cp_bucket"].hour) == want_cp
+    if tot != 0:
+        want_d = math.floor(best / float(n * abs(tot)) * 1e6 + 0.5)
+        assert r["cusum_e6"] == want_d
+    else:
+        assert r["cusum_e6"] is None
+
+
+@given(
+    run=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # query
+            st.integers(min_value=0, max_value=15),   # doc
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    rels=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # query
+            st.integers(min_value=0, max_value=15),   # doc
+            st.integers(min_value=0, max_value=3),    # graded rel
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@SETTINGS
+def test_retrieval_metrics_match_python_reference(spark, run, rels):
+    """recall/MRR/nDCG against a from-scratch Python replay on
+    arbitrary runs and graded judgment sets — including rel<=0 rows
+    ignored, queries missing from the run, and the ln/ln2 DCG form."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.retrieval import retrieval_metrics
+
+    # rank within each query by doc id (any deterministic order works)
+    by_q: dict[int, list[int]] = {}
+    for q, d in sorted(run):
+        by_q.setdefault(q, []).append(d)
+    run_rows = [
+        (q, d, i + 1) for q, docs in by_q.items() for i, d in enumerate(docs)
+    ]
+    run_df = spark.createDataFrame(run_rows, "query_id int, doc_id int, rank int")
+    rel_df = spark.createDataFrame(rels, "query_id int, doc_id int, rel int")
+    K = 5
+    got = {
+        r["query_id"]: r for r in retrieval_metrics(run_df, rel_df, k=K).collect()
+    }
+
+    LN2 = 0.6931471805599453
+
+    def log2(x):
+        return math.log(x) / LN2
+
+    relevant: dict[int, dict[int, int]] = {}
+    for q, d, rel in rels:
+        if rel > 0:
+            relevant.setdefault(q, {})[d] = rel
+    assert set(got) == set(relevant)
+    for q, rd in relevant.items():
+        topk = [(d, i + 1) for i, d in enumerate(by_q.get(q, [])) if i < K]
+        hits = [(d, rk) for d, rk in topk if d in rd]
+        n_rel = len(rd)
+        r = got[q]
+        assert r["n_rel"] == n_rel and r["n_hits"] == len(hits)
+        assert r["recall_e6"] == math.floor(len(hits) / n_rel * 1e6 + 0.5)
+        mrr = 1.0 / min(rk for _, rk in hits) if hits else 0.0
+        assert r["mrr_e6"] == math.floor(mrr * 1e6 + 0.5)
+        dcg = sum((2.0 ** rd[d] - 1.0) / log2(rk + 1.0) for d, rk in hits)
+        ideal = sorted(rd.items(), key=lambda t: (-t[1], t[0]))[:K]
+        idcg = sum(
+            (2.0 ** rel - 1.0) / log2(i + 2.0) for i, (_, rel) in enumerate(ideal)
+        )
+        ndcg = dcg / idcg if hits else 0.0
+        assert r["ndcg_e6"] == math.floor(ndcg * 1e6 + 0.5)
