@@ -5,6 +5,12 @@ from spatially_databricks_etl_spark.sinks.layout import (
     write_similarity_clustered,
     write_zordered,
 )
+from spatially_databricks_etl_spark.sinks.versioned import (
+    versioned_diff,
+    versioned_read,
+    versioned_vacuum,
+    versioned_write,
+)
 from spatially_databricks_etl_spark.sinks.writers import (
     ctas,
     save_as_table,
@@ -20,4 +26,8 @@ __all__ = [
     "write_range_sorted",
     "write_similarity_clustered",
     "write_zordered",
+    "versioned_diff",
+    "versioned_read",
+    "versioned_vacuum",
+    "versioned_write",
 ]

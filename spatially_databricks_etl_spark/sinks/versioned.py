@@ -1,0 +1,154 @@
+"""Versioned parquet tables: snapshot writes + time travel + diff +
+retention on a plain object store — the minimal transactional-table
+surface (what Delta/Iceberg provide via their logs) expressible
+without any installable dependency. No reference analog — the
+reference's sink is a blind full-table overwrite (`Spatially ETL
+test.py:237`): one bad run destroys the previous state with no way
+back; this module is the remedy shape.
+
+Layout:
+
+- ``{path}/_snapshots/v=N/`` — each write lands a COMPLETE immutable
+  snapshot directory (never mutated after commit);
+- ``{path}/_manifest/`` — a one-row JSON pointer naming the current
+  version. Readers resolve the pointer first, then read exactly one
+  snapshot directory — so a concurrent writer can fully stage v=N+1
+  and flip the pointer without a reader ever seeing a half-written
+  table (the manifest flip is the commit point; on a real object
+  store that is one small-object PUT).
+
+Semantics and their limits, stated honestly: this gives atomic
+publish + time travel + retention for SINGLE-writer pipelines (the
+reference's shape). It does not arbitrate concurrent writers (no
+compare-and-swap on the manifest) and it snapshots whole tables, not
+row-level deltas — for MERGE-grade row transactions use a real table
+format (``sinks/writers.py`` already routes to Delta when the
+provider is installed; SCALE.md "Dependency gates"). Incremental
+row-level history lives in the CDC operators (`operators/relational:
+cdc_apply`, `snapshot_diff`); :func:`versioned_diff` composes the
+latter over any two snapshots.
+
+At 100 TB: a snapshot write costs one table write (unavoidable for a
+full publish); time-travel reads are zero-copy (they just point at an
+older directory); retention bounds storage to ``keep_last`` snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.json(_manifest_path(path)).collect()[0]
+        return json.loads(row["manifest_json"])
+    except (AnalysisException, IndexError):
+        return None
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    # stage-and-swap so a reader never sees a half-written pointer
+    staged = _manifest_path(path) + "__staged"
+    spark.createDataFrame(
+        [(json.dumps(manifest),)], "manifest_json string"
+    ).coalesce(1).write.mode("overwrite").json(staged)
+    live = _manifest_path(path)
+    if os.path.exists(live):
+        shutil.rmtree(live)
+    os.rename(staged, live)
+
+
+def versioned_write(df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the table's next snapshot and return the new
+    version number. The snapshot directory is fully written BEFORE
+    the manifest pointer flips — the commit point — so readers only
+    ever resolve complete snapshots; a crash mid-write leaves an
+    orphan directory (cleaned by :func:`versioned_vacuum`), never a
+    corrupt table."""
+    spark = df.sparkSession
+    m = _read_manifest(spark, path) or {"version": 0, "versions": []}
+    v = int(m["version"]) + 1
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, "_snapshots", f"v={v}")
+    )
+    m = {"version": v, "versions": sorted({*m.get("versions", []), v})}
+    _write_manifest(spark, path, m)
+    return v
+
+
+def versioned_read(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or ``version=N`` for time travel.
+    Raises on an unknown/vacuumed version instead of silently reading
+    nothing."""
+    m = _read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"versioned_read: no manifest under {path}")
+    v = int(m["version"]) if version is None else int(version)
+    if v not in set(m["versions"]):
+        raise ValueError(
+            f"versioned_read: version {v} not available (have {m['versions']} "
+            "— it may have been vacuumed)"
+        )
+    return spark.read.parquet(os.path.join(path, "_snapshots", f"v={v}"))
+
+
+def versioned_diff(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots: composes
+    ``operators.relational.snapshot_diff`` (inserted / deleted /
+    updated keyed rows) over time-travel reads — the audit question
+    every versioned table exists to answer ("what changed between
+    yesterday's publish and today's?")."""
+    from spatially_databricks_etl_spark.operators.relational import snapshot_diff
+
+    old = versioned_read(spark, path, version=from_version)
+    new = versioned_read(spark, path, version=to_version)
+    return snapshot_diff(old, new, key_cols=key_cols, compare_cols=compare_cols)
+
+
+def versioned_vacuum(spark: SparkSession, path: str, *, keep_last: int = 2) -> list[int]:
+    """Retention: physically drop all but the newest ``keep_last``
+    snapshots (plus any orphan directories a crashed write left
+    behind) and shrink the manifest. Returns the dropped version
+    numbers. Time-travel reads of dropped versions then fail loudly
+    (:func:`versioned_read`'s contract)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    m = _read_manifest(spark, path)
+    if m is None:
+        return []
+    versions = sorted(m["versions"])
+    keep = set(versions[-keep_last:])
+    snaps = os.path.join(path, "_snapshots")
+    dropped: list[int] = []
+    for name in os.listdir(snaps):
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        if v not in keep:
+            shutil.rmtree(os.path.join(snaps, name))
+            if v in versions:
+                dropped.append(v)
+    _write_manifest(
+        spark, path, {"version": m["version"], "versions": sorted(keep)}
+    )
+    return sorted(dropped)

@@ -229,3 +229,61 @@ def test_similarity_clustered_write_compresses_better(spark, tmp_path):
     assert got == want
     cb, sb = tree_bytes(clustered), tree_bytes(scattered)
     assert cb <= sb, f"clustered {cb} > scattered {sb}"
+
+
+def test_versioned_table_time_travel_diff_and_vacuum(spark, tmp_path):
+    """Versioned-table contract: each write publishes an immutable
+    snapshot behind a manifest flip; reads resolve latest or any
+    pinned version; versioned_diff equals snapshot_diff over the same
+    two frames; vacuum drops old snapshots physically and pinned reads
+    of them fail loudly while latest keeps working."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.relational import snapshot_diff
+    from spatially_databricks_etl_spark.sinks.versioned import (
+        versioned_diff,
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, amt double"
+    )
+    v2_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], "k int, name string, amt double"
+    )
+    assert versioned_write(v1_df, path) == 1
+    assert versioned_write(v2_df, path) == 2
+
+    assert {tuple(r) for r in versioned_read(spark, path).collect()} == {
+        tuple(r) for r in v2_df.collect()
+    }
+    assert {tuple(r) for r in versioned_read(spark, path, version=1).collect()} == {
+        tuple(r) for r in v1_df.collect()
+    }
+
+    got = {
+        (r["k"], r["op"])
+        for r in versioned_diff(
+            spark, path, key_cols=["k"], from_version=1, to_version=2
+        ).collect()
+    }
+    want = {
+        (r["k"], r["op"])
+        for r in snapshot_diff(v1_df, v2_df, key_cols=["k"]).collect()
+    }
+    assert got == want == {(2, "U"), (3, "D"), (4, "I")}
+
+    v3_df = v2_df.withColumn("amt", v2_df["amt"] * 2)
+    assert versioned_write(v3_df, path) == 3
+    dropped = versioned_vacuum(spark, path, keep_last=2)
+    assert dropped == [1]
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned_read(spark, path, version=1)
+    assert versioned_read(spark, path, version=2).count() == 3
+    assert versioned_read(spark, path).count() == 3
+
+    with pytest.raises(ValueError, match="no manifest"):
+        versioned_read(spark, str(tmp_path / "missing"))
