@@ -825,3 +825,87 @@ def index_ingest_sink(path: str, append, *, empty_batches_log: bool = True):
             ).write.mode("append").parquet(log_path)
 
     return write
+
+
+class QueryMetricsRecorder:
+    """Streaming-engine observability through Spark's own
+    ``StreamingQueryListener``: every lifecycle event and every micro-batch
+    progress report lands as one JSON line under ``{path}`` —
+    queryable later with ``spark.read.json`` for the ops questions the
+    per-batch DATA monitors (drift/quality/heavy-hitters/seasonal
+    sinks) don't answer: is the query keeping up (batch duration vs
+    trigger interval), how many rows per trigger, is state size
+    growing, when did it restart and why.
+
+    Construction is cheap; call :meth:`attach`/:meth:`detach` around
+    the session's streaming lifetime. Records are written driver-side
+    with plain file appends (the listener runs on the driver; on an
+    object store, point ``path`` at a local spool and ship it — the
+    same pattern as any driver log). Each line carries
+    (event, query_id, run_id, timestamp) plus, for progress events,
+    the full progress report Spark already serializes (numInputRows,
+    batchDuration, stateOperators, sources...).
+    """
+
+    def __init__(self, path: str):
+        import os
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        os.makedirs(path, exist_ok=True)
+        self._file = os.path.join(path, "query_metrics.jsonl")
+        recorder = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                recorder._emit(
+                    {
+                        "event": "started",
+                        "query_id": str(event.id),
+                        "run_id": str(event.runId),
+                        "name": event.name,
+                        "timestamp": event.timestamp,
+                    }
+                )
+
+            def onQueryProgress(self, event):
+                import json as _json
+
+                rec = _json.loads(event.progress.json)
+                rec["event"] = "progress"
+                recorder._emit(rec)
+
+            def onQueryIdle(self, event):
+                recorder._emit(
+                    {
+                        "event": "idle",
+                        "query_id": str(event.id),
+                        "run_id": str(event.runId),
+                        "timestamp": event.timestamp,
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                recorder._emit(
+                    {
+                        "event": "terminated",
+                        "query_id": str(event.id),
+                        "run_id": str(event.runId),
+                        "exception": event.exception,
+                    }
+                )
+
+        self._listener = _Listener()
+
+    def _emit(self, record: dict) -> None:
+        import json as _json
+
+        with open(self._file, "a") as fh:
+            fh.write(_json.dumps(record) + "\n")
+
+    def attach(self, spark) -> "QueryMetricsRecorder":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)

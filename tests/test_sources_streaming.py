@@ -1531,3 +1531,52 @@ def test_paged_rest_python_datasource(spark):
     )
     with pytest.raises(Exception, match="module:callable"):
         bad.collect()
+
+
+def test_query_metrics_recorder_captures_lifecycle_and_progress(spark, tmp_path):
+    """The StreamingQueryListener recorder must capture started /
+    progress / terminated events for a real query, with the progress
+    lines' numInputRows summing to the source row count, and detach
+    cleanly (no further lines after)."""
+    import json
+    import time
+
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        QueryMetricsRecorder,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value").limit(300)
+    src = str(tmp_path / "qm_src")
+    ev.coalesce(3).write.parquet(src)
+    n_src = ev.count()
+
+    mpath = str(tmp_path / "qmetrics")
+    rec = QueryMetricsRecorder(mpath).attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .queryName("qm_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        for _ in range(40):
+            lines = open(f"{mpath}/query_metrics.jsonl").read().splitlines()
+            recs = [json.loads(ln) for ln in lines]
+            if any(r["event"] == "terminated" for r in recs):
+                break
+            time.sleep(0.5)
+    finally:
+        rec.detach(spark)
+
+    events = {r["event"] for r in recs}
+    assert {"started", "progress", "terminated"} <= events, events
+    progress = [r for r in recs if r["event"] == "progress"]
+    assert sum(r["numInputRows"] for r in progress) == n_src
+    assert all("batchId" in r and "durationMs" in r for r in progress)
