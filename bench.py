@@ -182,6 +182,7 @@ EXTRA = [
     "ann_pq_recall",
     # round 10: time-series seasonal-naive anomaly + CUSUM changepoint
     "ts_anomaly",
+    "ts_anomaly_daily",
     "ts_changepoint",
     # round 10: retrieval evaluation layer (recall/MRR/nDCG)
     "retrieval_metrics",

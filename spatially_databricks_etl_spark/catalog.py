@@ -5629,6 +5629,59 @@ FROM z
 """
 
 
+def q_ts_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second pinned configuration of
+    :func:`operators.profile.ts_anomaly`: DAY buckets with weekly
+    (period=7) seasonality — what pins the operator's
+    parameterization (bucket granularity + period interval
+    arithmetic) cross-engine rather than a single hour/24 shape. A
+    stricter threshold exercises the flag boundary over the sparser
+    daily grid."""
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return ts_anomaly(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        bucket="day",
+        period=7,
+        threshold=2.5,
+    )
+
+
+SQL_TS_ANOMALY_DAILY = """
+WITH y AS (
+  -- DuckDB's date_trunc('day') yields DATE; Spark's yields TIMESTAMP —
+  -- pin the bucket type explicitly so the value-hash compares equal
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS DECIMAL(38,0))) AS ys
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.bucket,
+         CAST(a.ys AS DOUBLE) / 100 AS y,
+         CAST(b.ys AS DOUBLE) / 100 AS y_prev,
+         CAST(a.ys - b.ys AS DOUBLE) / 100 AS residual
+  FROM y a JOIN y b
+    ON a.event_type = b.event_type
+   AND a.bucket = b.bucket + INTERVAL 7 DAYS),
+med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med FROM j GROUP BY 1),
+mads AS (SELECT j.event_type, quantile_cont(abs(j.residual - m.med), 0.5) AS mad
+         FROM j JOIN med m USING (event_type) GROUP BY j.event_type),
+z AS (SELECT j.event_type, j.bucket, j.y, j.y_prev, j.residual,
+             CASE WHEN s.mad > 0
+                  THEN 0.6745 * (j.residual - m.med) / s.mad END AS zval
+      FROM j JOIN med m USING (event_type) JOIN mads s USING (event_type))
+SELECT event_type, bucket, y, y_prev, residual,
+       CAST(floor(zval * 1000000 + 0.5) AS BIGINT) AS z_e6,
+       CASE WHEN zval IS NOT NULL THEN abs(zval) > 2.5 END AS is_anomaly
+FROM z
+"""
+
+
 def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection on the hourly event series per
     event_type — the "when did it change" member of the time-series
@@ -7413,6 +7466,7 @@ QUERIES: dict[str, QueryFn] = {
     # (VERDICT r9 item 4) — seasonal-naive residual robust-z anomaly
     # scoring + CUSUM changepoint location
     "ts_anomaly": q_ts_anomaly,
+    "ts_anomaly_daily": q_ts_anomaly_daily,
     "ts_changepoint": q_ts_changepoint,
     # round-10: the measurement layer for the retrieval family —
     # recall@k / MRR@k / nDCG@k of any run against any judgment set
@@ -7600,6 +7654,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ts_anomaly": SQL_TS_ANOMALY,
+    "ts_anomaly_daily": SQL_TS_ANOMALY_DAILY,
     "ts_changepoint": SQL_TS_CHANGEPOINT,
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "variant_fns": SQL_VARIANT_FNS,
