@@ -860,6 +860,7 @@ def minhash_search_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Find near-duplicates of a (small) ingest ``batch`` against a
     persisted MinHash index (:func:`minhash_write_index`). Returns
@@ -901,13 +902,23 @@ def minhash_search_index(
     b_bands = _band_rows(b_sig, bands=bands, rows=rows).withColumn(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
     )
-    from spatially_databricks_etl_spark.operators.indexstore import anti_tombstones
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        apply_allowed_ids,
+    )
 
     # static partition filter: only the batch's band-hash directories
     probed = sorted({r["__bhb"] for r in b_bands.select("__bhb").distinct().collect()})
-    idx_bands = anti_tombstones(
-        spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(probed)),
-        path,
+    # allowed_ids (the family's filtered-search hook — see
+    # indexstore.apply_allowed_ids) restricts which INDEXED documents
+    # may match; batch docs and the Jaccard values are unaffected
+    idx_bands = apply_allowed_ids(
+        anti_tombstones(
+            spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(probed)),
+            path,
+            "__id",
+        ),
+        allowed_ids,
         "__id",
     )
     cand = (

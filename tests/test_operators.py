@@ -1892,3 +1892,35 @@ def test_filtered_search_restricts_candidates_not_statistics(spark, tmp_path):
         ).collect()
     }
     assert vgot == vwant and vgot
+
+
+def test_minhash_search_index_allowed_ids(spark, tmp_path):
+    """Filtered search on the MinHash index: an allowlist that
+    excludes the planted duplicate's id must suppress that match
+    while other candidates and their exact Jaccard values are
+    untouched."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_search_index,
+        minhash_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "mh_filtered")
+    minhash_write_index(docs, path)
+    base_text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    batch = spark.createDataFrame([(300000, base_text)], "doc_id long, text string")
+
+    full = {
+        (r["batch_id"], r["indexed_id"]): r["jaccard_sim"]
+        for r in minhash_search_index(batch, path, threshold=0.3).collect()
+    }
+    assert (300000, 0) in full
+    allowed = docs.filter("doc_id != 0").select("doc_id")
+    filtered = {
+        (r["batch_id"], r["indexed_id"]): r["jaccard_sim"]
+        for r in minhash_search_index(
+            batch, path, threshold=0.3, allowed_ids=allowed
+        ).collect()
+    }
+    assert (300000, 0) not in filtered
+    assert filtered == {k: v for k, v in full.items() if k[1] != 0}
