@@ -7320,8 +7320,8 @@ QUERIES: dict[str, QueryFn] = {
     # column_entropy, benford_audit. Round-10 additions (all at 51+,
     # all three-scale-swept 0-failure — SCALE.md round-10 notes) for
     # the round-11 rotation: ann_lsh_recall, ann_pq_recall,
-    # ts_anomaly, ts_changepoint, retrieval_metrics, variant_fns,
-    # asof_join_cogroup, transitive_closure.
+    # ts_anomaly, ts_anomaly_daily, ts_changepoint, retrieval_metrics,
+    # variant_fns, asof_join_cogroup, transitive_closure.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,

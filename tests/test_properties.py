@@ -726,3 +726,67 @@ def test_retrieval_metrics_match_python_reference(spark, run, rels):
         )
         ndcg = dcg / idcg if hits else 0.0
         assert r["ndcg_e6"] == math.floor(ndcg * 1e6 + 0.5)
+
+
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=47),   # hour slot (2 days)
+            st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_ts_anomaly_matches_python_reference(spark, values):
+    """Seasonal-naive scoring against a from-scratch Python replay on
+    arbitrary (possibly multi-event, gappy) hourly data: exact scaled
+    bucket sums, the t−24h equi-join (gaps align correctly — no
+    positional lag), per-key median/MAD with linear interpolation,
+    and the MAD=0 → null-z degenerate."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    rows = [
+        (f"2024-03-{1 + h // 24:02d} {h % 24:02d}:00:00", "k", v)
+        for h, v in values
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "value"
+    )
+    out = {
+        (r["bucket"].day, r["bucket"].hour): r
+        for r in ts_anomaly(
+            df, ts_col="ts", value_col="value", key_cols=["k"],
+            bucket="hour", period=24, threshold=3.5,
+        ).collect()
+    }
+
+    sums: dict = defaultdict(int)
+    for h, v in values:
+        sums[h] += math.floor(v * 100 + 0.5)
+    y = {h: s / 100 for h, s in sums.items()}
+    # residual replays the operator's EXACT form — integer subtraction
+    # then ONE division (not the difference of two rounded divisions,
+    # which can land an ulp away)
+    scored = {h: (y[h], y[h - 24], (sums[h] - sums[h - 24]) / 100)
+              for h in y if h - 24 in y}
+    assert set(out) == {(1 + h // 24, h % 24) for h in scored}
+    if scored:
+        res = [r for _, _, r in scored.values()]
+        med = statistics.median(res)
+        mad = statistics.median([abs(r - med) for r in res])
+        for h, (yy, yp, r) in scored.items():
+            got = out[(1 + h // 24, h % 24)]
+            assert got["y"] == yy and got["y_prev"] == yp and got["residual"] == r
+            if mad == 0.0:
+                assert got["z_e6"] is None and got["is_anomaly"] is None
+            else:
+                z = 0.6745 * (r - med) / mad
+                assert got["z_e6"] == math.floor(z * 1e6 + 0.5)
+                assert got["is_anomaly"] == (abs(z) > 3.5)
