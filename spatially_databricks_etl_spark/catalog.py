@@ -5730,7 +5730,9 @@ am AS (SELECT s.event_type, min(s.bucket) AS cp_bucket
 SELECT pk.event_type,
        CAST(n_buckets AS BIGINT) AS n_buckets,
        am.cp_bucket,
-       CAST(smax AS BIGINT) AS s_abs_max,
+       -- exact-integer STRING on both engines: a BIGINT cast would go
+       -- null (Spark non-ANSI) / raise (DuckDB) once n*T > 2^63
+       CAST(smax AS VARCHAR) AS s_abs_max,
        CAST(floor(CASE WHEN t_tot <> 0
                        THEN CAST(smax AS DOUBLE) / CAST(nn * abs(t_tot) AS DOUBLE)
                   END * 1000000 + 0.5) AS BIGINT) AS cusum_e6

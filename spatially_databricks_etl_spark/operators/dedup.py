@@ -990,12 +990,12 @@ def minhash_compact_index(spark, path: str) -> None:
     partitioned rewrite of each store (index-sized, the corpus is
     never re-shingled); results identical before/after (pinned by
     test)."""
-    import os
     import shutil
 
     from spatially_databricks_etl_spark.operators.indexstore import (
         anti_tombstones,
         clear_tombstones,
+        swap_directory,
     )
 
     for sub, pcol in (("bands", "__bhb"), ("shingles", "__pb")):
@@ -1005,6 +1005,5 @@ def minhash_compact_index(spark, path: str) -> None:
         staged = f"{path}/{sub}_staged"
         shutil.rmtree(staged, ignore_errors=True)
         live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
-        shutil.rmtree(f"{path}/{sub}")
-        os.rename(staged, f"{path}/{sub}")
+        swap_directory(staged, f"{path}/{sub}")
     clear_tombstones(path)

@@ -42,6 +42,29 @@ from pyspark.sql import functions as F
 TOMBSTONE_DIR = "_tombstones"
 
 
+def swap_directory(staged: str, live: str) -> None:
+    """Crash-safe swap of a fully-staged directory into the live
+    path: rename the live directory ASIDE (``{live}.__old``), move
+    the staged one in, and delete the old copy LAST. The previous
+    rmtree→rename sequence had a window where a crash after the
+    rmtree lost the live data with the staged copy never installed;
+    here every state is recoverable — a crash between the two renames
+    leaves the old content intact under ``.__old`` (re-run the
+    operation, or rename it back by hand), and a leftover ``.__old``
+    from a crashed run is cleared on the next swap. Local-FS renames;
+    an object store would version the directory and flip a manifest
+    pointer instead (``sinks/versioned.py`` is that shape)."""
+    import os
+    import shutil
+
+    old = f"{live.rstrip('/')}.__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_tombstones(ids: DataFrame, path: str, *, id_col: str) -> None:
     """Append a delete batch's ids to ``{path}/_tombstones``.
 
@@ -88,6 +111,30 @@ def clear_tombstones(path: str) -> None:
     shutil.rmtree(f"{path}/{TOMBSTONE_DIR}", ignore_errors=True)
 
 
+def shed_tombstones(spark: SparkSession, path: str, ids: DataFrame, *, id_col: str) -> None:
+    """Remove ``ids`` from the standing tombstone set — the re-ingest
+    half of every upsert: a previously-deleted id that is ingested
+    again must become searchable, so its tombstone must go. Callers
+    MUST have physically removed (or never re-exposed) the id's OLD
+    rows first — an id-only tombstone cannot distinguish the replaced
+    old row from its re-ingested successor, which is why plain
+    append-after-delete is NOT a replacement route anywhere in the
+    family (the appenders' docstrings route replacements through the
+    upserts). No-op when the index has no tombstones; otherwise one
+    anti-join over the (id-only, tiny) tombstone frame, staged and
+    crash-safely swapped."""
+    tomb = read_tombstones(spark, path)
+    if tomb is None:
+        return
+    batch = ids.select(F.col(id_col).alias("__shed_id")).distinct()
+    remaining = tomb.join(
+        F.broadcast(batch), tomb["id"] == batch["__shed_id"], "left_anti"
+    )
+    staged = f"{path}/{TOMBSTONE_DIR}__staged"
+    remaining.write.mode("overwrite").parquet(staged)
+    swap_directory(staged, f"{path}/{TOMBSTONE_DIR}")
+
+
 def compact_partitioned_index(
     spark: SparkSession, path: str, *, id_col: str, partition_col: str
 ) -> None:
@@ -99,8 +146,9 @@ def compact_partitioned_index(
     Cost: one shuffle-free scan + partitioned rewrite of the index
     rows (the vectors/codes, never the source corpus — assignment is
     not recomputed). The ``_*`` meta sidecars are carried over
-    verbatim; the staged directory swaps in atomically (local
-    rename; object stores version + flip a manifest)."""
+    verbatim; the staged directory swaps in crash-safely
+    (:func:`swap_directory` — old content aside first, deleted last;
+    object stores version + flip a manifest)."""
     import os
     import shutil
 
@@ -120,8 +168,7 @@ def compact_partitioned_index(
             and os.path.isdir(src)
         ):
             shutil.copytree(src, os.path.join(staged, name))
-    shutil.rmtree(path)
-    os.rename(staged, path)
+    swap_directory(staged, path)
 
 
 def apply_allowed_ids(

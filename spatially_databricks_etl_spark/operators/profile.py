@@ -1684,6 +1684,11 @@ def ts_changepoint(
 
     Returns one row per key:
     (key..., n_buckets, cp_bucket, s_abs_max, cusum_e6).
+    ``s_abs_max`` = max|S'_t| is emitted as the exact decimal's STRING
+    form, not a long: n·C_t − t·T can exceed 2⁶³ for long/heavy series,
+    where a long cast would go null under Spark's non-ANSI semantics
+    while DuckDB's HUGEINT→BIGINT cast raises — the string of the
+    exact integer is identical on both engines at every magnitude.
 
     Scale shape (100 TB): ONE hash aggregate compresses events to the
     bucket grid; the running sum is a window over the |buckets|-sized
@@ -1755,7 +1760,7 @@ def ts_changepoint(
             *keys,
             "n_buckets",
             "cp_bucket",
-            F.col("__smax").cast("long").alias("s_abs_max"),
+            F.col("__smax").cast("string").alias("s_abs_max"),
             F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cusum_e6"),
         )
     )

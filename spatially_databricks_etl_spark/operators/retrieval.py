@@ -435,8 +435,10 @@ def bm25_append_index(
       token total is the nearest integer).
     """
     import json
-    import os
-    import shutil
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        swap_directory,
+    )
 
     spark = new_docs.sparkSession
     meta = json.loads(
@@ -474,8 +476,7 @@ def bm25_append_index(
     )
     staged = f"{path}/df_staged"
     merged.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(f"{path}/df")
-    os.rename(staged, f"{path}/df")
+    swap_directory(staged, f"{path}/df")
 
     row = new_docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_new"),
@@ -532,10 +533,9 @@ def bm25_delete_index(
     when the tombstone set warrants physically dropping the postings.
     """
     import json
-    import os
-    import shutil
 
     from spatially_databricks_etl_spark.operators.indexstore import (
+        swap_directory,
         write_tombstones,
     )
 
@@ -580,8 +580,7 @@ def bm25_delete_index(
     staged = f"{path}/df_staged"
     merged.write.mode("overwrite").parquet(staged)
     gone.unpersist()
-    shutil.rmtree(f"{path}/df")
-    os.rename(staged, f"{path}/df")
+    swap_directory(staged, f"{path}/df")
 
     n_docs = old_n - float(n_del)
     sum_dl = old_sum - float(sum_gone)
@@ -618,12 +617,10 @@ def bm25_compact_index(spark, path: str) -> None:
     directory clears once its rows are physically gone. Search
     results are identical before and after (pinned by test) —
     compaction changes layout, never content."""
-    import os
-    import shutil
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         anti_tombstones,
         clear_tombstones,
+        swap_directory,
     )
 
     post = anti_tombstones(
@@ -636,8 +633,7 @@ def bm25_compact_index(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(staged)
     )
-    shutil.rmtree(f"{path}/postings")
-    os.rename(staged, f"{path}/postings")
+    swap_directory(staged, f"{path}/postings")
     clear_tombstones(path)
 
 

@@ -1145,8 +1145,7 @@ def _vector_upsert_index(
     import shutil
 
     from spatially_databricks_etl_spark.operators.indexstore import (
-        TOMBSTONE_DIR,
-        read_tombstones,
+        shed_tombstones,
     )
 
     spark = new_vecs.sparkSession
@@ -1175,23 +1174,28 @@ def _vector_upsert_index(
     shutil.rmtree(staged, ignore_errors=True)
     content.write.partitionBy(pcol).parquet(staged)
     assigned.unpersist()
+    # crash-safe partition swap: move the affected live partitions
+    # ASIDE first (not rmtree — a crash between removal and install
+    # would otherwise lose them), install the staged replacements,
+    # delete the old copies LAST (the swap_directory discipline,
+    # per-partition)
+    olddir = f"{path.rstrip('/')}.__upsert_old"
+    shutil.rmtree(olddir, ignore_errors=True)
+    os.makedirs(olddir)
     for v in affected:
-        shutil.rmtree(os.path.join(path, f"{pcol}={v}"), ignore_errors=True)
+        src = os.path.join(path, f"{pcol}={v}")
+        if os.path.exists(src):
+            os.rename(src, os.path.join(olddir, f"{pcol}={v}"))
     for name in os.listdir(staged):
         if "=" in name:
             os.rename(os.path.join(staged, name), os.path.join(path, name))
     shutil.rmtree(staged)
+    shutil.rmtree(olddir)
 
-    # re-ingested ids must shed any standing tombstone
-    tomb = read_tombstones(spark, path)
-    if tomb is not None:
-        remaining = tomb.join(
-            F.broadcast(batch_ids), tomb["id"] == batch_ids["vec_id"], "left_anti"
-        )
-        tstaged = f"{path}/{TOMBSTONE_DIR}__staged"
-        remaining.write.mode("overwrite").parquet(tstaged)
-        shutil.rmtree(f"{path}/{TOMBSTONE_DIR}")
-        os.rename(tstaged, f"{path}/{TOMBSTONE_DIR}")
+    # re-ingested ids must shed any standing tombstone (their old
+    # rows are physically gone from the affected partitions, so the
+    # shed cannot resurrect stale content)
+    shed_tombstones(spark, path, batch_ids, id_col="vec_id")
 
 
 def _lsh_assigned(new_vecs: DataFrame, path: str) -> DataFrame:

@@ -18,12 +18,15 @@ Layout:
   store that is one small-object PUT).
 
 Semantics and their limits, stated honestly: this gives atomic
-publish + time travel + retention for SINGLE-writer pipelines (the
-reference's shape). It does not arbitrate concurrent writers (no
-compare-and-swap on the manifest) and it snapshots whole tables, not
-row-level deltas — for MERGE-grade row transactions use a real table
-format (``sinks/writers.py`` already routes to Delta when the
-provider is installed; SCALE.md "Dependency gates"). Incremental
+publish + time travel + retention, with OPTIMISTIC concurrency for
+multi-writer races — each writer stages under a unique directory and
+commits via a version-checked, existence-arbitrated rename, so a
+losing concurrent writer raises :class:`ConcurrentWriteError` instead
+of silently clobbering the winner (see :func:`versioned_write`). It
+snapshots whole tables, not row-level deltas — for MERGE-grade row
+transactions use a real table format (``sinks/writers.py`` already
+routes to Delta when the provider is installed; SCALE.md "Dependency
+gates"). Incremental
 row-level history lives in the CDC operators (`operators/relational:
 cdc_apply`, `snapshot_diff`); :func:`versioned_diff` composes the
 latter over any two snapshots.
@@ -57,15 +60,22 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
 
 
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
-    # stage-and-swap so a reader never sees a half-written pointer
+    # stage-and-swap so a reader never sees a half-written pointer;
+    # crash-safe (old pointer aside first, deleted last)
+    from spatially_databricks_etl_spark.operators.indexstore import swap_directory
+
     staged = _manifest_path(path) + "__staged"
     spark.createDataFrame(
         [(json.dumps(manifest),)], "manifest_json string"
     ).coalesce(1).write.mode("overwrite").json(staged)
-    live = _manifest_path(path)
-    if os.path.exists(live):
-        shutil.rmtree(live)
-    os.rename(staged, live)
+    swap_directory(staged, _manifest_path(path))
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when :func:`versioned_write` detects that another writer
+    committed between this write's manifest read and its commit point
+    — the loser fails loudly instead of silently clobbering the
+    winner's snapshot pointer."""
 
 
 def versioned_write(df: DataFrame, path: str) -> int:
@@ -74,14 +84,48 @@ def versioned_write(df: DataFrame, path: str) -> int:
     the manifest pointer flips — the commit point — so readers only
     ever resolve complete snapshots; a crash mid-write leaves an
     orphan directory (cleaned by :func:`versioned_vacuum`), never a
-    corrupt table."""
+    corrupt table.
+
+    Concurrency: optimistic — the Delta protocol's shape without its
+    log. Each writer stages its snapshot under a writer-UNIQUE temp
+    directory (so racing writers never touch each other's bytes),
+    re-reads the manifest at commit time, and only then renames the
+    staged directory to ``v=N+1``; if the version moved, or the
+    target snapshot directory already exists (another writer won the
+    final window — the rename is the fs-level arbiter),
+    :class:`ConcurrentWriteError` raises and the loser's staged copy
+    is removed — last write no longer silently wins. The version
+    check-then-rename is not a full transaction log (a real table
+    format's atomic log append is the fix, gated on the environment
+    per SCALE.md), but the unique staging + existence-checked rename
+    make every interleaving either a clean commit or a loud,
+    retryable error — never silent loss."""
+    import uuid
+
     spark = df.sparkSession
     m = _read_manifest(spark, path) or {"version": 0, "versions": []}
     v = int(m["version"]) + 1
-    df.write.mode("overwrite").parquet(
-        os.path.join(path, "_snapshots", f"v={v}")
-    )
-    m = {"version": v, "versions": sorted({*m.get("versions", []), v})}
+    snaps = os.path.join(path, "_snapshots")
+    staged = os.path.join(snaps, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staged)
+    cur = _read_manifest(spark, path) or {"version": 0, "versions": []}
+    snap = os.path.join(snaps, f"v={v}")
+    if int(cur["version"]) != int(m["version"]) or os.path.exists(snap):
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"versioned_write: version moved {m['version']} -> "
+            f"{cur['version']} under {path} while staging v={v}; "
+            "another writer committed first — re-read and retry"
+        )
+    try:
+        os.rename(staged, snap)
+    except OSError as exc:  # the final-window racer: rename arbitrates
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"versioned_write: snapshot v={v} appeared under {path} "
+            "during commit; another writer won — re-read and retry"
+        ) from exc
+    m = {"version": v, "versions": sorted({*cur.get("versions", []), v})}
     _write_manifest(spark, path, m)
     return v
 
@@ -141,6 +185,10 @@ def versioned_vacuum(spark: SparkSession, path: str, *, keep_last: int = 2) -> l
     snaps = os.path.join(path, "_snapshots")
     dropped: list[int] = []
     for name in os.listdir(snaps):
+        if name.startswith(".staging-"):
+            # a crashed (or raced-out) writer's staged copy — orphaned
+            shutil.rmtree(os.path.join(snaps, name))
+            continue
         if not name.startswith("v="):
             continue
         v = int(name.split("=", 1)[1])

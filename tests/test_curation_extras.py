@@ -697,8 +697,8 @@ def test_ts_changepoint_locates_injected_level_shift(spark):
     # closed form: n=120, T=1000*(60*10+60*30)=2400_000 scaled? value
     # scale 100: y=1000/3000; T=240000; S'_60 = 120*60000 - 60*240000
     # = 7_200_000 - 14_400_000 -> |.| = 7_200_000
-    assert sh["s_abs_max"] == 7_200_000
+    assert sh["s_abs_max"] == "7200000"  # exact-decimal string (overflow-safe form)
     # D = 7.2e6 / (120*240000) = 0.25
     assert sh["cusum_e6"] == 250_000
     fl = out["flat"]
-    assert fl["s_abs_max"] == 0 and fl["cusum_e6"] == 0
+    assert fl["s_abs_max"] == "0" and fl["cusum_e6"] == 0

@@ -287,3 +287,62 @@ def test_versioned_table_time_travel_diff_and_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no manifest"):
         versioned_read(spark, str(tmp_path / "missing"))
+
+
+def test_versioned_write_concurrent_writer_fails_loudly(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency contract (VERDICT r10 item 5): when a
+    second writer commits between this writer's manifest read and its
+    commit point, the loser raises ConcurrentWriteError instead of
+    silently clobbering the winner — and the winner's snapshot and
+    pointer are untouched. Also pins the fs-level arbiter (an already-
+    existing target snapshot directory fails the commit even when the
+    manifest check passes) and vacuum's orphaned-staging cleanup."""
+    import os
+
+    import pytest
+
+    import spatially_databricks_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt_race")
+    v1_df = spark.createDataFrame([(1, "a")], "k int, name string")
+    assert V.versioned_write(v1_df, path) == 1
+
+    # interleaving: the loser's initial manifest read happened BEFORE
+    # the winner committed v=1 — simulate by making the first
+    # _read_manifest call return the stale (empty) state
+    real = V._read_manifest
+    calls = {"n": 0}
+
+    def stale_first(s, p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"version": 0, "versions": []}
+        return real(s, p)
+
+    monkeypatch.setattr(V, "_read_manifest", stale_first)
+    loser_df = spark.createDataFrame([(9, "z")], "k int, name string")
+    with pytest.raises(V.ConcurrentWriteError, match="version moved"):
+        V.versioned_write(loser_df, path)
+    monkeypatch.setattr(V, "_read_manifest", real)
+
+    # winner untouched, loser's staging removed
+    assert {tuple(r) for r in V.versioned_read(spark, path).collect()} == {(1, "a")}
+    snaps = os.path.join(path, "_snapshots")
+    assert not [n for n in os.listdir(snaps) if n.startswith(".staging-")]
+
+    # fs-level arbiter: target snapshot dir already exists (a racer in
+    # the final window, manifest not yet flipped) -> loud failure
+    os.makedirs(os.path.join(snaps, "v=2"))
+    with pytest.raises(V.ConcurrentWriteError):
+        V.versioned_write(loser_df, path)
+    os.rmdir(os.path.join(snaps, "v=2"))
+
+    # a subsequent clean write commits normally...
+    assert V.versioned_write(loser_df, path) == 2
+    assert {tuple(r) for r in V.versioned_read(spark, path).collect()} == {(9, "z")}
+
+    # ...and vacuum clears any orphaned staging directory a crashed
+    # writer left behind
+    os.makedirs(os.path.join(snaps, ".staging-deadbeef"))
+    V.versioned_vacuum(spark, path, keep_last=2)
+    assert not [n for n in os.listdir(snaps) if n.startswith(".staging-")]

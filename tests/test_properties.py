@@ -646,7 +646,7 @@ def test_ts_changepoint_matches_python_reference(spark, values):
         s = abs(n * cum - i * tot)
         if s > best:
             best, best_i = s, i
-    assert r["n_buckets"] == n and r["s_abs_max"] == best
+    assert r["n_buckets"] == n and r["s_abs_max"] == str(best)
     want_cp = (1 + (best_i - 1) // 24, (best_i - 1) % 24)
     assert (r["cp_bucket"].day, r["cp_bucket"].hour) == want_cp
     if tot != 0:
