@@ -733,6 +733,51 @@ def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join with a STALENESS BOUND — the merge mode SQL
+    windows cannot express in one pass and the reason the cogroup
+    path exists (`operators/udfs.py: asof_join_cogroup`): each event
+    annotated with the same user's most recent 'error' event time
+    at-or-before it, but only if that error is within 30 minutes —
+    older candidates annotate null (a stale sensor reading is not a
+    reading). The DuckDB oracle replays it as the windowed backward
+    candidate filtered by the interval bound: with
+    allow-exact-matches semantics, the in-tolerance backward match is
+    exactly the unbounded backward match when it is recent enough."""
+    from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    out = asof_join_cogroup(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+        direction="backward",
+        tolerance=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("error_ts").alias("recent_error_ts")
+    )
+
+
+SQL_ASOF_JOIN_TOLERANCE = """
+SELECT event_id, user_id, ts,
+       CASE WHEN cand IS NOT NULL AND ts - cand <= INTERVAL 1800 SECONDS
+            THEN cand END AS recent_error_ts
+FROM (
+  SELECT event_id, user_id, ts,
+         max(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cand
+  FROM events)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windows / sort / top-k
 # ---------------------------------------------------------------------------
@@ -7479,6 +7524,10 @@ QUERIES: dict[str, QueryFn] = {
     # round-10: the as-of join through the cogrouped Arrow boundary —
     # a second engine path against the same oracle
     "asof_join_cogroup": q_asof_join_cogroup,
+    # round-11: the staleness-bounded as-of — the merge mode that
+    # justifies the cogroup path (tolerance has no one-pass SQL-window
+    # form; the oracle filters the windowed backward candidate)
+    "asof_join_tolerance": q_asof_join_tolerance,
     # round-10: Spark 4 WITH RECURSIVE — declarative BFS reachability,
     # identical SQL text on both engines
     "transitive_closure": q_transitive_closure,
@@ -7661,6 +7710,7 @@ ORACLES: dict[str, str] = {
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "variant_fns": SQL_VARIANT_FNS,
     "asof_join_cogroup": SQL_ASOF_JOIN,
+    "asof_join_tolerance": SQL_ASOF_JOIN_TOLERANCE,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,

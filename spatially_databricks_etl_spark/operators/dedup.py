@@ -815,9 +815,15 @@ def minhash_append_index(
     test), and its band/shingle rows land as additional files inside
     the existing ``__bhb=``/``__pb=`` partition directories. The
     standing corpus is never re-shingled, never re-signed. Caller
-    contract: batch ids are new (re-ingesting an id duplicates its
-    rows — route replacements through delete + append, or the
-    family's ingest sink for replay safety)."""
+    contract: batch ids are NEW — never present in the index, not
+    even as tombstoned rows. Re-ingesting an id duplicates its rows,
+    and appending an id that was delete-tombstoned leaves the new
+    rows anti-joined away at search (the tombstone kills by id, not
+    by generation). Route REPLACEMENTS through
+    :func:`minhash_upsert_index`, which physically removes the old
+    rows before the new ones land and sheds the tombstone; the
+    delete → compact → append sequence is the equivalent manual
+    route (both pinned by test)."""
     import json
 
     spark = new_docs.sparkSession
@@ -851,6 +857,153 @@ def minhash_append_index(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
     ).write.mode("append").partitionBy("__bhb").parquet(f"{path}/bands")
     base.unpersist()
+
+
+def minhash_upsert_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Upsert a document batch into a persisted MinHash index:
+    re-ingested ids REPLACE their old content (the old band/shingle
+    rows are physically removed — an id-only tombstone cannot
+    distinguish a replaced row from its successor, so replacement
+    must be physical), new ids simply land, and previously-deleted
+    batch ids shed their tombstones and become searchable again.
+    ``upsert(batch) ≡ rebuild(corpus − old versions ∪ batch)`` for
+    search results (pinned by test).
+
+    Partition-scoped, never index-scoped — the layout makes every
+    old row findable without a full scan:
+
+    - the SHINGLE store partitions on ``__pb = hash(id)``, so the
+      batch ids' directories are computable directly from the ids;
+    - the old BAND rows' partitions (``__bhb = hash(band key)``)
+      depend on the old CONTENT, but the stored shingle codes
+      deterministically reproduce the old signatures → band keys →
+      partitions (`minhash_signatures_df` is pure in (codes, seed)),
+      so one read of the batch's shingle directories locates every
+      old band row. Nothing outside (old ∪ new) partitions is
+      touched; the rewrite compacts what it touches (tombstoned rows
+      of OTHER ids in those partitions drop too). Swaps are
+      crash-safe (``indexstore.swap_partitions``).
+
+    A batch doc whose text yields zero shingles contributes no rows
+    — upserting an id to empty text is equivalent to deleting it,
+    exactly as a rebuild on the updated corpus would behave."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        shed_tombstones,
+        swap_partitions,
+    )
+
+    spark = new_docs.sparkSession
+    meta = json.loads(
+        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
+    )
+    bands, num_hashes = meta["bands"], meta["num_hashes"]
+    hash_buckets, seed = meta["hash_buckets"], meta["seed"]
+    rows = num_hashes // bands
+
+    src = ensure_parallelism(
+        new_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    batch_ids = src.select("__id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    sh = ngrams(F.col("__text"), meta["shingle_size"], character=True)
+    base = (
+        src.select("__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h"))
+        .filter(F.size("__h") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_sig = minhash_signatures_df(
+        base.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    new_bands = _band_rows(new_sig, bands=bands, rows=rows).withColumn(
+        "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- shingle store: affected partitions are the batch ids' own
+    # hash directories (old and new rows share them — keyed on id)
+    pbs = sorted(
+        {
+            r["__pb"]
+            for r in batch_ids.select(
+                F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    old_sh = (
+        spark.read.parquet(f"{path}/shingles")
+        .filter(F.col("__pb").isin(pbs))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # old band rows reconstruct exactly from the stored codes
+    old_mine = old_sh.join(F.broadcast(batch_ids), "__id").select("__id", "__h")
+    old_sig = minhash_signatures_df(
+        old_mine.select("__id", mask32_hashes("__h").alias("__h")),
+        hash_col="__h",
+        sig_col="__sig",
+        num_hashes=num_hashes,
+        seed=seed,
+    )
+    old_bhbs = {
+        r["__bhb"]
+        for r in _band_rows(old_sig, bands=bands, rows=rows)
+        .select(F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets)).alias("__bhb"))
+        .distinct()
+        .collect()
+    }
+    new_bhbs = {r["__bhb"] for r in new_bands.select("__bhb").distinct().collect()}
+    bhbs = sorted(old_bhbs | new_bhbs)
+
+    # ---- rewrite the affected band partitions: keep other ids'
+    # live rows, drop every batch-id row, add the new band rows
+    keep_b = (
+        anti_tombstones(
+            spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(bhbs)),
+            path,
+            "__id",
+        )
+        .join(F.broadcast(batch_ids), "__id", "left_anti")
+    )
+    content_b = keep_b.select("__id", "__band", "__bh", "__bhb").unionByName(
+        new_bands.select("__id", "__band", "__bh", "__bhb")
+    )
+    staged_b = f"{path}/bands.__upsert_staged"
+    content_b.write.mode("overwrite").partitionBy("__bhb").parquet(staged_b)
+    swap_partitions(staged_b, f"{path}/bands", "__bhb", bhbs)
+
+    # ---- rewrite the affected shingle partitions likewise
+    keep_s = anti_tombstones(old_sh, path, "__id").join(
+        F.broadcast(batch_ids), "__id", "left_anti"
+    )
+    content_s = keep_s.select("__id", "__h", "__pb").unionByName(
+        base.select(
+            "__id",
+            "__h",
+            F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb"),
+        )
+    )
+    staged_s = f"{path}/shingles.__upsert_staged"
+    content_s.write.mode("overwrite").partitionBy("__pb").parquet(staged_s)
+    swap_partitions(staged_s, f"{path}/shingles", "__pb", pbs)
+
+    # re-ingested ids shed any standing tombstone — safe now that
+    # their old rows are physically gone
+    shed_tombstones(spark, path, batch_ids, id_col="__id")
+    for df in (batch_ids, base, new_bands, old_sh):
+        df.unpersist()
 
 
 def minhash_search_index(

@@ -111,6 +111,31 @@ def clear_tombstones(path: str) -> None:
     shutil.rmtree(f"{path}/{TOMBSTONE_DIR}", ignore_errors=True)
 
 
+def swap_partitions(staged: str, live: str, partition_col: str, affected: list) -> None:
+    """Crash-safe install of a staged partitioned rewrite over the
+    AFFECTED partition directories of a live index root: the live
+    copies move aside first (never rmtree'd while the replacements
+    are uninstalled), the staged ``{col}={v}`` directories move in,
+    and the old copies are deleted LAST — the per-partition form of
+    :func:`swap_directory`, shared by every partition-scoped upsert
+    (vector indexes, MinHash)."""
+    import os
+    import shutil
+
+    olddir = f"{live.rstrip('/')}.__upsert_old"
+    shutil.rmtree(olddir, ignore_errors=True)
+    os.makedirs(olddir)
+    for v in affected:
+        src = os.path.join(live, f"{partition_col}={v}")
+        if os.path.exists(src):
+            os.rename(src, os.path.join(olddir, f"{partition_col}={v}"))
+    for name in os.listdir(staged):
+        if "=" in name:
+            os.rename(os.path.join(staged, name), os.path.join(live, name))
+    shutil.rmtree(staged)
+    shutil.rmtree(olddir)
+
+
 def shed_tombstones(spark: SparkSession, path: str, ids: DataFrame, *, id_col: str) -> None:
     """Remove ``ids`` from the standing tombstone set — the re-ingest
     half of every upsert: a previously-deleted id that is ingested

@@ -1533,6 +1533,7 @@ def ts_anomaly(
     period: int = 24,
     threshold: float = 3.5,
     value_decimals: int = 2,
+    detrend_window: int | None = None,
 ) -> DataFrame:
     """Time-series anomaly scoring by SEASONAL-NAIVE residuals — the
     member the drift family lacks: drift_psi/ks/chi2/wasserstein

@@ -351,16 +351,23 @@ def bm25_write_index(
     via :func:`bm25_append_index` without re-tokenizing the standing
     corpus.
 
-    The meta sidecar carries (n_docs, sum_dl, avgdl). ``sum_dl`` is
-    the exact token-count total (integer-valued — a float sum of
+    The meta sidecar carries (n_docs, sum_dl, avgdl, gen). ``sum_dl``
+    is the exact token-count total (integer-valued — a float sum of
     integers under 2⁵³ is exact regardless of partition order), which
     is what lets an append derive the SAME avgdl double a full
     rebuild would: both compute the one division
-    ``sum_dl / n_docs`` over identical exact operands.
+    ``sum_dl / n_docs`` over identical exact operands. ``gen`` is the
+    ingest-generation counter (appends increment it and stamp their
+    rows) behind the generation-aware delete/upsert lifecycle; the
+    ``_doc_manifest`` sidecar records (doc_id, dl, gen) for every
+    ingested document — including zero-token ones, which have no
+    postings rows — making delete idempotent and upsert sound.
     """
     import json
 
-    post = _postings(docs, id_col, text_col, "dl")
+    post = _postings(docs, id_col, text_col, "dl").withColumn(
+        "gen", F.lit(0).cast("long")
+    )
     (
         post.repartitionByRange("term")
         .sortWithinPartitions("term")
@@ -377,9 +384,16 @@ def bm25_write_index(
         .write.mode("overwrite")
         .parquet(f"{path}/df")
     )
-    row = docs.agg(
+    _manifest_rows(docs, id_col, text_col, 0).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}"
+    )
+    # corpus stats from the manifest read-back — same exact integers
+    # the old per-doc tokenize pass produced (dl coalesces null-text
+    # to 0; the double sum of integers < 2^53 is exact), one
+    # tokenization pass saved
+    row = spark.read.parquet(f"{path}/{MANIFEST_DIR}").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum(F.size(tokens_col(text_col)).cast("double")).alias("sum_dl"),
+        F.sum(F.col("dl").cast("double")).alias("sum_dl"),
     ).first()
     n_docs = float(row["n_docs"])
     sum_dl = float(row["sum_dl"] or 0.0)
@@ -391,6 +405,7 @@ def bm25_write_index(
                         "n_docs": n_docs,
                         "sum_dl": sum_dl,
                         "avgdl": sum_dl / n_docs if n_docs else 0.0,
+                        "gen": 0,
                     }
                 ),
             )
@@ -410,9 +425,10 @@ def bm25_append_index(
     :func:`bm25_write_index`) without touching the standing corpus —
     the incremental-ingest contract the MinHash index already has
     (``operators/dedup.py: minhash_write_index`` — corpus never
-    re-signed). Caller contract: batch doc ids are new (re-ingesting
-    an existing id would double its postings, like any append-only
-    log).
+    re-signed). Caller contract: batch doc ids are NEW — re-ingesting
+    a live id would double its postings, like any append-only log;
+    route replacements through :func:`bm25_upsert_index` (which
+    delete-masks the old generation first).
 
     - **postings**: only the BATCH is tokenized; its (doc, term) rows
       land as additional range-sorted files under ``postings/``. Each
@@ -450,14 +466,27 @@ def bm25_append_index(
         if "sum_dl" in meta
         else round(float(meta["avgdl"]) * old_n)
     )
+    # generation stamp: new-format indexes (meta carries ``gen``)
+    # stamp the batch's rows with gen+1 and extend the doc manifest —
+    # what lets a tombstone written at gen g mask exactly the rows it
+    # saw while a later re-ingest survives. Legacy indexes (no gen in
+    # meta, no gen column in their parquet) stay un-stamped so their
+    # files keep one consistent schema.
+    new_gen = int(meta["gen"]) + 1 if "gen" in meta else None
 
     post = _postings(new_docs, id_col, text_col, "dl")
+    if new_gen is not None:
+        post = post.withColumn("gen", F.lit(new_gen).cast("long"))
     (
         post.repartitionByRange("term")
         .sortWithinPartitions("term")
         .write.mode("append")
         .parquet(f"{path}/postings")
     )
+    if new_gen is not None:
+        _manifest_rows(new_docs, id_col, text_col, new_gen).write.mode(
+            "append"
+        ).parquet(f"{path}/{MANIFEST_DIR}")
     # df merge reads the old df dir, so stage the merged frame and
     # swap — Spark's lazy overwrite would otherwise truncate its own
     # input mid-scan
@@ -484,18 +513,15 @@ def bm25_append_index(
     ).first()
     n_docs = old_n + float(row["n_new"])
     sum_dl = old_sum + float(row["sum_new"] or 0.0)
+    new_meta = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+    }
+    if new_gen is not None:
+        new_meta["gen"] = new_gen
     spark.createDataFrame(
-        [
-            (
-                json.dumps(
-                    {
-                        "n_docs": n_docs,
-                        "sum_dl": sum_dl,
-                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
-                    }
-                ),
-            )
-        ],
+        [(json.dumps(new_meta),)],
         "bm25_meta_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
 
@@ -523,14 +549,24 @@ def bm25_delete_index(
       Integer-valued doubles subtract exactly, so df matches a
       rebuild bit-for-bit.
     - **meta**: (n_docs, sum_dl) subtract the batch's exact totals
-      (n from the id batch itself so zero-token docs count; dl from
-      the stored postings) and avgdl re-derives as the one division
-      over exact operands — identical to what a rebuild computes.
+      (n and dl from the LIVE doc-manifest rows, so zero-token docs
+      count and dead rows don't) and avgdl re-derives as the one
+      division over exact operands — identical to what a rebuild
+      computes.
 
-    Caller contract (mirror of the appenders'): every id is live in
-    the index — present and not already tombstoned; double-deletes
-    would double-subtract the stats. Run :func:`bm25_compact_index`
-    when the tombstone set warrants physically dropping the postings.
+    IDEMPOTENT: the batch is intersected with the LIVE manifest
+    before anything is counted, so a double-delete, a delete of a
+    never-ingested id, or a mixed batch subtracts exactly the stats
+    of the ids that are actually live — ``delete(B); delete(B) ≡
+    delete(B)`` and ``delete(unknown)`` is a no-op (pinned by test).
+    Tombstones are written at the CURRENT ingest generation, masking
+    every existing row of the id while leaving any later re-ingest
+    (strictly greater generation) live — which is what
+    :func:`bm25_upsert_index` builds on. Legacy indexes without a
+    manifest fall back to postings-derived liveness (zero-token docs
+    are invisible there — rebuild the index to upgrade). Run
+    :func:`bm25_compact_index` when the tombstone set warrants
+    physically dropping the postings.
     """
     import json
 
@@ -541,9 +577,6 @@ def bm25_delete_index(
 
     spark = deleted.sparkSession
     dele = deleted.select(F.col(id_col).alias("doc_id")).distinct()
-    n_del = dele.count()
-    if n_del == 0:
-        return
     meta = json.loads(
         spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
     )
@@ -554,17 +587,39 @@ def bm25_delete_index(
         else round(float(meta["avgdl"]) * old_n)
     )
 
+    manifest_live = _read_manifest_live(spark, path)
+    if manifest_live is not None:
+        live = dele.join(manifest_live, "doc_id").persist()
+    else:
+        # legacy fallback: liveness from the postings themselves —
+        # the ids that have live postings rows and no standing
+        # tombstone (zero-token docs are invisible here; rebuild the
+        # index for exact accounting of those)
+        live = (
+            _anti_tombstones_gen(
+                spark.read.parquet(f"{path}/postings"), path, "doc_id"
+            )
+            .join(F.broadcast(dele), "doc_id")
+            .select("doc_id", "dl")
+            .distinct()
+            .persist()
+        )
+    n_del = live.count()
+    if n_del == 0:
+        live.unpersist()
+        return
+
     gone = (
-        spark.read.parquet(f"{path}/postings")
-        .join(F.broadcast(dele), "doc_id")
+        _anti_tombstones_gen(
+            spark.read.parquet(f"{path}/postings"), path, "doc_id"
+        )
+        .join(F.broadcast(live.select("doc_id")), "doc_id")
         .persist()
     )
     delta = gone.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__gone_df")
     )
-    sum_gone = (
-        gone.select("doc_id", "dl").distinct().agg(F.sum("dl")).first()[0] or 0.0
-    )
+    sum_gone = float(live.agg(F.sum("dl")).first()[0] or 0.0)
 
     old_df = spark.read.parquet(f"{path}/df")
     merged = (
@@ -584,21 +639,24 @@ def bm25_delete_index(
 
     n_docs = old_n - float(n_del)
     sum_dl = old_sum - float(sum_gone)
+    new_meta = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+    }
+    if "gen" in meta:
+        new_meta["gen"] = int(meta["gen"])
     spark.createDataFrame(
-        [
-            (
-                json.dumps(
-                    {
-                        "n_docs": n_docs,
-                        "sum_dl": sum_dl,
-                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
-                    }
-                ),
-            )
-        ],
+        [(json.dumps(new_meta),)],
         "bm25_meta_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
-    write_tombstones(dele, path, id_col="doc_id")
+    if manifest_live is not None:
+        _write_tombstones_gen(
+            live.select("doc_id"), path, int(meta.get("gen", 0))
+        )
+    else:
+        write_tombstones(live.select("doc_id"), path, id_col="doc_id")
+    live.unpersist()
 
 
 def bm25_compact_index(spark, path: str) -> None:
@@ -618,12 +676,11 @@ def bm25_compact_index(spark, path: str) -> None:
     results are identical before and after (pinned by test) —
     compaction changes layout, never content."""
     from spatially_databricks_etl_spark.operators.indexstore import (
-        anti_tombstones,
         clear_tombstones,
         swap_directory,
     )
 
-    post = anti_tombstones(
+    post = _anti_tombstones_gen(
         spark.read.parquet(f"{path}/postings"), path, "doc_id"
     )
     staged = f"{path}/postings_staged"
@@ -633,8 +690,164 @@ def bm25_compact_index(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(staged)
     )
+    # the doc manifest compacts the same way: live rows only (dead
+    # generations physically dropped alongside their postings)
+    manifest_live = _read_manifest_live(spark, path)
+    mstaged = None
+    if manifest_live is not None:
+        mstaged = f"{path}/{MANIFEST_DIR}__staged"
+        manifest_live.write.mode("overwrite").parquet(mstaged)
     swap_directory(staged, f"{path}/postings")
+    if mstaged is not None:
+        swap_directory(mstaged, f"{path}/{MANIFEST_DIR}")
     clear_tombstones(path)
+
+
+def bm25_upsert_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Upsert a document batch into a persisted BM25 index:
+    re-ingested ids replace their old content, new ids simply land —
+    completing the family's CRUD matrix (the vector indexes got
+    upsert via partition-scoped rewrite; BM25's postings are
+    TERM-partitioned, so a document's rows are scattered across every
+    term range and physical replacement would be a full index rewrite
+    — instead, replacement is by ingest GENERATION):
+
+    1. ``existing`` = batch ids ∩ LIVE doc manifest (sound even for
+       zero-token documents, which have no postings row — the
+       manifest is why BM25 can have an upsert at all);
+    2. :func:`bm25_delete_index` tombstones those ids at the current
+       generation g (stats decrement exactly);
+    3. :func:`bm25_append_index` ingests the whole batch at g+1 —
+       strictly above every tombstone, so the new rows are live while
+       the replaced ones stay dead. O(batch + vocabulary), never a
+       corpus re-tokenize.
+
+    ``upsert(batch) ≡ rebuild(corpus − old versions ∪ batch)`` for
+    search results, bit-identical stats included (pinned by test).
+    Requires a manifest-format index (built by this version's
+    :func:`bm25_write_index`); raises on a legacy index — re-ingest
+    detection from postings alone would silently miss zero-token
+    documents, and a wrong silent answer is worse than a loud one."""
+    spark = new_docs.sparkSession
+    manifest_live = _read_manifest_live(spark, path)
+    if manifest_live is None:
+        raise ValueError(
+            "bm25_upsert_index: index has no _doc_manifest sidecar "
+            "(legacy layout) — rebuild it with bm25_write_index to "
+            "enable upsert"
+        )
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    existing = batch_ids.join(manifest_live.select("doc_id"), "doc_id")
+    if existing.limit(1).count() > 0:
+        bm25_delete_index(existing, path, id_col="doc_id")
+    bm25_append_index(new_docs, path, id_col=id_col, text_col=text_col)
+
+
+#: Sidecar (underscore-prefixed → invisible to partition discovery)
+#: holding one row per EVER-ingested document: (doc_id, dl, gen). The
+#: doc-id manifest is what makes delete idempotent (live = manifest ∩
+#: batch — a double-delete or never-ingested id intersects to nothing)
+#: and upsert sound (zero-token documents have no postings row, so
+#: re-ingest detection from the index alone would miss them — the
+#: manifest sees every ingested id). Corpus-cardinality, two small
+#: columns; appends extend it, compaction rewrites it live-only.
+MANIFEST_DIR = "_doc_manifest"
+
+
+def _with_gen(df: DataFrame) -> DataFrame:
+    """Ensure the ingest-generation column exists (legacy index files
+    predate it; their rows are generation 0)."""
+    if "gen" in df.columns:
+        return df
+    return df.withColumn("gen", F.lit(0).cast("long"))
+
+
+def _read_tombstones_gen(spark, path: str) -> DataFrame | None:
+    """BM25's generation-aware tombstones as (id, tgen): a tombstone
+    written at ingest-generation g kills every row of that id with
+    ``gen <= g`` — so a LATER re-ingest (gen g+1) is live while the
+    replaced rows stay dead, which is exactly what lets upsert be
+    delete + append with no physical postings rewrite. Legacy id-only
+    tombstone rows kill every generation (tgen = +inf sentinel),
+    preserving the old semantics. One row per id (max tgen)."""
+    from pyspark.errors import AnalysisException
+
+    from spatially_databricks_etl_spark.operators.indexstore import TOMBSTONE_DIR
+
+    try:
+        t = spark.read.parquet(f"{path}/{TOMBSTONE_DIR}")
+    except AnalysisException:
+        return None
+    tg = (
+        F.col("gen").cast("long")
+        if "gen" in t.columns
+        else F.lit(2**62).cast("long")
+    )
+    return t.select("id", tg.alias("tgen")).groupBy("id").agg(
+        F.max("tgen").alias("tgen")
+    )
+
+
+def _anti_tombstones_gen(df: DataFrame, path: str, id_col: str) -> DataFrame:
+    """Drop generation-dead rows from an index read: LEFT ANTI join on
+    (id match AND row gen <= tombstone gen). No-op without tombstones
+    (beyond ensuring the ``gen`` column exists)."""
+    d = _with_gen(df)
+    tomb = _read_tombstones_gen(df.sparkSession, path)
+    if tomb is None:
+        return d
+    return d.join(
+        F.broadcast(tomb),
+        (d[id_col] == tomb["id"]) & (d["gen"] <= tomb["tgen"]),
+        "left_anti",
+    )
+
+
+def _write_tombstones_gen(ids: DataFrame, path: str, gen: int) -> None:
+    """Append a delete batch as (id, gen) tombstone rows — the
+    generation-aware form of ``indexstore.write_tombstones`` (BM25 is
+    the one index whose upsert works by generation masking instead of
+    physical partition replacement, because its postings are
+    term-partitioned — a document's rows are scattered across every
+    term range, so a physical per-document rewrite would be a full
+    index rewrite)."""
+    from spatially_databricks_etl_spark.operators.indexstore import TOMBSTONE_DIR
+
+    ids.select(
+        F.col("doc_id").alias("id"), F.lit(int(gen)).cast("long").alias("gen")
+    ).distinct().write.mode("append").parquet(f"{path}/{TOMBSTONE_DIR}")
+
+
+def _manifest_rows(docs: DataFrame, id_col: str, text_col: str, gen: int) -> DataFrame:
+    """(doc_id, dl, gen) manifest rows for an ingest batch — dl from
+    the SAME tokenizer as the postings build, coalesced to 0 so
+    zero-token/null-text documents (which have no postings rows at
+    all) are still on the books."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(tokens_col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("dl"),
+        F.lit(int(gen)).cast("long").alias("gen"),
+    )
+
+
+def _read_manifest_live(spark, path: str) -> DataFrame | None:
+    """The LIVE rows of the doc-id manifest (generation-dead rows
+    masked), or ``None`` for a legacy index without one."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        m = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    except AnalysisException:
+        return None
+    return _anti_tombstones_gen(m, path, "doc_id")
 
 
 def _batch_postings_readback(spark, path: str, post: DataFrame) -> DataFrame:
@@ -687,13 +900,12 @@ def bm25_search_index(
         .distinct()
     )
     from spatially_databricks_etl_spark.operators.indexstore import (
-        anti_tombstones,
         apply_allowed_ids,
     )
 
     terms = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
     post = apply_allowed_ids(
-        anti_tombstones(
+        _anti_tombstones_gen(
             spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms)),
             path,
             "doc_id",

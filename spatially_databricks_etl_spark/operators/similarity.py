@@ -1146,6 +1146,7 @@ def _vector_upsert_index(
 
     from spatially_databricks_etl_spark.operators.indexstore import (
         shed_tombstones,
+        swap_partitions,
     )
 
     spark = new_vecs.sparkSession
@@ -1174,23 +1175,8 @@ def _vector_upsert_index(
     shutil.rmtree(staged, ignore_errors=True)
     content.write.partitionBy(pcol).parquet(staged)
     assigned.unpersist()
-    # crash-safe partition swap: move the affected live partitions
-    # ASIDE first (not rmtree — a crash between removal and install
-    # would otherwise lose them), install the staged replacements,
-    # delete the old copies LAST (the swap_directory discipline,
-    # per-partition)
-    olddir = f"{path.rstrip('/')}.__upsert_old"
-    shutil.rmtree(olddir, ignore_errors=True)
-    os.makedirs(olddir)
-    for v in affected:
-        src = os.path.join(path, f"{pcol}={v}")
-        if os.path.exists(src):
-            os.rename(src, os.path.join(olddir, f"{pcol}={v}"))
-    for name in os.listdir(staged):
-        if "=" in name:
-            os.rename(os.path.join(staged, name), os.path.join(path, name))
-    shutil.rmtree(staged)
-    shutil.rmtree(olddir)
+    # crash-safe partition swap (live copies aside first, deleted last)
+    swap_partitions(staged, path, pcol, affected)
 
     # re-ingested ids must shed any standing tombstone (their old
     # rows are physically gone from the affected partitions, so the

@@ -125,19 +125,29 @@ def asof_join_cogroup(
     right_time: str,
     right_values: "list[str]",
     direction: str = "backward",
+    tolerance: "float | int | None" = None,
 ) -> DataFrame:
     """As-of join through the COGROUPED Arrow boundary
     (``groupBy(k).cogroup(right.groupBy(k)).applyInPandas``) — the
-    same semantics as ``relational.asof_join`` (most recent right row
-    at-or-before each left row, per key; ``forward`` for
+    same core semantics as ``relational.asof_join`` (most recent
+    right row at-or-before each left row, per key; ``forward`` for
     at-or-after), executed as one ``pandas.merge_asof`` per key group
-    instead of the union+window plan. Kept alongside the relational
-    form for two reasons: it completes the Python-boundary family
-    (pandas UDF, UDAF, grouped map, UDTF — and now cogrouped map,
-    the one Arrow entry point the engine didn't exercise), and it is
-    the natural host for merge logic SQL windows cannot express
-    (tolerance bounds, nearest-of-both-directions, per-group custom
-    tie rules — pandas ``merge_asof`` exposes all three).
+    instead of the union+window plan — PLUS the two merge modes SQL
+    windows cannot express, which are what justify the Arrow cost:
+
+    - ``tolerance``: maximum allowed |left time − right time| for a
+      match (a number in the time columns' own units for numeric
+      keys; SECONDS for timestamp keys). A candidate outside the
+      bound annotates null — the staleness cutoff every
+      sensor/feature as-of join eventually needs.
+    - ``direction="nearest"``: the closest right row in EITHER
+      direction by absolute distance. Tie rules, pinned by property
+      test against a from-scratch replay: the backward candidate is
+      the LATEST right row at-or-before (last among equal times, the
+      window form's last-wins fold), the forward candidate the
+      EARLIEST at-or-after (first among equal times), and an
+      equidistant tie resolves BACKWARD (pandas' documented
+      preference, kept as the contract).
 
     Contracts: rows with a null left time emit with null annotations
     (they order nowhere); null right times never match. Ties on the
@@ -164,8 +174,12 @@ def asof_join_cogroup(
     logic genuinely needs pandas."""
     from pyspark.sql.types import StructField, StructType
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if tolerance is not None and not tolerance > 0:
+        raise ValueError(f"tolerance must be positive, got {tolerance!r}")
     left_names = set(left.columns)
     out_fields = list(left.schema.fields) + [
         StructField(c, right.schema[c].dataType, True)
@@ -175,7 +189,7 @@ def asof_join_cogroup(
     schema = StructType(out_fields)
     out_cols = [f.name for f in out_fields]
     val_cols = [c for c in right_values if c not in left_names]
-    lt, rt, d = left_time, right_time, direction
+    lt, rt, d, tol = left_time, right_time, direction, tolerance
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
@@ -188,12 +202,20 @@ def asof_join_cogroup(
             for c in val_cols:
                 m[c] = None
         else:
+            ptol = None
+            if tol is not None:
+                ptol = (
+                    pd.Timedelta(seconds=tol)
+                    if pd.api.types.is_datetime64_any_dtype(lok[lt])
+                    else tol
+                )
             m = pd.merge_asof(
                 lok,
                 r2[[rt, *[c for c in right_values if c != rt]]],
                 left_on=lt,
                 right_on=rt,
                 direction=d,
+                tolerance=ptol,
             )
         if len(lnull):
             ln = lnull.copy()

@@ -1065,6 +1065,9 @@ def test_bm25_append_index_matches_full_rebuild(spark, tmp_path):
     m_full = json.loads(
         spark.read.json(f"{full}/_bm25_meta").collect()[0]["bm25_meta_json"]
     )
+    # the ingest-generation counter is the one legitimate difference
+    # (one append happened vs none); every stats field matches exactly
+    assert m_inc.pop("gen") == 1 and m_full.pop("gen") == 0
     assert m_inc == m_full
 
     # df merged exactly (per-term doc frequencies are order-free sums)
@@ -1924,3 +1927,282 @@ def test_minhash_search_index_allowed_ids(spark, tmp_path):
     }
     assert (300000, 0) not in filtered
     assert filtered == {k: v for k, v in full.items() if k[1] != 0}
+
+
+def test_bm25_delete_index_is_idempotent(spark, tmp_path):
+    """ADVICE r10: a double-delete or a delete of a never-ingested id
+    must be a no-op — the batch intersects the LIVE doc manifest
+    before any stats subtract, so delete(B); delete(B) ≡ delete(B)
+    (bit-identical meta, df, and search results) and delete(unknown)
+    changes nothing."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_delete_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    gone = docs.filter("doc_id % 3 = 0").select("doc_id")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")],
+        "query_id int, query string",
+    )
+    path = str(tmp_path / "bm25_idem")
+    bm25_write_index(docs, path)
+
+    def state():
+        meta = json.loads(
+            spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+        )
+        df = {r["term"]: r["df"] for r in spark.read.parquet(f"{path}/df").collect()}
+        res = sorted(
+            map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect())
+        )
+        return meta, df, res
+
+    bm25_delete_index(gone, path)
+    once = state()
+    # double-delete: every id in the batch is already tombstoned
+    bm25_delete_index(gone, path)
+    assert state() == once
+    # never-ingested ids: not in the manifest -> no-op
+    bm25_delete_index(
+        spark.createDataFrame([(999999,), (888888,)], "doc_id long"), path
+    )
+    assert state() == once
+    # mixed batch (half already dead, half unknown) -> still a no-op
+    mixed = gone.limit(3).union(
+        spark.createDataFrame([(777777,)], "doc_id long")
+    )
+    bm25_delete_index(mixed, path)
+    assert state() == once
+
+
+def test_bm25_upsert_index_matches_rebuild(spark, tmp_path):
+    """The CRUD-completing upsert (VERDICT r10 item 4): re-ingested
+    ids replace their old content by generation masking, new ids
+    land, and search + meta + df are BIT-IDENTICAL to a rebuild on
+    (corpus − old versions ∪ batch) — zero-token documents included
+    (the doc manifest is what makes their re-ingest detectable).
+    Also pins upsert-after-delete (a previously-deleted id re-ingested
+    via upsert becomes searchable) and compaction afterwards."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_compact_index,
+        bm25_delete_index,
+        bm25_search_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    # plant a zero-token document in the initial corpus
+    docs = base.union(
+        spark.createDataFrame([(900001, "... !!! ...")], "doc_id long, text string")
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan"), (3, "customer order")],
+        "query_id int, query string",
+    )
+    path = str(tmp_path / "bm25_upsert")
+    bm25_write_index(docs, path)
+
+    # batch: replace 1/4 of the corpus with CHANGED text, re-ingest the
+    # zero-token doc with real text, and add brand-new ids
+    changed = docs.filter("doc_id % 4 = 0 and doc_id < 900000").withColumn(
+        "text", F.concat(F.lit("replacement spark window text "), F.col("text"))
+    )
+    revived = spark.createDataFrame(
+        [(900001, "customer order history window")], "doc_id long, text string"
+    )
+    fresh = spark.createDataFrame(
+        [(900002, "fast hash scan benchmark"), (900003, "join strategies compared")],
+        "doc_id long, text string",
+    )
+    batch = changed.union(revived).union(fresh)
+    bm25_upsert_index(batch, path)
+
+    expected_corpus = docs.join(
+        batch.select("doc_id"), "doc_id", "left_anti"
+    ).union(batch)
+    rebuilt = str(tmp_path / "bm25_upsert_rebuilt")
+    bm25_write_index(expected_corpus, rebuilt)
+
+    got = sorted(map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect()))
+    want = sorted(
+        map(tuple, bm25_search_index(qs, rebuilt, k=10, quantize=6).collect())
+    )
+    assert got == want and len(got) > 0
+
+    m_up = json.loads(
+        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_reb = json.loads(
+        spark.read.json(f"{rebuilt}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    assert m_up.pop("gen") == 1 and m_reb.pop("gen") == 0
+    assert m_up == m_reb
+    df_up = {r["term"]: r["df"] for r in spark.read.parquet(f"{path}/df").collect()}
+    df_reb = {
+        r["term"]: r["df"] for r in spark.read.parquet(f"{rebuilt}/df").collect()
+    }
+    assert df_up == df_reb
+
+    # delete an id, then upsert it back: it must be searchable again
+    # (the upsert's append generation is strictly above the tombstone)
+    bm25_delete_index(spark.createDataFrame([(900002,)], "doc_id long"), path)
+    bm25_upsert_index(
+        spark.createDataFrame(
+            [(900002, "fast hash scan benchmark")], "doc_id long, text string"
+        ),
+        path,
+    )
+    res = bm25_search_index(
+        spark.createDataFrame([(9, "hash scan benchmark")], "query_id int, query string"),
+        path,
+        k=5,
+        quantize=6,
+    )
+    assert 900002 in {r["doc_id"] for r in res.collect()}
+
+    # compaction physically drops the dead generations; results hold
+    before = sorted(map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect()))
+    bm25_compact_index(spark, path)
+    after = sorted(map(tuple, bm25_search_index(qs, path, k=10, quantize=6).collect()))
+    assert after == before
+
+
+def test_bm25_upsert_index_requires_manifest(spark, tmp_path):
+    """Legacy indexes (no _doc_manifest) must fail LOUDLY on upsert —
+    postings-only re-ingest detection would silently miss zero-token
+    documents."""
+    import shutil
+
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(10)
+    path = str(tmp_path / "bm25_legacy_up")
+    bm25_write_index(docs, path)
+    shutil.rmtree(f"{path}/_doc_manifest")
+    with pytest.raises(ValueError, match="manifest"):
+        bm25_upsert_index(docs.limit(2), path)
+
+def test_minhash_upsert_index_matches_rebuild_and_replacement_routes(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): plain delete + append is NOT a replacement
+    route — the id-only tombstone would anti-join the re-ingested
+    rows away (and compaction would then drop them permanently). The
+    supported routes, both pinned here against a rebuild on the
+    updated corpus: (a) minhash_upsert_index — physical removal of
+    the old band/shingle rows, partition-scoped, tombstone shed; and
+    (b) the manual delete → compact → append sequence. Also pins
+    re-ingest-after-delete (the shed makes the id searchable again)
+    and that the REPLACED content stops matching."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_append_index,
+        minhash_compact_index,
+        minhash_delete_index,
+        minhash_search_index,
+        minhash_upsert_index,
+        minhash_write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    t1 = docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+    probe0 = spark.createDataFrame([(400000, t0)], "doc_id long, text string")
+    probe1 = spark.createDataFrame([(400001, t1)], "doc_id long, text string")
+
+    live = str(tmp_path / "mh_up")
+    minhash_write_index(docs, live)
+
+    # replace doc 0's content with doc 1's text, add a brand-new id,
+    # and (below) re-ingest a previously-deleted id
+    minhash_delete_index(
+        spark.createDataFrame([(4,)], "doc_id long").select("doc_id"), live
+    )
+    batch = spark.createDataFrame(
+        [(0, t1), (300000, t1), (4, docs.filter("doc_id = 4").collect()[0]["text"])],
+        "doc_id long, text string",
+    )
+    minhash_upsert_index(batch, live)
+
+    updated = docs.filter(~F.col("doc_id").isin(0, 4)).select("doc_id", "text").union(
+        batch
+    )
+    rebuilt = str(tmp_path / "mh_up_rebuilt")
+    minhash_write_index(updated, rebuilt)
+
+    for probe in (probe0, probe1):
+        got = sorted(
+            map(tuple, minhash_search_index(probe, live, threshold=0.5).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                minhash_search_index(probe, rebuilt, threshold=0.5).collect(),
+            )
+        )
+        assert got == want
+    m1 = {
+        r["indexed_id"]
+        for r in minhash_search_index(probe1, live, threshold=0.7).collect()
+    }
+    # the replacement and the new id match doc 1's text exactly...
+    assert {0, 1, 300000} <= m1
+    m0 = {
+        r["indexed_id"]
+        for r in minhash_search_index(probe0, live, threshold=0.7).collect()
+    }
+    # ...and doc 0's OLD content is gone (no stale-row resurrection)
+    assert 0 not in m0
+    # the deleted-then-upserted id is searchable again
+    t4 = docs.filter("doc_id = 4").collect()[0]["text"]
+    m4 = {
+        r["indexed_id"]
+        for r in minhash_search_index(
+            spark.createDataFrame([(400004, t4)], "doc_id long, text string"),
+            live,
+            threshold=0.7,
+        ).collect()
+    }
+    assert 4 in m4
+
+    # manual route: delete -> compact -> append ≡ rebuild
+    manual = str(tmp_path / "mh_manual")
+    minhash_write_index(docs, manual)
+    minhash_delete_index(
+        spark.createDataFrame([(0,)], "doc_id long").select("doc_id"), manual
+    )
+    minhash_compact_index(spark, manual)
+    minhash_append_index(
+        spark.createDataFrame([(0, t1)], "doc_id long, text string"), manual
+    )
+    manual_rebuilt = str(tmp_path / "mh_manual_rebuilt")
+    minhash_write_index(
+        docs.filter("doc_id != 0").select("doc_id", "text").union(
+            spark.createDataFrame([(0, t1)], "doc_id long, text string")
+        ),
+        manual_rebuilt,
+    )
+    got = sorted(
+        map(tuple, minhash_search_index(probe1, manual, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            minhash_search_index(probe1, manual_rebuilt, threshold=0.5).collect(),
+        )
+    )
+    assert got == want

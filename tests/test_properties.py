@@ -790,3 +790,62 @@ def test_ts_anomaly_matches_python_reference(spark, values):
                 z = 0.6745 * (r - med) / mad
                 assert got["z_e6"] == math.floor(z * 1e6 + 0.5)
                 assert got["is_anomaly"] == (abs(z) > 3.5)
+
+
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    rts=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+    tol=st.one_of(st.none(), st.integers(min_value=1, max_value=15)),
+)
+@SETTINGS
+def test_asof_cogroup_nearest_tolerance_matches_python(spark, lts, rts, tol):
+    """The cogroup as-of's ``nearest`` direction and ``tolerance``
+    bound against a from-scratch replay of the PINNED tie rules:
+    backward candidate = LATEST right row at-or-before (last among
+    equal times), forward candidate = EARLIEST at-or-after (first
+    among equal times), equidistant tie -> backward, and any
+    candidate farther than ``tolerance`` annotates null. Duplicate
+    right times carry distinct payloads so the among-equals choice is
+    observable."""
+    from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        [(i, 1, int(t)) for i, t in enumerate(lts)], "event_id int, k int, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, int(t), j) for j, t in enumerate(rts)], "k int, rt long, payload int"
+    )
+    out = {
+        r["event_id"]: (r["rt"], r["payload"])
+        for r in asof_join_cogroup(
+            left,
+            right,
+            on="k",
+            left_time="lt",
+            right_time="rt",
+            right_values=["rt", "payload"],
+            direction="nearest",
+            tolerance=tol,
+        ).collect()
+    }
+
+    # replay: right rows in (time, input order); candidates per rule
+    rr = sorted(range(len(rts)), key=lambda j: (rts[j], j))
+    for i, lt in enumerate(lts):
+        back = fwd = None
+        for j in rr:
+            if rts[j] <= lt:
+                back = j  # last among <= lt in (time, input order)
+        for j in rr:
+            if rts[j] >= lt:
+                fwd = j  # first among >= lt
+                break
+        cand = None
+        if back is not None and fwd is not None:
+            cand = back if (lt - rts[back]) <= (rts[fwd] - lt) else fwd
+        else:
+            cand = back if back is not None else fwd
+        if cand is not None and tol is not None and abs(rts[cand] - lt) > tol:
+            cand = None
+        want = (rts[cand], cand) if cand is not None else (None, None)
+        assert out[i] == want, (i, lt, rts, tol, out[i], want)
