@@ -5727,6 +5727,71 @@ FROM z
 """
 
 
+def q_ts_anomaly_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STL-lite configuration of
+    :func:`operators.profile.ts_anomaly` (VERDICT r10 item 6): each
+    hourly bucket first subtracts its trailing-6-bucket trend
+    estimate (mean of the previous 6 observed buckets, current
+    excluded), and the 24-hour seasonal residual is taken between the
+    DETRENDED values — so a trending series scores its spikes, not
+    its slope. The oracle replays the exact-decimal bucket sums, the
+    ROWS-frame trend windows, the interval equi-join, and the pinned
+    float expression tree (integer Σ difference minus the trend
+    difference, each trend one division of exact operands)."""
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return ts_anomaly(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        bucket="hour",
+        period=24,
+        threshold=3.5,
+        detrend_window=6,
+    )
+
+
+SQL_TS_ANOMALY_DETRENDED = """
+WITH y AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS DECIMAL(38,0))) AS ys
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+tr AS (
+  SELECT event_type, bucket, ys,
+         sum(ys) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS tsum,
+         count(*) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS tcnt
+  FROM y),
+j AS (
+  SELECT a.event_type, a.bucket,
+         CAST(a.ys AS DOUBLE) / 100 AS y,
+         CAST(b.ys AS DOUBLE) / 100 AS y_prev,
+         (CAST(a.ys - b.ys AS DOUBLE)
+          - (CAST(a.tsum AS DOUBLE) / CAST(a.tcnt AS DOUBLE)
+             - CAST(b.tsum AS DOUBLE) / CAST(b.tcnt AS DOUBLE))) / 100 AS residual
+  FROM tr a JOIN tr b
+    ON a.event_type = b.event_type
+   AND a.bucket = b.bucket + INTERVAL 24 HOURS
+  WHERE a.tcnt > 0 AND b.tcnt > 0),
+med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med FROM j GROUP BY 1),
+mads AS (SELECT j.event_type, quantile_cont(abs(j.residual - m.med), 0.5) AS mad
+         FROM j JOIN med m USING (event_type) GROUP BY j.event_type),
+z AS (SELECT j.event_type, j.bucket, j.y, j.y_prev, j.residual,
+             CASE WHEN s.mad > 0
+                  THEN 0.6745 * (j.residual - m.med) / s.mad END AS zval
+      FROM j JOIN med m USING (event_type) JOIN mads s USING (event_type))
+SELECT event_type, bucket, y, y_prev, residual,
+       CAST(floor(zval * 1000000 + 0.5) AS BIGINT) AS z_e6,
+       CASE WHEN zval IS NOT NULL THEN abs(zval) > 3.5 END AS is_anomaly
+FROM z
+"""
+
+
 def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection on the hourly event series per
     event_type — the "when did it change" member of the time-series
@@ -7514,6 +7579,9 @@ QUERIES: dict[str, QueryFn] = {
     # scoring + CUSUM changepoint location
     "ts_anomaly": q_ts_anomaly,
     "ts_anomaly_daily": q_ts_anomaly_daily,
+    # round-11: the STL-lite detrended configuration — spikes, not
+    # slopes, on trending series
+    "ts_anomaly_detrended": q_ts_anomaly_detrended,
     "ts_changepoint": q_ts_changepoint,
     # round-10: the measurement layer for the retrieval family —
     # recall@k / MRR@k / nDCG@k of any run against any judgment set
@@ -7706,6 +7774,7 @@ ORACLES: dict[str, str] = {
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ts_anomaly": SQL_TS_ANOMALY,
     "ts_anomaly_daily": SQL_TS_ANOMALY_DAILY,
+    "ts_anomaly_detrended": SQL_TS_ANOMALY_DETRENDED,
     "ts_changepoint": SQL_TS_CHANGEPOINT,
     "retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "variant_fns": SQL_VARIANT_FNS,

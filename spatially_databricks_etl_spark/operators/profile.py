@@ -1565,6 +1565,23 @@ def ts_anomaly(
     ``quantile_cont``) over identical doubles; z is three IEEE ops on
     identical operands. The graded form emits z e6-floored.
 
+    ``detrend_window=W`` (STL-lite, VERDICT r10 item 6): for a
+    TRENDING series the plain seasonal residual y(t) − y(t−period)
+    conflates the trend with the anomaly — a steady ramp scores like
+    a slow-motion level shift. With detrending, each bucket first
+    subtracts its trailing-window trend estimate — the mean of the
+    previous W OBSERVED buckets (a ROWS frame, so series gaps shorten
+    the lookback rather than silently spanning it; the frame EXCLUDES
+    the current bucket so a spike never drags its own baseline) — and
+    the seasonal residual is taken between the DETRENDED values:
+    r(t) = (y(t) − T(t)) − (y(t−p) − T(t−p)). Exactness discipline:
+    computed as (exact integer Σ difference) − (T_t − T_p) with each
+    T a single division of exact decimal operands — the identical
+    expression tree on both engines, so every double matches
+    bit-for-bit. Buckets whose trailing frame is empty (first
+    observed bucket per key) have no trend estimate and are not
+    scored, on either side of the seasonal match.
+
     Returns (key..., bucket, y, y_prev, residual, z_e6, is_anomaly)
     for every scored bucket.
 
@@ -1594,29 +1611,65 @@ def ts_anomaly(
             .alias("__ys")
         )
     )
+    if detrend_window is not None:
+        from pyspark.sql.window import Window
+
+        wtr = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(-int(detrend_window), -1)
+        )
+        y = y.withColumn(
+            "__tsum", F.sum("__ys").over(wtr).cast("decimal(38,0)")
+        ).withColumn("__tcnt", F.count(F.lit(1)).over(wtr).cast("long"))
     cur = y.alias("cur")
-    prev = y.select(
+    prev_cols = [
         *[F.col(k).alias(f"__pk_{k}") for k in keys],
         (
             F.col("bucket")
             + F.expr(f"INTERVAL {int(period)} {bucket.upper()}S")
         ).alias("__pbucket"),
         F.col("__ys").alias("__ys_prev"),
-    ).alias("prev")
+    ]
+    if detrend_window is not None:
+        prev_cols += [
+            F.col("__tsum").alias("__tsum_prev"),
+            F.col("__tcnt").alias("__tcnt_prev"),
+        ]
+    prev = y.select(*prev_cols).alias("prev")
     cond = F.col("cur.bucket") == F.col("prev.__pbucket")
     for k in keys:
         cond = cond & (F.col(f"cur.{k}") == F.col(f"prev.__pk_{k}"))
-    scored = cur.join(prev, cond, "inner").select(
+    if detrend_window is not None:
+        # the identical float expression tree the oracle replays:
+        # exact integer Σ difference, minus the difference of the two
+        # trend estimates (each ONE division of exact operands)
+        trend_c = F.col("cur.__tsum").cast("double") / F.col("cur.__tcnt").cast(
+            "double"
+        )
+        trend_p = F.col("prev.__tsum_prev").cast("double") / F.col(
+            "prev.__tcnt_prev"
+        ).cast("double")
+        residual = (
+            (F.col("cur.__ys") - F.col("prev.__ys_prev")).cast("double")
+            - (trend_c - trend_p)
+        ) / F.lit(float(scale))
+        joined = cur.join(prev, cond, "inner").filter(
+            (F.col("cur.__tcnt") > 0) & (F.col("prev.__tcnt_prev") > 0)
+        )
+    else:
+        residual = (
+            F.col("cur.__ys") - F.col("prev.__ys_prev")
+        ).cast("double") / F.lit(float(scale))
+        joined = cur.join(prev, cond, "inner")
+    scored = joined.select(
         *[F.col(f"cur.{k}") for k in keys],
         F.col("cur.bucket").alias("bucket"),
         (F.col("cur.__ys").cast("double") / F.lit(float(scale))).alias("y"),
         (F.col("prev.__ys_prev").cast("double") / F.lit(float(scale))).alias(
             "y_prev"
         ),
-        (
-            (F.col("cur.__ys") - F.col("prev.__ys_prev")).cast("double")
-            / F.lit(float(scale))
-        ).alias("residual"),
+        residual.alias("residual"),
     )
     stats = scored.groupBy(*[F.col(k) for k in keys]).agg(
         F.percentile(F.col("residual"), F.lit(0.5)).alias("__med")

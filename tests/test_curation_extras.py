@@ -702,3 +702,70 @@ def test_ts_changepoint_locates_injected_level_shift(spark):
     assert sh["cusum_e6"] == 250_000
     fl = out["flat"]
     assert fl["s_abs_max"] == "0" and fl["cusum_e6"] == 0
+
+
+def test_ts_anomaly_detrended_flags_spike_not_trend(spark):
+    """STL-lite contract (VERDICT r10 item 6): on a series that is
+    flat for four days then ramps steadily, the PLAIN seasonal-naive
+    form conflates the trend with anomalies — the ramp makes the
+    majority residual ~slope, so the genuinely-normal FLAT region
+    z-flags wholesale. The DETRENDED form (trailing-6-bucket trend
+    subtraction) scores the injected spike enormously while flagging
+    NOTHING in the flat-clean or steady-ramp regions; only the
+    spike's own contamination neighborhood (its trend-window shadow +
+    seasonal echoes) and the ramp-onset transient are allowed."""
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    def mk(spike: bool):
+        rows = []
+        for day in range(12):
+            for slot in range(4):
+                v = 100.0 + 0.1 * ((day * day * 7 + slot * 13) % 23)
+                if day >= 5:
+                    v += 20.0 * (day - 4)  # steady ramp from day 5
+                if spike and day == 2 and slot == 1:
+                    v += 500.0
+                rows.append((f"2024-03-{day + 1:02d} 0{slot}:00:00", "m", v))
+        return spark.createDataFrame(
+            rows, "ts_s string, k string, value double"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "value")
+
+    kw = dict(
+        ts_col="ts", value_col="value", key_cols=["k"], bucket="hour",
+        period=24, threshold=3.5,
+    )
+    plain = ts_anomaly(mk(True), **kw).collect()
+    detr = ts_anomaly(mk(True), **kw, detrend_window=6).collect()
+
+    def flagged(rows):
+        return {(r["bucket"].day, r["bucket"].hour) for r in rows if r["is_anomaly"]}
+
+    fp, fd = flagged(plain), flagged(detr)
+    # the spike flags in BOTH forms, with a huge detrended z
+    assert (3, 1) in fp and (3, 1) in fd
+    spike_row = [r for r in detr if (r["bucket"].day, r["bucket"].hour) == (3, 1)][0]
+    assert spike_row["z_e6"] > 50_000_000
+
+    # plain conflates: the flat-clean region (days 2-5 = bucket days
+    # 2..5, spike and its echo excluded) flags wholesale
+    flat_clean = {
+        (d, s) for d in (2, 3, 4, 5) for s in range(4)
+    } - {(3, 1), (4, 1)}
+    assert len(fp & flat_clean) >= 8, sorted(fp)
+
+    # detrended: NOTHING flags in the flat-clean region or in the
+    # steady-ramp region (days 9-12); allowed flags are the spike,
+    # its trend-window shadow (the 6 observed buckets after it) and
+    # their seasonal echoes, and the ramp-onset transient (days 6-8)
+    shadow = {(3, 2), (3, 3), (4, 0), (4, 1), (4, 2), (4, 3)}
+    echoes = {(d + 1, s) for (d, s) in shadow | {(3, 1)}}
+    onset = {(d, s) for d in (6, 7, 8) for s in range(4)}
+    allowed = {(3, 1)} | shadow | echoes | onset
+    assert fd <= allowed, sorted(fd - allowed)
+    steady = {(d, s) for d in (9, 10, 11, 12) for s in range(4)}
+    assert not (fd & steady) and not (fd & flat_clean - allowed)
+
+    # control: trend alone (no spike) — detrended flags at most the
+    # ramp-onset transient, never the flat or steady regions
+    detr_ctl = flagged(ts_anomaly(mk(False), **kw, detrend_window=6).collect())
+    assert detr_ctl <= onset, sorted(detr_ctl - onset)

@@ -849,3 +849,78 @@ def test_asof_cogroup_nearest_tolerance_matches_python(spark, lts, rts, tol):
             cand = None
         want = (rts[cand], cand) if cand is not None else (None, None)
         assert out[i] == want, (i, lt, rts, tol, out[i], want)
+
+
+@given(
+    values=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=96),
+            st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_ts_anomaly_detrended_matches_python_reference(spark, values):
+    """The detrended form against a from-scratch replay on arbitrary
+    gappy hourly data: the trailing-6-OBSERVED-bucket trend (ROWS
+    frame, current excluded), the pinned float expression tree
+    (exact integer sum difference minus the trend difference, each
+    trend ONE division of exact operands), empty-frame buckets
+    unscored on either side of the seasonal match, and the
+    median/MAD/z tail."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from spatially_databricks_etl_spark.operators.profile import ts_anomaly
+
+    W = 6
+    rows = [
+        (f"2024-03-{1 + h // 24:02d} {h % 24:02d}:00:00", "k", v)
+        for h, v in values
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "value"
+    )
+    out = {
+        ((r["bucket"].day - 1) * 24 + r["bucket"].hour): r
+        for r in ts_anomaly(
+            df, ts_col="ts", value_col="value", key_cols=["k"],
+            bucket="hour", period=24, threshold=3.5, detrend_window=W,
+        ).collect()
+    }
+
+    sums: dict = defaultdict(int)
+    for h, v in values:
+        sums[h] += math.floor(v * 100 + 0.5)
+    grid = sorted(sums)
+    pos = {h: i for i, h in enumerate(grid)}
+    # trailing trend over the previous W OBSERVED buckets (scaled ints)
+    tsum = {h: sum(sums[g] for g in grid[max(0, pos[h] - W): pos[h]]) for h in grid}
+    tcnt = {h: min(pos[h], W) for h in grid}
+    scored = {}
+    for h in grid:
+        p = h - 24
+        if p in sums and tcnt[h] > 0 and tcnt[p] > 0:
+            r = (
+                (sums[h] - sums[p])
+                - (tsum[h] / tcnt[h] - tsum[p] / tcnt[p])
+            ) / 100
+            scored[h] = r
+    assert set(out) == set(scored)
+    if scored:
+        res = list(scored.values())
+        med = statistics.median(res)
+        mad = statistics.median([abs(r - med) for r in res])
+        for h, r in scored.items():
+            got = out[h]
+            assert got["residual"] == r, (h, got["residual"], r)
+            if mad == 0.0:
+                assert got["z_e6"] is None and got["is_anomaly"] is None
+            else:
+                z = 0.6745 * (r - med) / mad
+                assert got["z_e6"] == math.floor(z * 1e6 + 0.5)
+                assert got["is_anomaly"] == (abs(z) > 3.5)
