@@ -7429,11 +7429,25 @@ QUERIES: dict[str, QueryFn] = {
     # event_transitions, mutual_info, grouped_ols, collocations,
     # candidate_keys, repeated_spans, attribution_linear,
     # kmeans_outliers, null_safe_join, token_diversity,
-    # column_entropy, benford_audit. Round-10 additions (all at 51+,
-    # all three-scale-swept 0-failure — SCALE.md round-10 notes) for
-    # the round-11 rotation: ann_lsh_recall, ann_pq_recall,
-    # ts_anomaly, ts_anomaly_daily, ts_changepoint, retrieval_metrics,
-    # variant_fns, asof_join_cogroup, transitive_closure.
+    # column_entropy, benford_audit.
+    # Round-11 rotation (VERDICT r10 item 1): the nine round-10
+    # operators judge-attested at sf0.001 (0/175 diffcheck) and
+    # three-scale-swept (SCALE.md round-10 notes) move INTO the
+    # prefix exactly as the verdict prescribed (ann_lsh_recall,
+    # ann_pq_recall, ts_anomaly, ts_anomaly_daily, ts_changepoint,
+    # retrieval_metrics, variant_fns, transitive_closure,
+    # asof_join_cogroup); nine same-family twins already
+    # driver-attested in earlier rounds move to 51+ and remain fully
+    # oracled (ann_recall → the LSH/PQ recall members now carry the
+    # recall-oracle family, IVF stays judge-green; drift_chi2 +
+    # drift_wasserstein → the along-time ts trio joins the graded
+    # representation of the drift/profiling family; weighted_quantiles
+    # + gini_concentration → retrieval_metrics is the exact-ratio
+    # measurement member; attribution → asof_join_cogroup keeps a
+    # time-alignment row; heavy_hitters → transitive_closure;
+    # assoc_rules → variant_fns; kmeans_clusters → the second ANN
+    # recall slot). Round-11 additions at 51+ for the round-12
+    # rotation: ts_anomaly_detrended, asof_join_tolerance.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7446,12 +7460,12 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
-    "weighted_quantiles": q_weighted_quantiles,
-    "gini_concentration": q_gini_concentration,
-    "drift_chi2": q_drift_chi2,
-    "drift_wasserstein": q_drift_wasserstein,
+    "ts_anomaly": q_ts_anomaly,
+    "ts_anomaly_daily": q_ts_anomaly_daily,
+    "ts_changepoint": q_ts_changepoint,
+    "retrieval_metrics": q_retrieval_metrics,
     # -- sketches / sampling ----------------------------------------------
-    "heavy_hitters": q_heavy_hitters,
+    "transitive_closure": q_transitive_closure,
     "sample_mixture": q_sample_mixture,
     # -- data-quality / contract audits -----------------------------------
     "fd_violations": q_fd_violations,
@@ -7461,9 +7475,9 @@ QUERIES: dict[str, QueryFn] = {
     # -- time-series / sequence ------------------------------------------
     "resample_interpolate": q_resample_interpolate,
     "scd2": q_scd2,
-    "attribution": q_attribution,
+    "asof_join_cogroup": q_asof_join_cogroup,
     # -- pattern mining ---------------------------------------------------
-    "assoc_rules": q_assoc_rules,
+    "variant_fns": q_variant_fns,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
@@ -7479,8 +7493,8 @@ QUERIES: dict[str, QueryFn] = {
     # -- similarity / ANN / embeddings / clustering -----------------------
     "ann_brute_topk": q_ann_brute_topk,
     "quantize_embeddings": q_quantize_embeddings,
-    "ann_recall": q_ann_recall,
-    "kmeans_clusters": q_kmeans_clusters,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_pq_recall": q_ann_pq_recall,
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
@@ -7505,6 +7519,17 @@ QUERIES: dict[str, QueryFn] = {
     # round-10 displaced twins (driver-attested in earlier rounds,
     # still fully oracled + judge-checked here)
     "hybrid_topk": q_hybrid_topk,
+    # round-11 displaced twins (driver-attested in earlier rounds,
+    # still fully oracled + judge-checked here)
+    "weighted_quantiles": q_weighted_quantiles,
+    "gini_concentration": q_gini_concentration,
+    "drift_chi2": q_drift_chi2,
+    "drift_wasserstein": q_drift_wasserstein,
+    "heavy_hitters": q_heavy_hitters,
+    "attribution": q_attribution,
+    "assoc_rules": q_assoc_rules,
+    "ann_recall": q_ann_recall,
+    "kmeans_clusters": q_kmeans_clusters,
     "ann_pq_topk": q_ann_pq_topk,
     "drift_psi_quantile": q_drift_psi_quantile,
     "drift_ks": q_drift_ks,
@@ -7569,36 +7594,14 @@ QUERIES: dict[str, QueryFn] = {
     "interval_join": q_interval_join,
     "radius_join": q_radius_join,
     "ann_lsh_topk": q_ann_lsh_topk,
-    # round-10: recall oracles for the remaining ANN paths (VERDICT r9
-    # item 3) — with ann_recall (IVF, in the graded prefix) these put
-    # every ANN family's recall floor under the oracle gate
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_pq_recall": q_ann_pq_recall,
-    # round-10: the time-series members of the profiling family
-    # (VERDICT r9 item 4) — seasonal-naive residual robust-z anomaly
-    # scoring + CUSUM changepoint location
-    "ts_anomaly": q_ts_anomaly,
-    "ts_anomaly_daily": q_ts_anomaly_daily,
-    # round-11: the STL-lite detrended configuration — spikes, not
-    # slopes, on trending series
+    # round-11 additions (at 51+ for the round-12 rotation): the
+    # STL-lite detrended anomaly configuration and the
+    # staleness-bounded as-of (registered further down)
     "ts_anomaly_detrended": q_ts_anomaly_detrended,
-    "ts_changepoint": q_ts_changepoint,
-    # round-10: the measurement layer for the retrieval family —
-    # recall@k / MRR@k / nDCG@k of any run against any judgment set
-    "retrieval_metrics": q_retrieval_metrics,
-    # round-10: Spark 4 VARIANT semi-structured path (parse once,
-    # typed per-path extraction) cross-checking the json_fns shape
-    "variant_fns": q_variant_fns,
-    # round-10: the as-of join through the cogrouped Arrow boundary —
-    # a second engine path against the same oracle
-    "asof_join_cogroup": q_asof_join_cogroup,
     # round-11: the staleness-bounded as-of — the merge mode that
     # justifies the cogroup path (tolerance has no one-pass SQL-window
     # form; the oracle filters the windowed backward candidate)
     "asof_join_tolerance": q_asof_join_tolerance,
-    # round-10: Spark 4 WITH RECURSIVE — declarative BFS reachability,
-    # identical SQL text on both engines
-    "transitive_closure": q_transitive_closure,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
