@@ -654,9 +654,16 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     text runs on both engines (DuckDB's recursive CTE is the oracle),
     so this pins the recursion semantics — seed row, per-step join,
     cycle behavior under the depth bound — not just the fixture
-    values. The iterative-DataFrame sibling of this shape is
-    ``neardup_clusters`` (driver-side loop); this is the declarative
-    form the SQL surface now supports."""
+    values. Termination contract, stated plainly: this UNION ALL
+    recursion terminates ONLY because of the ``hops < 3`` bound — on
+    a cyclic graph an unbounded version would enumerate paths
+    forever (path counting over cycles diverges mathematically, not
+    just operationally). For an UNBOUNDED cycle-safe closure
+    (reachable-set semantics rather than path counts), use the
+    iterative-DataFrame shape with per-iteration dedup + lineage
+    truncation that ``operators/curate.py: neardup_clusters``
+    implements — convergence there is by fixpoint on the shrinking
+    frontier, not a depth constant."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("__tc_events")
     return spark.sql(
         """

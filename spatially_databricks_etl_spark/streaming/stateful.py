@@ -787,10 +787,17 @@ def index_ingest_sink(path: str, append, *, empty_batches_log: bool = True):
     a batch already in the log is SKIPPED wholesale. Residual window,
     stated honestly: if the process dies between append-complete and
     log-commit, the replay re-appends (at-least-once for that one
-    batch). Closing that window needs an atomic commit protocol —
-    exactly what Delta's transaction log provides and this
-    environment cannot install (SCALE.md "Dependency gates"); on
-    such a store, swap the log for the table's native txn keys.
+    batch). TWO ways to close it: (a) pass an UPSERT instead of an
+    appender (``bm25_upsert_index``, ``lsh/ivf/ivfpq_upsert_index``,
+    ``minhash_upsert_index`` — same ``(batch_df, path)`` signature) —
+    re-ingesting the same batch replaces it with identical content,
+    so even the crash-window replay converges to exactly-once results
+    (pinned by test); or (b) an atomic commit protocol — what Delta's
+    transaction log provides and this environment cannot install
+    (SCALE.md "Dependency gates"); on such a store, swap the log for
+    the table's native txn keys. The upsert route also makes the sink
+    a streaming UPDATE path: batches may carry replacements for
+    already-indexed ids, not just new documents.
 
     ``empty_batches_log=True`` logs empty batches too (so a replayed
     empty batch skips the appender — some appenders pay a standing-

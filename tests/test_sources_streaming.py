@@ -1439,6 +1439,9 @@ def test_index_ingest_sink_bm25_replay_skipped(spark, tmp_path):
     m_full = json.loads(
         spark.read.json(f"{full}/_bm25_meta").collect()[0]["bm25_meta_json"]
     )
+    # the ingest-generation counter is the one legitimate difference
+    # (two appends happened vs none); every stats field matches
+    assert m_live.pop("gen") == 2 and m_full.pop("gen") == 0
     assert m_live == m_full
     assert spark.read.parquet(f"{live}/_ingest_log").count() == 3
 
@@ -1580,3 +1583,75 @@ def test_query_metrics_recorder_captures_lifecycle_and_progress(spark, tmp_path)
     progress = [r for r in recs if r["event"] == "progress"]
     assert sum(r["numInputRows"] for r in progress) == n_src
     assert all("batchId" in r and "durationMs" in r for r in progress)
+
+
+def test_index_ingest_sink_upsert_closes_crash_window(spark, tmp_path):
+    """The sink's documented residual at-least-once window (process
+    dies between ingest-complete and log-commit, the replay ingests
+    the batch AGAIN) converges to exactly-once RESULTS when the
+    ingest fn is an UPSERT: the replayed batch replaces itself with
+    identical content. Pinned for both index families — IVF (search ≡
+    rebuild after a simulated crashed-then-replayed batch) and BM25
+    (search + stats ≡ rebuild). A plain appender in the same
+    interleaving duplicates content — the reason the docstring
+    routes crash-window-sensitive pipelines to the upserts."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_search_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_search_index,
+        ivf_upsert_index,
+        ivf_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    # --- IVF ---
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter("vec_id < 150")
+    batch = emb.filter("vec_id >= 150")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, n_centroids=8, kmeans_iters=1)
+    live = str(tmp_path / "ivf_crash")
+    ivf_write_index(base, live, centroids=cents)
+    # crashed attempt: the upsert completed but the log commit never
+    # happened...
+    ivf_upsert_index(batch, live)
+    # ...so the replay finds no log row and ingests the batch AGAIN
+    index_ingest_sink(live, ivf_upsert_index)(batch, 0)
+    full = str(tmp_path / "ivf_crash_full")
+    ivf_write_index(emb, full, centroids=cents)
+    got = sorted(map(tuple, ivf_search_index(queries, live, k=10, nprobe=3).collect()))
+    want = sorted(map(tuple, ivf_search_index(queries, full, k=10, nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+    # --- BM25 ---
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    blive = str(tmp_path / "bm25_crash")
+    bm25_write_index(b0, blive)
+    bm25_upsert_index(b1, blive)  # crashed attempt, no log row
+    index_ingest_sink(blive, bm25_upsert_index)(b1, 0)  # replay
+    bfull = str(tmp_path / "bm25_crash_full")
+    bm25_write_index(docs, bfull)
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")], "query_id int, query string"
+    )
+    got = sorted(map(tuple, bm25_search_index(qs, blive, k=10, quantize=6).collect()))
+    want = sorted(map(tuple, bm25_search_index(qs, bfull, k=10, quantize=6).collect()))
+    assert got == want and len(got) > 0
+    m_live = json.loads(
+        spark.read.json(f"{blive}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_full = json.loads(
+        spark.read.json(f"{bfull}/_bm25_meta").collect()[0]["bm25_meta_json"]
+    )
+    m_live.pop("gen"), m_full.pop("gen")
+    assert m_live == m_full
