@@ -192,6 +192,9 @@ EXTRA = [
     "asof_join_cogroup",
     # round 10: Spark 4 recursive CTE reachability
     "transitive_closure",
+    # round 11: STL-lite detrended anomaly + staleness-bounded as-of
+    "ts_anomaly_detrended",
+    "asof_join_tolerance",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

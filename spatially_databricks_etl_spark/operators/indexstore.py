@@ -25,6 +25,19 @@ operators exist to avoid. The standard LSM answer, applied here:
   Search results are identical before and after (pinned by test);
   compaction changes layout, never content.
 
+Two replacement (upsert) mechanisms share this store, chosen by what
+the index's layout makes cheap: indexes partitioned by a key derivable
+from the id or its stored rows (vectors by bucket/cell, MinHash by
+id-hash + code-derived band hash) replace PHYSICALLY — rewrite the
+affected partitions, then shed the ids' tombstones
+(:func:`shed_tombstones`). BM25's postings are term-partitioned (a
+document's rows span every term range), so it replaces by GENERATION
+instead: rows carry an ingest-generation stamp, tombstones record the
+generation they saw, and the anti-join kills only ``gen <= tgen`` —
+see ``operators/retrieval.py`` (``_write_tombstones_gen`` /
+``_anti_tombstones_gen``). Both give upsert ≡ rebuild, pinned by test
+per family.
+
 The swap discipline matches ``bm25_append_index``'s df merge: stage
 the rewritten artifact next to the live one, then rename — never
 overwrite a directory Spark is lazily reading. Local-FS rename here;
@@ -68,11 +81,13 @@ def swap_directory(staged: str, live: str) -> None:
 def write_tombstones(ids: DataFrame, path: str, *, id_col: str) -> None:
     """Append a delete batch's ids to ``{path}/_tombstones``.
 
-    Caller contract (the mirror image of the appenders' "batch ids
-    are new"): every id is currently LIVE in the index — present and
-    not already tombstoned. Double-deleting an id is harmless for
-    search (anti-join is idempotent) but callers that maintain
-    derived stats from delete batches (BM25) require it.
+    Idempotent for search on its own: the anti-join doesn't care how
+    many tombstone rows an id has. The stats-carrying index (BM25)
+    no longer relies on a caller contract either — its deleter
+    intersects the batch with the live doc manifest before any stats
+    subtract and writes GENERATION-stamped tombstones through its own
+    writer (``retrieval._write_tombstones_gen``), so this id-only
+    form serves the stat-free indexes (MinHash, LSH/IVF/IVF-PQ).
     """
     ids.select(F.col(id_col).alias("id")).distinct().write.mode("append").parquet(
         f"{path}/{TOMBSTONE_DIR}"
