@@ -741,16 +741,21 @@ def q_asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The as-of join with a STALENESS BOUND — the merge mode SQL
-    windows cannot express in one pass and the reason the cogroup
-    path exists (`operators/udfs.py: asof_join_cogroup`): each event
-    annotated with the same user's most recent 'error' event time
-    at-or-before it, but only if that error is within 30 minutes —
-    older candidates annotate null (a stale sensor reading is not a
-    reading). The DuckDB oracle replays it as the windowed backward
-    candidate filtered by the interval bound: with
-    allow-exact-matches semantics, the in-tolerance backward match is
-    exactly the unbounded backward match when it is recent enough."""
+    """The as-of join with a STALENESS BOUND: each event annotated
+    with the same user's most recent 'error' event time at-or-before
+    it, but only if that error is within 30 minutes — older
+    candidates annotate null (a stale sensor reading is not a
+    reading). Run through the COGROUP path
+    (`operators/udfs.py: asof_join_cogroup`) to pin pandas
+    ``merge_asof``'s tolerance semantics against an INDEPENDENT
+    windowed replay — because a bounded backward match IS the
+    unbounded backward match when recent enough, the DuckDB oracle
+    expresses it as the windowed candidate filtered by the interval
+    bound, and ``relational.asof_join(tolerance=...)`` implements
+    that same one-window form natively (the production route — ~25×
+    cheaper; the two engine paths are pinned equal by test). The
+    merge mode that genuinely has no one-window form is
+    ``direction="nearest"`` (property-tested on the cogroup path)."""
     from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
 
     ev = _t(spark, sf_dir, "events")

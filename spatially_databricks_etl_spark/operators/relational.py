@@ -227,6 +227,7 @@ def asof_join(
     right_time: str,
     right_values: Sequence[str],
     direction: str = "backward",
+    tolerance: "float | int | None" = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     the same key at-or-before (``backward``) / earliest at-or-after
@@ -238,6 +239,18 @@ def asof_join(
     One shuffle on the key — no range explosion, no per-row lookup;
     this is the scalable pattern (vs. a range join that would fan out
     or a Python loop that would not distribute).
+
+    ``tolerance`` (staleness bound — the sensor/feature-lookup cutoff):
+    the matched annotations null out when the matched right TIME is
+    farther than ``tolerance`` from the left time (SECONDS for
+    timestamp keys, the columns' own units for numeric keys; exact
+    matches always allowed). This rides the same window plan as a
+    post-fold conditional — zero extra shuffles — because a bounded
+    backward/forward match IS the unbounded match when recent enough.
+    The gate tests the matched right time as picked by the same
+    last-non-null fold as the values. ``direction="nearest"`` has no
+    one-window form — use ``udfs.asof_join_cogroup`` for that (and
+    for per-group pandas merge logic generally).
     """
     tag_l = left.select(
         F.col(on).alias("__k"),
@@ -245,6 +258,7 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rv__rt"),
     )
     tag_r = right.select(
         F.col(on).alias("__k"),
@@ -252,6 +266,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(tag_l.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        F.col(right_time).alias("__rv__rt"),
     )
     unioned = tag_l.unionByName(tag_r)
     if direction == "backward":
@@ -261,17 +276,46 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picked = [F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(c) for c in right_values]
     elif direction == "forward":
         w = (
             Window.partitionBy("__k")
             .orderBy(F.col("__t").desc(), F.col("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picked = [F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(c) for c in right_values]
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")
-    out = unioned.select("__is_left", "__lrow", *picked).filter(F.col("__is_left") == 1)
+    folds = {c: F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w) for c in right_values}
+    if tolerance is None:
+        picked = [folds[c].alias(c) for c in right_values]
+        out = unioned.select("__is_left", "__lrow", *picked).filter(
+            F.col("__is_left") == 1
+        )
+        return out.select("__lrow.*", *right_values)
+    if not tolerance > 0:
+        raise ValueError(f"tolerance must be positive, got {tolerance!r}")
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    matched_rt = F.last(F.col("__rv__rt"), ignorenulls=True).over(w)
+    is_ts = isinstance(
+        right.schema[right_time].dataType, (TimestampType, TimestampNTZType)
+    )
+    bound = (
+        F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
+        if is_ts
+        else F.lit(tolerance)
+    )
+    ok = (
+        matched_rt >= F.col("__t") - bound
+        if direction == "backward"
+        else matched_rt <= F.col("__t") + bound
+    )
+    gated = [
+        F.when(ok, folds[c]).otherwise(F.lit(None)).alias(c)
+        for c in right_values
+    ]
+    out = unioned.select("__is_left", "__lrow", *gated).filter(
+        F.col("__is_left") == 1
+    )
     return out.select("__lrow.*", *right_values)
 
 

@@ -132,22 +132,29 @@ def asof_join_cogroup(
     same core semantics as ``relational.asof_join`` (most recent
     right row at-or-before each left row, per key; ``forward`` for
     at-or-after), executed as one ``pandas.merge_asof`` per key group
-    instead of the union+window plan — PLUS the two merge modes SQL
-    windows cannot express, which are what justify the Arrow cost:
+    instead of the union+window plan — PLUS the merge modes beyond
+    the plain directional match:
 
     - ``tolerance``: maximum allowed |left time − right time| for a
       match (a number in the time columns' own units for numeric
       keys; SECONDS for timestamp keys). A candidate outside the
       bound annotates null — the staleness cutoff every
-      sensor/feature as-of join eventually needs.
+      sensor/feature as-of join eventually needs. Honesty note: for
+      backward/forward this IS one-window-expressible (bounded match
+      = unbounded match when recent enough), and
+      ``relational.asof_join`` now takes the same ``tolerance``
+      natively — that is the production route; this path pins the
+      pandas semantics against it (equal by test) and hosts the mode
+      below.
     - ``direction="nearest"``: the closest right row in EITHER
-      direction by absolute distance. Tie rules, pinned by property
-      test against a from-scratch replay: the backward candidate is
-      the LATEST right row at-or-before (last among equal times, the
-      window form's last-wins fold), the forward candidate the
-      EARLIEST at-or-after (first among equal times), and an
-      equidistant tie resolves BACKWARD (pandas' documented
-      preference, kept as the contract).
+      direction by absolute distance — the mode with no one-window
+      form. Tie rules, pinned by property test against a
+      from-scratch replay: the backward candidate is the LATEST
+      right row at-or-before (last among equal times, the window
+      form's last-wins fold), the forward candidate the EARLIEST
+      at-or-after (first among equal times), and an equidistant tie
+      resolves BACKWARD (pandas' documented preference, kept as the
+      contract).
 
     Contracts: rows with a null left time emit with null annotations
     (they order nowhere); null right times never match. Ties on the

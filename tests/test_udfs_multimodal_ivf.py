@@ -1038,3 +1038,54 @@ def test_lsh_upsert_index_matches_rebuild(spark, tmp_path):
     got = sorted(map(tuple, lsh_search_index(queries, live, k=10).collect()))
     want = sorted(map(tuple, lsh_search_index(queries, rebuilt, k=10).collect()))
     assert got == want and len(got) > 0
+
+
+def test_asof_join_tolerance_window_form_matches_cogroup(spark):
+    """The staleness bound on the WINDOW-form asof_join (the
+    production route — rides the existing one-window plan as a
+    post-fold conditional) must agree with the cogroup/merge_asof
+    path on the fixture, both directions, timestamp keys — and with
+    a numeric-key hand case including the exact-boundary match."""
+    from spatially_databricks_etl_spark.operators.relational import asof_join
+    from spatially_databricks_etl_spark.operators.udfs import asof_join_cogroup
+
+    ev = load_table(spark, SF_DIR, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    for direction in ("backward", "forward"):
+        kw = dict(
+            on="user_id", left_time="ts", right_time="error_ts",
+            right_values=["error_ts"], direction=direction, tolerance=1800,
+        )
+        a = sorted(map(tuple, asof_join(left, errors, **kw).collect()), key=repr)
+        b = sorted(
+            map(tuple, asof_join_cogroup(left, errors, **kw).collect()), key=repr
+        )
+        assert a == b and len(a) > 0, direction
+        # the bound actually bites: strictly fewer non-null annotations
+        # than the unbounded form
+        kw2 = {**kw, "tolerance": None}
+        unbounded = asof_join(left, errors, **kw2)
+        n_bounded = asof_join(left, errors, **kw).filter(
+            F.col("error_ts").isNotNull()
+        ).count()
+        n_unbounded = unbounded.filter(F.col("error_ts").isNotNull()).count()
+        assert 0 < n_bounded < n_unbounded, direction
+
+    # numeric keys + exact boundary: distance == tolerance matches
+    l2 = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 35)], "event_id int, k int, lt long"
+    )
+    r2 = spark.createDataFrame([(1, 5, "a"), (1, 18, "b")], "k int, rt long, v string")
+    out = {
+        r["event_id"]: (r["rt"], r["v"])
+        for r in asof_join(
+            l2, r2, on="k", left_time="lt", right_time="rt",
+            right_values=["rt", "v"], direction="backward", tolerance=5,
+        ).collect()
+    }
+    # lt=10: candidate rt=5, distance 5 == tolerance -> matches;
+    # lt=20: rt=18, distance 2 -> matches; lt=35: rt=18, distance 17 -> null
+    assert out == {1: (5, "a"), 2: (18, "b"), 3: (None, None)}
