@@ -248,9 +248,21 @@ def asof_join(
     post-fold conditional — zero extra shuffles — because a bounded
     backward/forward match IS the unbounded match when recent enough.
     The gate tests the matched right time as picked by the same
-    last-non-null fold as the values. ``direction="nearest"`` has no
-    one-window form — use ``udfs.asof_join_cogroup`` for that (and
-    for per-group pandas merge logic generally).
+    last-non-null fold as the values.
+
+    ``direction="nearest"``: the closer of the backward and forward
+    candidates by absolute distance, equidistant ties resolving
+    BACKWARD (the merge_asof contract, pinned against the cogroup
+    path by test). Costs one extra window fold over the SAME key
+    partitioning — still ONE shuffle, two sorts. Caveat: among
+    duplicate right TIMES the payload choice is tie-nondeterministic
+    (a distributed frame has no input order); the matched time is
+    deterministic. Use ``udfs.asof_join_cogroup`` when input-order
+    tie rules (or per-group pandas merge logic) matter.
+
+    Null left times emit null annotations in every direction (the
+    forward/desc sort would otherwise order null-time rows after
+    every right row and silently annotate them — guarded explicitly).
     """
     tag_l = left.select(
         F.col(on).alias("__k"),
@@ -269,49 +281,75 @@ def asof_join(
         F.col(right_time).alias("__rv__rt"),
     )
     unioned = tag_l.unionByName(tag_r)
-    if direction == "backward":
-        # right rows sort before left rows at equal time → "at or before"
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__t"), F.col("__is_left"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    elif direction == "forward":
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__is_left"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        raise ValueError(f"direction must be backward|forward, got {direction}")
-    folds = {c: F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w) for c in right_values}
-    if tolerance is None:
-        picked = [folds[c].alias(c) for c in right_values]
-        out = unioned.select("__is_left", "__lrow", *picked).filter(
-            F.col("__is_left") == 1
-        )
-        return out.select("__lrow.*", *right_values)
-    if not tolerance > 0:
-        raise ValueError(f"tolerance must be positive, got {tolerance!r}")
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    # right rows sort before left rows at equal time → at-or-before /
+    # at-or-after both include exact matches
+    w_b = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
-    matched_rt = F.last(F.col("__rv__rt"), ignorenulls=True).over(w)
-    is_ts = isinstance(
-        right.schema[right_time].dataType, (TimestampType, TimestampNTZType)
-    )
-    bound = (
-        F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
-        if is_ts
-        else F.lit(tolerance)
-    )
-    ok = (
-        matched_rt >= F.col("__t") - bound
-        if direction == "backward"
-        else matched_rt <= F.col("__t") + bound
-    )
+    def fold(col: str, w) -> Column:
+        return F.last(F.col(col), ignorenulls=True).over(w)
+
+    if direction in ("backward", "forward"):
+        w = w_b if direction == "backward" else w_f
+        vals = {c: fold(f"__rv_{c}", w) for c in right_values}
+        chosen_rt = fold("__rv__rt", w)
+    elif direction == "nearest":
+        # two folds over the SAME key partitioning (one Exchange, two
+        # sorts): the closer candidate wins; an equidistant tie
+        # resolves BACKWARD (the cogroup/merge_asof contract). Among
+        # duplicate right TIMES the window form's payload choice is
+        # tie-nondeterministic (a distributed frame has no input
+        # order) — the matched time itself is deterministic; use
+        # udfs.asof_join_cogroup when input-order tie rules matter.
+        rt_b, rt_f = fold("__rv__rt", w_b), fold("__rv__rt", w_f)
+        use_b = rt_b.isNotNull() & (
+            rt_f.isNull() | ((F.col("__t") - rt_b) <= (rt_f - F.col("__t")))
+        )
+        vals = {
+            c: F.when(use_b, fold(f"__rv_{c}", w_b)).otherwise(
+                fold(f"__rv_{c}", w_f)
+            )
+            for c in right_values
+        }
+        chosen_rt = F.when(use_b, rt_b).otherwise(rt_f)
+    else:
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
+
+    # a null left time orders nowhere → null annotations (without this
+    # guard the forward/desc sort put null-time left rows AFTER every
+    # right row and silently annotated them)
+    ok = F.col("__t").isNotNull()
+    if tolerance is not None:
+        if not tolerance > 0:
+            raise ValueError(f"tolerance must be positive, got {tolerance!r}")
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        is_ts = isinstance(
+            right.schema[right_time].dataType, (TimestampType, TimestampNTZType)
+        )
+        bound = (
+            F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
+            if is_ts
+            else F.lit(tolerance)
+        )
+        ok = (
+            ok
+            & chosen_rt.isNotNull()
+            & (chosen_rt >= F.col("__t") - bound)
+            & (chosen_rt <= F.col("__t") + bound)
+        )
     gated = [
-        F.when(ok, folds[c]).otherwise(F.lit(None)).alias(c)
-        for c in right_values
+        F.when(ok, vals[c]).otherwise(F.lit(None)).alias(c) for c in right_values
     ]
     out = unioned.select("__is_left", "__lrow", *gated).filter(
         F.col("__is_left") == 1

@@ -924,3 +924,51 @@ def test_ts_anomaly_detrended_matches_python_reference(spark, values):
                 z = 0.6745 * (r - med) / mad
                 assert got["z_e6"] == math.floor(z * 1e6 + 0.5)
                 assert got["is_anomaly"] == (abs(z) > 3.5)
+
+
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    rts=st.sets(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+    tol=st.one_of(st.none(), st.integers(min_value=1, max_value=15)),
+)
+@SETTINGS
+def test_asof_window_nearest_tolerance_matches_python(spark, lts, rts, tol):
+    """The WINDOW form's ``nearest`` + ``tolerance`` against the same
+    from-scratch replay that pins the cogroup path: closest candidate
+    by absolute distance, equidistant -> backward, out-of-tolerance ->
+    null. Right times are DISTINCT here (the window form's
+    among-equal-times payload pick is documented tie-nondeterministic;
+    the cogroup property test covers duplicate times)."""
+    from spatially_databricks_etl_spark.operators.relational import asof_join
+
+    rlist = sorted(rts)
+    left = spark.createDataFrame(
+        [(i, 1, int(t)) for i, t in enumerate(lts)], "event_id int, k int, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, int(t), j) for j, t in enumerate(rlist)], "k int, rt long, payload int"
+    ) if rlist else spark.createDataFrame([], "k int, rt long, payload int")
+    out = {
+        r["event_id"]: (r["rt"], r["payload"])
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="lt",
+            right_time="rt",
+            right_values=["rt", "payload"],
+            direction="nearest",
+            tolerance=tol,
+        ).collect()
+    }
+    for i, lt in enumerate(lts):
+        back = max((t for t in rlist if t <= lt), default=None)
+        fwd = min((t for t in rlist if t >= lt), default=None)
+        if back is not None and fwd is not None:
+            cand = back if (lt - back) <= (fwd - lt) else fwd
+        else:
+            cand = back if back is not None else fwd
+        if cand is not None and tol is not None and abs(cand - lt) > tol:
+            cand = None
+        want = (cand, rlist.index(cand)) if cand is not None else (None, None)
+        assert out[i] == want, (i, lt, rlist, tol, out[i], want)

@@ -1054,7 +1054,10 @@ def test_asof_join_tolerance_window_form_matches_cogroup(spark):
         "user_id", F.col("ts").alias("error_ts")
     )
     left = ev.select("event_id", "user_id", "ts")
-    for direction in ("backward", "forward"):
+    # nearest included: the window form's two-fold argmin must agree
+    # with merge_asof (right_values = the time itself, so duplicate
+    # right times cannot make the comparison payload-ambiguous)
+    for direction in ("backward", "forward", "nearest"):
         kw = dict(
             on="user_id", left_time="ts", right_time="error_ts",
             right_values=["error_ts"], direction=direction, tolerance=1800,
@@ -1064,6 +1067,12 @@ def test_asof_join_tolerance_window_form_matches_cogroup(spark):
             map(tuple, asof_join_cogroup(left, errors, **kw).collect()), key=repr
         )
         assert a == b and len(a) > 0, direction
+        kw_unb = {**kw, "tolerance": None}
+        a2 = sorted(map(tuple, asof_join(left, errors, **kw_unb).collect()), key=repr)
+        b2 = sorted(
+            map(tuple, asof_join_cogroup(left, errors, **kw_unb).collect()), key=repr
+        )
+        assert a2 == b2, direction
         # the bound actually bites: strictly fewer non-null annotations
         # than the unbounded form
         kw2 = {**kw, "tolerance": None}
