@@ -264,13 +264,23 @@ def asof_join(
     forward/desc sort would otherwise order null-time rows after
     every right row and silently annotate them — guarded explicitly).
     """
+    # the matched right TIME rides along only when something consumes
+    # it (tolerance gate / nearest argmin) — the plain directional
+    # forms keep their original shuffle width
+    needs_rt = tolerance is not None or direction == "nearest"
+    rt_l = (
+        [F.lit(None).cast(right.schema[right_time].dataType).alias("__rv__rt")]
+        if needs_rt
+        else []
+    )
+    rt_r = [F.col(right_time).alias("__rv__rt")] if needs_rt else []
     tag_l = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__rv__rt"),
+        *rt_l,
     )
     tag_r = right.select(
         F.col(on).alias("__k"),
@@ -278,7 +288,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(tag_l.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__rv_{c}") for c in right_values],
-        F.col(right_time).alias("__rv__rt"),
+        *rt_r,
     )
     unioned = tag_l.unionByName(tag_r)
     # right rows sort before left rows at equal time → at-or-before /
