@@ -192,9 +192,11 @@ EXTRA = [
     "asof_join_cogroup",
     # round 10: Spark 4 recursive CTE reachability
     "transitive_closure",
-    # round 11: STL-lite detrended anomaly + staleness-bounded as-of
+    # round 11: STL-lite detrended anomaly + staleness-bounded as-of +
+    # nearest-direction as-of (window form)
     "ts_anomaly_detrended",
     "asof_join_tolerance",
+    "asof_join_nearest",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

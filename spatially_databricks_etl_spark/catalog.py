@@ -777,6 +777,54 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAREST as-of: each event annotated with the same user's
+    CLOSEST 'error' event time in either direction (equidistant ties
+    resolve backward — the merge_asof contract). Runs the WINDOW form
+    (`operators/relational.py: asof_join(direction="nearest")` — two
+    last-non-null folds over one key shuffle, the production route;
+    the cogroup path is pinned equal by test). The DuckDB oracle
+    replays it as the peer-inclusive RANGE-frame backward max /
+    forward min pair and the tie-broken argmin — annotation value =
+    the matched TIME itself, so duplicate error times cannot make the
+    comparison payload-ambiguous on either engine."""
+    from spatially_databricks_etl_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("error_ts").alias("nearest_error_ts")
+    )
+
+
+SQL_ASOF_JOIN_NEAREST = """
+SELECT event_id, user_id, ts,
+       CASE WHEN ts IS NULL THEN NULL
+            WHEN bts IS NOT NULL AND (fts IS NULL OR ts - bts <= fts - ts)
+            THEN bts ELSE fts END AS nearest_error_ts
+FROM (
+  SELECT event_id, user_id, ts,
+         max(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+         min(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+  FROM events)
+"""
+
+
 SQL_ASOF_JOIN_TOLERANCE = """
 SELECT event_id, user_id, ts,
        CASE WHEN cand IS NOT NULL AND ts - cand <= INTERVAL 1800 SECONDS
@@ -7614,6 +7662,9 @@ QUERIES: dict[str, QueryFn] = {
     # justifies the cogroup path (tolerance has no one-pass SQL-window
     # form; the oracle filters the windowed backward candidate)
     "asof_join_tolerance": q_asof_join_tolerance,
+    # round-11: the nearest-direction as-of on the window form (two
+    # folds, one shuffle) — the cogroup path is pinned equal by test
+    "asof_join_nearest": q_asof_join_nearest,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7795,6 +7846,7 @@ ORACLES: dict[str, str] = {
     "variant_fns": SQL_VARIANT_FNS,
     "asof_join_cogroup": SQL_ASOF_JOIN,
     "asof_join_tolerance": SQL_ASOF_JOIN_TOLERANCE,
+    "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,
