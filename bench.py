@@ -197,6 +197,8 @@ EXTRA = [
     "ts_anomaly_detrended",
     "asof_join_tolerance",
     "asof_join_nearest",
+    # round 11: embedding-space drift (the array<float> drift member)
+    "drift_embedding",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -6455,6 +6455,58 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_drift_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space drift between two label cohorts of the
+    embeddings fixture (classes 0-3 vs 4-7 — a real directional
+    shift, not a same-distribution split): the drift-family member
+    for ``array<float>`` payloads (see
+    :func:`operators.profile.drift_embedding`). The oracle replays
+    the per-dimension exact scaled-integer sums (counts cancel in the
+    centroid cosine; the mean shift uses the common-denominator
+    integer form), with every division/sqrt on exact operands."""
+    from spatially_databricks_etl_spark.operators.profile import drift_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return drift_embedding(
+        emb.filter(F.col("label") < 4).select("embedding"),
+        emb.filter(F.col("label") >= 4).select("embedding"),
+    )
+
+
+SQL_DRIFT_EMBEDDING = """
+WITH r AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE label < 4 AND embedding IS NOT NULL),
+c AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE label >= 4 AND embedding IS NOT NULL),
+rd AS (SELECT dim, sum(CAST(floor(v[dim] * 1000000 + 0.5) AS HUGEINT)) AS s_r
+       FROM (SELECT unnest(generate_series(1, len(v))) AS dim, v FROM r)
+       GROUP BY dim),
+cd AS (SELECT dim, sum(CAST(floor(v[dim] * 1000000 + 0.5) AS HUGEINT)) AS s_c
+       FROM (SELECT unnest(generate_series(1, len(v))) AS dim, v FROM c)
+       GROUP BY dim),
+n AS (SELECT (SELECT CAST(count(*) AS HUGEINT) FROM r) AS n_ref,
+             (SELECT CAST(count(*) AS HUGEINT) FROM c) AS n_cur),
+dims AS (
+  SELECT coalesce(s_r, 0) AS s_r, coalesce(s_c, 0) AS s_c, n_ref, n_cur
+  FROM rd FULL OUTER JOIN cd USING (dim) CROSS JOIN n),
+agg AS (
+  SELECT sum(s_r * s_c) AS dot, sum(s_r * s_r) AS qr, sum(s_c * s_c) AS qc,
+         sum((s_r * n_cur - s_c * n_ref) * (s_r * n_cur - s_c * n_ref)) AS num2
+  FROM dims)
+SELECT CAST(n.n_ref AS BIGINT) AS n_ref,
+       CAST(n.n_cur AS BIGINT) AS n_cur,
+       CAST(floor(CASE WHEN qr > 0 AND qc > 0
+                       THEN CAST(dot AS DOUBLE)
+                            / (sqrt(CAST(qr AS DOUBLE)) * sqrt(CAST(qc AS DOUBLE)))
+                  END * 1000000 + 0.5) AS BIGINT) AS centroid_cos_e6,
+       CAST(floor(CASE WHEN n.n_ref > 0 AND n.n_cur > 0
+                       THEN sqrt(CAST(num2 AS DOUBLE))
+                            / CAST(n.n_ref * n.n_cur AS DOUBLE) / 1000000
+                  END * 1000000 + 0.5) AS BIGINT) AS mean_shift_l2_e6
+FROM agg CROSS JOIN n
+"""
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — which the SYNTHETIC
     fixture prices fail loudly (uniform-ish leading digits), exactly
@@ -7665,6 +7717,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-11: the nearest-direction as-of on the window form (two
     # folds, one shuffle) — the cogroup path is pinned equal by test
     "asof_join_nearest": q_asof_join_nearest,
+    # round-11: embedding-space drift — the drift-family member for
+    # array<float> payloads (exact per-dimension integer sums)
+    "drift_embedding": q_drift_embedding,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7847,6 +7902,7 @@ ORACLES: dict[str, str] = {
     "asof_join_cogroup": SQL_ASOF_JOIN,
     "asof_join_tolerance": SQL_ASOF_JOIN_TOLERANCE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
+    "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_wasserstein": SQL_DRIFT_WASSERSTEIN,

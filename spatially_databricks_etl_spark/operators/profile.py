@@ -962,6 +962,134 @@ def drift_wasserstein(
     )
 
 
+def drift_embedding(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    value_decimals: int = 6,
+) -> DataFrame:
+    """EMBEDDING-space drift between two snapshots — the member the
+    drift family was missing: PSI/KS/chi2/Wasserstein profile scalar
+    columns, but an LLM pipeline's core payload is an
+    ``array<float>`` column, and "did the embedding distribution
+    move" (new corpus mix, re-embedded model version, upstream
+    featurizer change) is the question a retrieval/dedup deployment
+    asks before trusting its indexes. No reference analog
+    (`Spatially ETL test.py:120-168` — the reference has no arrays at
+    all).
+
+    Two summary statistics per call, one row out:
+
+    - ``centroid_cos_e6``: cosine similarity between the two MEAN
+      vectors. Identity that makes it exact: cos(mean_r, mean_c) =
+      cos(sum_r, sum_c) — the 1/n factors cancel — so it is computed
+      entirely from per-dimension EXACT scaled-integer sums
+      (``decimal(38,0)``, the weighted_quantiles discipline): dot and
+      the two squared norms are exact integer aggregates; the final
+      cos is IEEE ops on exact operands, identical on both engines.
+      1.0 = no directional drift.
+    - ``mean_shift_l2_e6``: ‖mean_r − mean_c‖₂, via the common
+      denominator: mean_r − mean_c = (S_r·n_c − S_c·n_r)/(n_r·n_c)
+      per dimension — the numerator is an exact integer, its squared
+      sum an exact integer, and the one division + sqrt happen on
+      exact operands. Reported in the embedding's own units.
+
+    Scale shape (100 TB): one ``posexplode`` + hash aggregate per
+    side compresses everything to |dims| rows (map-side combine; the
+    shuffle carries dims × partials, never vectors); the dim frames
+    join on the dimension id; counts ride one-row broadcasts (the
+    accepted scalar-join pattern). Headroom: decimal(38,0) holds the
+    squared common-denominator terms while per-dimension scaled sums
+    stay under ~1e13 (≈ 1e7 rows of unit-scale values at
+    value_decimals=6) — shrink ``value_decimals`` for corpora beyond
+    that (the statistic loses nothing: it is a ratio).
+
+    Returns one row: (n_ref, n_cur, centroid_cos_e6,
+    mean_shift_l2_e6); null statistics when either side is empty or
+    a norm is zero.
+    """
+    scale = 10**value_decimals
+
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__v").cast("double") * F.lit(float(scale))
+                        + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias(f"s_{tag}")
+            )
+        )
+
+    # counts cover exactly the rows whose components entered the sums
+    # (null-vector rows carry no position in embedding space)
+    counts = (
+        ref.filter(F.col(vec_col).isNotNull())
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ref"))
+        .crossJoin(
+            cur.filter(F.col(vec_col).isNotNull()).agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n_cur")
+            )
+        )
+    )
+    dims = (
+        dim_sums(ref, "r")
+        .join(dim_sums(cur, "c"), "dim", "full_outer")
+        .select(
+            F.coalesce(F.col("s_r"), F.lit(0).cast("decimal(38,0)")).alias("s_r"),
+            F.coalesce(F.col("s_c"), F.lit(0).cast("decimal(38,0)")).alias("s_c"),
+        )
+        .crossJoin(F.broadcast(counts))
+    )
+    agg = dims.agg(
+        F.sum((F.col("s_r") * F.col("s_c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__dot"),
+        F.sum((F.col("s_r") * F.col("s_r")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__qr"),
+        F.sum((F.col("s_c") * F.col("s_c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__qc"),
+        F.sum(
+            (
+                (F.col("s_r") * F.col("n_cur") - F.col("s_c") * F.col("n_ref"))
+                * (F.col("s_r") * F.col("n_cur") - F.col("s_c") * F.col("n_ref"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__num2"),
+    )
+    cos = F.when(
+        (F.col("__qr") > 0) & (F.col("__qc") > 0),
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__qr").cast("double")) * F.sqrt(F.col("__qc").cast("double"))),
+    )
+    l2 = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.sqrt(F.col("__num2").cast("double"))
+        / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        / F.lit(float(scale)),
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias(
+            "centroid_cos_e6"
+        ),
+        F.floor(l2 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias(
+            "mean_shift_l2_e6"
+        ),
+    )
+
+
 def mutual_info(
     df: DataFrame,
     *,

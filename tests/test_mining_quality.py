@@ -816,3 +816,40 @@ def test_profile_store_delete_batch_equals_rebuild(spark, tmp_path):
     profile_delete_batch(spark, inc, "b1")
     profile_delete_batch(spark, inc, "b3")
     assert profile_read_store(spark, inc).count() == 0
+
+
+def test_drift_embedding_identity_and_closed_form(spark):
+    """Embedding-drift contracts: (a) a snapshot against itself is
+    EXACTLY (cos=1.0, shift=0) — the exact-integer core, not a
+    float-happens-to-round identity; (b) a closed-form hand case
+    (sum_r=(s,s) vs sum_c=(s,0): cos = 1/sqrt(2), mean shift =
+    sqrt(0.5)); (c) null-vector rows enter neither the sums nor the
+    counts; (d) an empty side yields null statistics with the counts
+    still reported."""
+    from pyspark.sql import functions as F
+
+    from spatially_databricks_etl_spark.operators.profile import drift_embedding
+
+    ref = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],), (None,)], "embedding array<float>"
+    )
+    cur = spark.createDataFrame([([1.0, 0.0],)], "embedding array<float>")
+
+    self_row = drift_embedding(ref, ref).collect()[0]
+    assert (
+        self_row["n_ref"],
+        self_row["n_cur"],
+        self_row["centroid_cos_e6"],
+        self_row["mean_shift_l2_e6"],
+    ) == (2, 2, 1_000_000, 0)
+
+    row = drift_embedding(ref, cur).collect()[0]
+    # cos(sum_r, sum_c) = 1/sqrt(2); shift = |(0.5,0.5)-(1,0)| = sqrt(.5)
+    assert (row["n_ref"], row["n_cur"]) == (2, 1)
+    assert row["centroid_cos_e6"] == 707107
+    assert row["mean_shift_l2_e6"] == 707107
+
+    empty = cur.filter("embedding IS NULL")
+    erow = drift_embedding(ref, empty).collect()[0]
+    assert (erow["n_ref"], erow["n_cur"]) == (2, 0)
+    assert erow["centroid_cos_e6"] is None and erow["mean_shift_l2_e6"] is None
