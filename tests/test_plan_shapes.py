@@ -135,6 +135,10 @@ def test_no_catalog_query_plans_a_smell(spark):
         # one-row total-weight frame via broadcast cross join — the
         # accepted scalar-join pattern
         "weighted_quantiles",
+        # one-row snapshot-counts frame via broadcast cross join (twice:
+        # into the dim frame and onto the final row) — the accepted
+        # scalar-join pattern
+        "drift_embedding",
         # one-row total frame onto the 9-digit literal axis — same
         # scalar-join pattern
         "benford_audit",
