@@ -1010,24 +1010,6 @@ def drift_embedding(
     a norm is zero.
     """
     scale = 10**value_decimals
-
-    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
-        return (
-            df.filter(F.col(vec_col).isNotNull())
-            .select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
-            .groupBy("dim")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("__v").cast("double") * F.lit(float(scale))
-                        + F.lit(0.5)
-                    ).cast("decimal(38,0)")
-                )
-                .cast("decimal(38,0)")
-                .alias(f"s_{tag}")
-            )
-        )
-
     # counts cover exactly the rows whose components entered the sums
     # (null-vector rows carry no position in embedding space)
     counts = (
@@ -1040,15 +1022,44 @@ def drift_embedding(
         )
     )
     dims = (
-        dim_sums(ref, "r")
-        .join(dim_sums(cur, "c"), "dim", "full_outer")
+        _embedding_dim_sums(ref, vec_col, scale, "r")
+        .join(_embedding_dim_sums(cur, vec_col, scale, "c"), "dim", "full_outer")
         .select(
             F.coalesce(F.col("s_r"), F.lit(0).cast("decimal(38,0)")).alias("s_r"),
             F.coalesce(F.col("s_c"), F.lit(0).cast("decimal(38,0)")).alias("s_c"),
         )
-        .crossJoin(F.broadcast(counts))
     )
-    agg = dims.agg(
+    return _embedding_drift_stats(dims, counts, scale)
+
+
+def _embedding_dim_sums(df: DataFrame, vec_col: str, scale: int, tag: str) -> DataFrame:
+    """(dim, s_<tag>) exact scaled-integer component sums — the shared
+    half of :func:`drift_embedding` and the streaming monitor sink
+    (one posexplode + hash aggregate; |dims| rows out)."""
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("__v").cast("double") * F.lit(float(scale))
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias(f"s_{tag}")
+        )
+    )
+
+
+def _embedding_drift_stats(dims: DataFrame, counts: DataFrame, scale: int) -> DataFrame:
+    """The exact-integer tail shared by :func:`drift_embedding` and
+    the streaming monitor: ``dims`` = (s_r, s_c) decimal sums per
+    dimension, ``counts`` = one row (n_ref, n_cur) decimals; emits the
+    one-row (n_ref, n_cur, centroid_cos_e6, mean_shift_l2_e6)."""
+    joined = dims.crossJoin(F.broadcast(counts))
+    agg = joined.agg(
         F.sum((F.col("s_r") * F.col("s_c")).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("__dot"),

@@ -768,6 +768,84 @@ def seasonal_monitor_sink(
     return write
 
 
+def embedding_drift_monitor_sink(
+    path: str,
+    reference: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    value_decimals: int = 6,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` EMBEDDING-drift monitor — the streaming form
+    of :func:`operators.profile.drift_embedding`, completing the
+    monitor family's symmetry (scalar drift, quality, heavy hitters,
+    seasonal — and now the ``array<float>`` payload): every
+    micro-batch lands one (n_ref, n_cur, centroid_cos_e6,
+    mean_shift_l2_e6) row scoring the batch's embedding distribution
+    against a STATIC reference snapshot — the "did the embedder /
+    upstream corpus mix move" page a retrieval pipeline needs before
+    its indexes quietly degrade.
+
+    The reference is reduced ONCE at sink construction to its exact
+    per-dimension scaled-integer sums and row count (|dims| driver
+    values — bounded by the embedding width, never by the reference's
+    size) and pinned for the query's lifetime, the drift_monitor_sink
+    edge-pinning discipline: per-batch work is ONE posexplode + hash
+    aggregate over the batch plus exact-integer algebra on the
+    |dims|-row frame. Statistics are IDENTICAL to calling
+    ``drift_embedding(reference, batch)`` directly (same exact
+    operands, same expression tree — pinned by test). Replayed
+    batches overwrite their own partition (the
+    :func:`foreach_batch_writer` contract), so recovery never
+    double-counts a monitoring row.
+    """
+    from spatially_databricks_etl_spark.operators.profile import (
+        _embedding_dim_sums,
+        _embedding_drift_stats,
+    )
+
+    scale = 10**value_decimals
+    ref_rows = [
+        (int(r["dim"]), str(r["s_r"]))
+        for r in _embedding_dim_sums(reference, vec_col, scale, "r").collect()
+    ]
+    n_ref = int(
+        reference.filter(F.col(vec_col).isNotNull()).count()
+    )
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if ref_rows:
+            refdf = spark.createDataFrame(
+                ref_rows, "dim int, s_r_s string"
+            ).select("dim", F.col("s_r_s").cast("decimal(38,0)").alias("s_r"))
+        else:
+            refdf = spark.createDataFrame([], "dim int, s_r decimal(38,0)")
+        dims = (
+            refdf.join(
+                _embedding_dim_sums(batch_df, vec_col, scale, "c"),
+                "dim",
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("s_r"), F.lit(0).cast("decimal(38,0)")).alias(
+                    "s_r"
+                ),
+                F.coalesce(F.col("s_c"), F.lit(0).cast("decimal(38,0)")).alias(
+                    "s_c"
+                ),
+            )
+        )
+        counts = batch_df.filter(F.col(vec_col).isNotNull()).agg(
+            F.lit(n_ref).cast("decimal(38,0)").alias("n_ref"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_cur"),
+        )
+        base(_embedding_drift_stats(dims, counts, scale), batch_id)
+
+    return write
+
+
 def index_ingest_sink(path: str, append, *, empty_batches_log: bool = True):
     """``foreachBatch`` INGEST into a persisted index — the streaming
     write path for the whole index family: pass any of the family's

