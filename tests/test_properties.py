@@ -972,3 +972,64 @@ def test_asof_window_nearest_tolerance_matches_python(spark, lts, rts, tol):
             cand = None
         want = (cand, rlist.index(cand)) if cand is not None else (None, None)
         assert out[i] == want, (i, lt, rlist, tol, out[i], want)
+
+
+@given(
+    refv=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=8,
+    ),
+    curv=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+@SETTINGS
+def test_drift_embedding_matches_python_reference(spark, refv, curv):
+    """drift_embedding against a from-scratch replay on arbitrary
+    float32 vectors: per-dimension exact scaled-integer sums, the
+    counts-cancel centroid cosine, the common-denominator mean-shift
+    L2, and the e6 floors — every double op on exact operands in the
+    same order."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.profile import drift_embedding
+
+    ref = spark.createDataFrame([(v,) for v in refv], "embedding array<float>")
+    cur = spark.createDataFrame([(v,) for v in curv], "embedding array<float>")
+    row = drift_embedding(ref, cur).collect()[0]
+
+    import struct
+
+    def f32(x):  # the float32 the fixture column stores, widened back
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def sums(vs):
+        out = [0, 0, 0]
+        for v in vs:
+            for d in range(3):
+                out[d] += math.floor(f32(v[d]) * 1e6 + 0.5)
+        return out
+
+    sr, sc = sums(refv), sums(curv)
+    nr, nc = len(refv), len(curv)
+    dot = sum(a * b for a, b in zip(sr, sc))
+    qr = sum(a * a for a in sr)
+    qc = sum(b * b for b in sc)
+    num2 = sum((a * nc - b * nr) ** 2 for a, b in zip(sr, sc))
+    assert (row["n_ref"], row["n_cur"]) == (nr, nc)
+    if qr > 0 and qc > 0:
+        cos = float(dot) / (math.sqrt(float(qr)) * math.sqrt(float(qc)))
+        assert row["centroid_cos_e6"] == math.floor(cos * 1e6 + 0.5)
+    else:
+        assert row["centroid_cos_e6"] is None
+    l2 = math.sqrt(float(num2)) / float(nr * nc) / 1e6
+    assert row["mean_shift_l2_e6"] == math.floor(l2 * 1e6 + 0.5)
