@@ -7559,7 +7559,9 @@ QUERIES: dict[str, QueryFn] = {
     # time-alignment row; heavy_hitters → transitive_closure;
     # assoc_rules → variant_fns; kmeans_clusters → the second ANN
     # recall slot). Round-11 additions at 51+ for the round-12
-    # rotation: ts_anomaly_detrended, asof_join_tolerance.
+    # rotation (each three-scale-swept 0/3 — SCALE.md round-11
+    # notes): ts_anomaly_detrended, asof_join_tolerance,
+    # asof_join_nearest, drift_embedding.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
