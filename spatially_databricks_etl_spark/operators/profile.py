@@ -999,11 +999,19 @@ def drift_embedding(
     side compresses everything to |dims| rows (map-side combine; the
     shuffle carries dims × partials, never vectors); the dim frames
     join on the dimension id; counts ride one-row broadcasts (the
-    accepted scalar-join pattern). Headroom: decimal(38,0) holds the
-    squared common-denominator terms while per-dimension scaled sums
-    stay under ~1e13 (≈ 1e7 rows of unit-scale values at
-    value_decimals=6) — shrink ``value_decimals`` for corpora beyond
-    that (the statistic loses nothing: it is a ratio).
+    accepted scalar-join pattern). Headroom (ADVICE r11 — the binding
+    term is the SQUARED common denominator (S_r·n_c − S_c·n_r)², not
+    the raw sums): decimal(38,0) needs |S|·n ≲ 5e18, so at unit-scale
+    values and value_decimals=6 (S ≈ 1e6·n) the bound is n ≲ ~2e6
+    rows per side — shrink ``value_decimals`` for corpora beyond that
+    (the statistic loses nothing: it is a ratio). The bound is
+    ENFORCED, not advisory: conservative double-precision shadow
+    magnitudes ride the same aggregate, and a breach raises
+    ``USER_RAISED_EXCEPTION`` at execution instead of the silent
+    null-drop Spark's non-ANSI decimal overflow would produce (the
+    DuckDB oracle's HUGEINT raises loudly in the same situation; the
+    guard may fire up to ~10% before the exact decimal limit —
+    conservative by design).
 
     Returns one row: (n_ref, n_cur, centroid_cos_e6,
     mean_shift_l2_e6); null statistics when either side is empty or
@@ -1059,6 +1067,18 @@ def _embedding_drift_stats(dims: DataFrame, counts: DataFrame, scale: int) -> Da
     dimension, ``counts`` = one row (n_ref, n_cur) decimals; emits the
     one-row (n_ref, n_cur, centroid_cos_e6, mean_shift_l2_e6)."""
     joined = dims.crossJoin(F.broadcast(counts))
+    # double-precision SHADOW magnitudes (upper bounds of every exact
+    # decimal term by the triangle inequality: |Σa| ≤ Σ|a| and
+    # (s_r·n_c − s_c·n_r)² ≤ (|s_r|·n_c + |s_c|·n_r)²) ride the same
+    # aggregate; past ~0.9·10^38 the exact decimal(38,0) arithmetic
+    # is at risk of Spark's silent non-ANSI overflow→null, so the
+    # guard raises LOUDLY instead (ADVICE r11). Doubles cannot
+    # overflow here and their ~1e-16 relative error is absorbed by
+    # the 10% margin.
+    sr_d = F.abs(F.col("s_r").cast("double"))
+    sc_d = F.abs(F.col("s_c").cast("double"))
+    nr_d = F.col("n_ref").cast("double")
+    nc_d = F.col("n_cur").cast("double")
     agg = joined.agg(
         F.sum((F.col("s_r") * F.col("s_c")).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
@@ -1077,17 +1097,48 @@ def _embedding_drift_stats(dims: DataFrame, counts: DataFrame, scale: int) -> Da
         )
         .cast("decimal(38,0)")
         .alias("__num2"),
+        F.sum(sr_d * sc_d).alias("__sh_dot"),
+        F.sum(sr_d * sr_d).alias("__sh_qr"),
+        F.sum(sc_d * sc_d).alias("__sh_qc"),
+        F.sum(
+            (sr_d * nc_d + sc_d * nr_d) * (sr_d * nc_d + sc_d * nr_d)
+        ).alias("__sh_num2"),
     )
-    cos = F.when(
-        (F.col("__qr") > 0) & (F.col("__qc") > 0),
-        F.col("__dot").cast("double")
-        / (F.sqrt(F.col("__qr").cast("double")) * F.sqrt(F.col("__qc").cast("double"))),
+    # null shadows (empty dims frame) are the legitimate empty-input
+    # case, not a breach — coalesce them to "within bounds"
+    guard = F.assert_true(
+        F.coalesce(
+            F.greatest("__sh_dot", "__sh_qr", "__sh_qc", "__sh_num2")
+            <= F.lit(9.0e37),
+            F.lit(True),
+        ),
+        F.lit(
+            "drift_embedding: decimal(38,0) headroom exceeded — the "
+            "squared common-denominator drift terms would overflow "
+            "(silent null under non-ANSI Spark). Shrink value_decimals "
+            "(the statistics are ratios; precision of the inputs, not "
+            "the result, is what changes) or split the snapshot."
+        ),
+    ).cast("double")
+    cos = F.coalesce(
+        guard,
+        F.when(
+            (F.col("__qr") > 0) & (F.col("__qc") > 0),
+            F.col("__dot").cast("double")
+            / (
+                F.sqrt(F.col("__qr").cast("double"))
+                * F.sqrt(F.col("__qc").cast("double"))
+            ),
+        ),
     )
-    l2 = F.when(
-        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-        F.sqrt(F.col("__num2").cast("double"))
-        / (F.col("n_ref") * F.col("n_cur")).cast("double")
-        / F.lit(float(scale)),
+    l2 = F.coalesce(
+        guard,
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.sqrt(F.col("__num2").cast("double"))
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+            / F.lit(float(scale)),
+        ),
     )
     return agg.crossJoin(F.broadcast(counts)).select(
         F.col("n_ref").cast("long").alias("n_ref"),

@@ -169,12 +169,44 @@ def versioned_diff(
     return snapshot_diff(old, new, key_cols=key_cols, compare_cols=compare_cols)
 
 
-def versioned_vacuum(spark: SparkSession, path: str, *, keep_last: int = 2) -> list[int]:
+def versioned_vacuum(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_last: int = 2,
+    staging_grace_sec: float = 3600.0,
+) -> list[int]:
     """Retention: physically drop all but the newest ``keep_last``
-    snapshots (plus any orphan directories a crashed write left
-    behind) and shrink the manifest. Returns the dropped version
-    numbers. Time-travel reads of dropped versions then fail loudly
-    (:func:`versioned_read`'s contract)."""
+    snapshots (plus orphan directories a CRASHED write left behind)
+    and shrink the manifest. Returns the dropped version numbers.
+    Time-travel reads of dropped versions then fail loudly
+    (:func:`versioned_read`'s contract).
+
+    Concurrent-writer safety (ADVICE r11): vacuum must never eat an
+    IN-FLIGHT writer's work —
+
+    - ``.staging-*`` directories are deleted only when older than
+      ``staging_grace_sec`` (mtime): a fresh one is a live writer
+      mid-stage, not a crash orphan;
+    - a ``v=N`` directory NEWER than the manifest vacuum read at entry
+      is a concurrent writer's commit (or its final rename, manifest
+      flip pending) — the manifest is RE-READ immediately before any
+      such delete, listed versions are skipped, and an unlisted one is
+      removed only past the grace period (a crashed rename→flip
+      window, the only way an unlisted ``v=`` directory arises);
+    - the final manifest rewrite merges against a fresh re-read
+      (version pointer = max(seen), versions = fresh list minus what
+      was physically dropped), so a commit that landed mid-vacuum is
+      never erased from the manifest.
+
+    Residual window, stated honestly: between the final re-read and
+    the manifest write a racing commit's manifest can still interleave
+    — the loser is only ever the SHRINK (a vacuumed version may
+    linger in the manifest until the next vacuum; reading it raises
+    loudly), never a committed snapshot. A real table format's atomic
+    log append removes even that (SCALE.md "Dependency gates")."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     m = _read_manifest(spark, path)
@@ -182,21 +214,59 @@ def versioned_vacuum(spark: SparkSession, path: str, *, keep_last: int = 2) -> l
         return []
     versions = sorted(m["versions"])
     keep = set(versions[-keep_last:])
+    entry_version = int(m["version"])
     snaps = os.path.join(path, "_snapshots")
+    now = time.time()
     dropped: list[int] = []
     for name in os.listdir(snaps):
+        full = os.path.join(snaps, name)
         if name.startswith(".staging-"):
-            # a crashed (or raced-out) writer's staged copy — orphaned
-            shutil.rmtree(os.path.join(snaps, name))
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # vanished — its writer finished or cleaned up
+            if age >= staging_grace_sec:
+                # old enough that no live writer is mid-stage: a crash
+                # (or raced-out loser that failed to clean up) orphan
+                shutil.rmtree(full, ignore_errors=True)
             continue
         if not name.startswith("v="):
             continue
         v = int(name.split("=", 1)[1])
-        if v not in keep:
-            shutil.rmtree(os.path.join(snaps, name))
-            if v in versions:
-                dropped.append(v)
+        if v in keep:
+            continue
+        if v > entry_version:
+            # appeared after our entry read — a concurrent writer's
+            # snapshot, not retention's business. Re-read the manifest
+            # NOW: listed → committed, skip; unlisted → possibly the
+            # rename→manifest-flip window, delete only past the grace
+            # period (then it is a crashed commit's orphan).
+            cur = _read_manifest(spark, path) or m
+            if v in set(cur.get("versions", [])):
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age >= staging_grace_sec:
+                shutil.rmtree(full, ignore_errors=True)
+            continue
+        # v <= entry_version and not kept: writers only ever commit
+        # version+1 and version never regresses, so nothing concurrent
+        # can be mid-commit HERE — safe to drop
+        shutil.rmtree(full, ignore_errors=True)
+        if v in versions:
+            dropped.append(v)
+    cur = _read_manifest(spark, path) or m
+    merged = sorted(
+        (set(cur.get("versions", [])) | keep) - set(dropped)
+    )
     _write_manifest(
-        spark, path, {"version": m["version"], "versions": sorted(keep)}
+        spark,
+        path,
+        {
+            "version": max(entry_version, int(cur.get("version", 0))),
+            "versions": merged,
+        },
     )
     return sorted(dropped)

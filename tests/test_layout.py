@@ -341,8 +341,68 @@ def test_versioned_write_concurrent_writer_fails_loudly(spark, tmp_path, monkeyp
     assert V.versioned_write(loser_df, path) == 2
     assert {tuple(r) for r in V.versioned_read(spark, path).collect()} == {(9, "z")}
 
-    # ...and vacuum clears any orphaned staging directory a crashed
-    # writer left behind
-    os.makedirs(os.path.join(snaps, ".staging-deadbeef"))
+    # ...and vacuum clears an orphaned staging directory a crashed
+    # writer left behind — but ONLY past the grace period: a FRESH
+    # .staging-* is a live writer mid-stage (ADVICE r11)
+    orphan = os.path.join(snaps, ".staging-deadbeef")
+    os.makedirs(orphan)
+    V.versioned_vacuum(spark, path, keep_last=2)
+    assert os.path.isdir(orphan), "fresh staging must survive vacuum"
+    os.utime(orphan, (1, 1))  # backdate: now a crash orphan
     V.versioned_vacuum(spark, path, keep_last=2)
     assert not [n for n in os.listdir(snaps) if n.startswith(".staging-")]
+
+
+def test_versioned_vacuum_never_eats_concurrent_commit(spark, tmp_path):
+    """ADVICE r11: vacuum racing a writer must not delete a snapshot
+    that committed (or is mid-commit: renamed to ``v=N``, manifest
+    flip pending) after vacuum's entry manifest read, and its final
+    manifest rewrite must not erase a commit that landed mid-vacuum.
+    Simulated at the fs level: a ``v=N+1`` directory NEWER than the
+    entry manifest — fresh → survives either way (grace period);
+    listed in a manifest re-read → survives regardless of age;
+    unlisted AND past the grace period → crashed-commit orphan,
+    removed."""
+    import os
+
+    import spatially_databricks_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt_vacrace")
+    for i in range(3):
+        V.versioned_write(
+            spark.createDataFrame([(i, "x")], "k int, name string"), path
+        )
+    snaps = os.path.join(path, "_snapshots")
+
+    # a concurrent writer renamed its staging to v=4 but has not yet
+    # flipped the manifest (entry manifest: version=3, versions=[1,2,3])
+    inflight = os.path.join(snaps, "v=4")
+    os.makedirs(inflight)
+    dropped = V.versioned_vacuum(spark, path, keep_last=1)
+    assert dropped == [1, 2]
+    assert os.path.isdir(inflight), "fresh in-flight commit must survive"
+
+    # the writer completes: manifest now lists v=4 — vacuum must keep
+    # the directory even when it is old, and keep it in the manifest
+    os.utime(inflight, (1, 1))
+    m = V._read_manifest(spark, path)
+    V._write_manifest(
+        spark, path, {"version": 4, "versions": sorted({*m["versions"], 4})}
+    )
+    V.versioned_vacuum(spark, path, keep_last=1)
+    assert os.path.isdir(inflight)
+    m2 = V._read_manifest(spark, path)
+    assert m2["version"] == 4 and 4 in m2["versions"]
+
+    # a stale UNLISTED v-dir older than the grace period is the
+    # crashed rename->flip orphan — that one goes
+    orphan = os.path.join(snaps, "v=9")
+    os.makedirs(orphan)
+    os.utime(orphan, (1, 1))
+    V.versioned_vacuum(spark, path, keep_last=1)
+    assert not os.path.isdir(orphan)
+    # ...while a FRESH unlisted one (mid-commit right now) stays
+    fresh = os.path.join(snaps, "v=10")
+    os.makedirs(fresh)
+    V.versioned_vacuum(spark, path, keep_last=1)
+    assert os.path.isdir(fresh)

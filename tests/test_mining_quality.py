@@ -853,3 +853,50 @@ def test_drift_embedding_identity_and_closed_form(spark):
     erow = drift_embedding(ref, empty).collect()[0]
     assert (erow["n_ref"], erow["n_cur"]) == (2, 0)
     assert erow["centroid_cos_e6"] is None and erow["mean_shift_l2_e6"] is None
+
+
+def test_drift_embedding_headroom_breach_raises_loudly(spark):
+    """ADVICE r11 (enforced by VERDICT r11 item 5): past the
+    decimal(38,0) headroom the squared common-denominator term
+    (S_r·n_c − S_c·n_r)² would overflow — under non-ANSI Spark the
+    product silently nulls and F.sum drops it, producing a WRONG
+    statistic indistinguishable from the legitimate empty-side null.
+    The guard must instead raise at execution. Components of ~1e13 at
+    value_decimals=6 give per-row scaled sums ~1e19, whose squared
+    cross terms (~1e40) breach 38 digits with only a handful of rows.
+    Also pins that the guard does NOT fire on ordinary unit-scale
+    input (the sibling test's cases run through the same code path)
+    and that the legitimate empty side still yields nulls, not an
+    error."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.profile import drift_embedding
+
+    big = spark.createDataFrame(
+        [([1.0e13, -1.0e13],)] * 4, "embedding array<float>"
+    )
+    small = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "embedding array<float>"
+    )
+    # ANSI-on sessions (the Spark 4 default) fail loudly at the
+    # decimal cast itself; the guard exists for non-ANSI sessions,
+    # where the overflow would otherwise be a silent null-drop —
+    # both paths must be LOUD
+    with pytest.raises(Exception, match="headroom|NUMERIC_VALUE_OUT_OF_RANGE"):
+        drift_embedding(big, small).collect()
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        for a, b in ((big, small), (small, big)):
+            with pytest.raises(Exception, match="headroom"):
+                drift_embedding(a, b).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    # unit-scale inputs pass untouched through the guarded plan
+    row = drift_embedding(small, small).collect()[0]
+    assert row["centroid_cos_e6"] == 1_000_000
+    # an empty side is a null statistic, never a guard error
+    erow = drift_embedding(
+        small, small.filter("embedding IS NULL")
+    ).collect()[0]
+    assert erow["centroid_cos_e6"] is None

@@ -2206,3 +2206,138 @@ def test_minhash_upsert_index_matches_rebuild_and_replacement_routes(
         )
     )
     assert got == want
+
+
+def test_minhash_upsert_keeps_other_ids_tombstoned_codes(spark, tmp_path):
+    """ADVICE r11 (medium): an upsert of X that shares a deleted Y's
+    ``__pb`` shingle bucket must NOT opportunistically drop Y's
+    tombstoned shingle codes — those codes are the only locator for
+    Y's band partitions, some of which the X-upsert never touches.
+    The buggy compact-what-you-touch behavior left Y's stale band
+    rows permanently unreconstructable, so a later upsert(Y) could
+    not remove them and ``shed_tombstones`` resurrected Y's OLD
+    content. Pins the full interleaving: delete(Y) → upsert(X, same
+    pb bucket, Y band partitions untouched) → Y's codes still stored
+    → upsert(Y, new content) ≡ rebuild, and Y's old content no longer
+    matches anything."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_delete_index,
+        minhash_search_index,
+        minhash_upsert_index,
+        minhash_write_index,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(24)
+    )
+    live = str(tmp_path / "mh_keep")
+    minhash_write_index(docs, live)
+
+    # pick Y, X sharing a __pb shingle bucket (the ADVICE trigger)
+    pb_rows = (
+        spark.read.parquet(f"{live}/shingles")
+        .select("__id", "__pb")
+        .distinct()
+        .collect()
+    )
+    by_pb: dict = {}
+    for r in pb_rows:
+        by_pb.setdefault(r["__pb"], []).append(r["__id"])
+    shared = sorted(v for v in by_pb.values() if len(v) >= 2)
+    assert shared, "need two ids sharing a shingle bucket (tune limit/buckets)"
+    y_id, x_id = sorted(shared[0])[:2]
+
+    y_old_text = docs.filter(F.col("doc_id") == y_id).collect()[0]["text"]
+    y_buckets = {
+        r["__bhb"]
+        for r in spark.read.parquet(f"{live}/bands")
+        .filter(F.col("__id") == y_id)
+        .select("__bhb")
+        .distinct()
+        .collect()
+    }
+
+    minhash_delete_index(
+        spark.createDataFrame([(y_id,)], "doc_id long").select("doc_id"), live
+    )
+    x_new_text = "a completely rewritten body about volcanic geology " * 4
+    minhash_upsert_index(
+        spark.createDataFrame([(x_id, x_new_text)], "doc_id long, text string"),
+        live,
+    )
+
+    # precondition for the trap: some of Y's band partitions were NOT
+    # touched by the X upsert (X's old+new band rows land elsewhere)
+    x_buckets = {
+        r["__bhb"]
+        for r in spark.read.parquet(f"{live}/bands")
+        .filter(F.col("__id") == x_id)
+        .select("__bhb")
+        .distinct()
+        .collect()
+    }
+    assert y_buckets - x_buckets, "scenario needs an untouched Y band partition"
+
+    # the invariant the fix restores: Y's (tombstoned) shingle codes
+    # survive the X upsert, so Y's band partitions stay locatable
+    assert (
+        spark.read.parquet(f"{live}/shingles")
+        .filter(F.col("__id") == y_id)
+        .count()
+        > 0
+    )
+
+    # now upsert Y with new content — must remove Y's stale band rows
+    # everywhere and shed the tombstone without resurrecting old text
+    y_new_text = "fresh maritime navigation content entirely unlike before " * 4
+    minhash_upsert_index(
+        spark.createDataFrame([(y_id, y_new_text)], "doc_id long, text string"),
+        live,
+    )
+
+    updated = docs.filter(~F.col("doc_id").isin(int(x_id), int(y_id))).union(
+        spark.createDataFrame(
+            [(x_id, x_new_text), (y_id, y_new_text)], "doc_id long, text string"
+        )
+    )
+    rebuilt = str(tmp_path / "mh_keep_rebuilt")
+    minhash_write_index(updated, rebuilt)
+
+    probes = spark.createDataFrame(
+        [(700000, y_old_text), (700001, y_new_text), (700002, x_new_text)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, minhash_search_index(probes, live, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(tuple, minhash_search_index(probes, rebuilt, threshold=0.5).collect())
+    )
+    assert got == want
+    # Y's OLD content is dead: its stale band rows were reconstructable
+    # (codes kept) and physically removed by the Y upsert
+    old_hits = {
+        r["indexed_id"]
+        for r in minhash_search_index(
+            spark.createDataFrame(
+                [(700000, y_old_text)], "doc_id long, text string"
+            ),
+            live,
+            threshold=0.7,
+        ).collect()
+    }
+    assert y_id not in old_hits
+    new_hits = {
+        r["indexed_id"]
+        for r in minhash_search_index(
+            spark.createDataFrame(
+                [(700001, y_new_text)], "doc_id long, text string"
+            ),
+            live,
+            threshold=0.7,
+        ).collect()
+    }
+    assert y_id in new_hits
