@@ -199,6 +199,10 @@ EXTRA = [
     "asof_join_nearest",
     # round 11: embedding-space drift (the array<float> drift member)
     "drift_embedding",
+    # round 12: the staleness-bounded as-of on the PRODUCTION window
+    # path (one key Exchange; the cogroup twin above pins merge_asof
+    # semantics at ~25x the cost)
+    "asof_join_tolerance_window",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

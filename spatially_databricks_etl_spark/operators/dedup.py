@@ -751,10 +751,17 @@ def minhash_write_index(
     """
     import json
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate racing initial builds
     rows = num_hashes // bands
     src = ensure_parallelism(
         corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
@@ -826,6 +833,12 @@ def minhash_append_index(
     route (both pinned by test)."""
     import json
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    ver = begin_index_mutation(path)
     spark = new_docs.sparkSession
     meta = json.loads(
         spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
@@ -843,6 +856,7 @@ def minhash_append_index(
         .filter(F.size("__h") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    commit_index_mutation(path, ver)  # claim before the first visible write
     base.select(
         "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
     ).write.mode("append").partitionBy("__pb").parquet(f"{path}/shingles")
@@ -904,9 +918,20 @@ def minhash_upsert_index(
     import json
 
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        heal_partition_swap,
         shed_tombstones,
         swap_partitions,
     )
+
+    # a crashed earlier upsert leaves a half-swapped store (some live
+    # partitions stranded aside) — heal BEFORE any read, else the
+    # affected-partition reconstruction below would see missing
+    # partitions and compute a wrong rewrite
+    heal_partition_swap(f"{path}/bands")
+    heal_partition_swap(f"{path}/shingles")
+    ver = begin_index_mutation(path)
 
     spark = new_docs.sparkSession
     meta = json.loads(
@@ -989,6 +1014,7 @@ def minhash_upsert_index(
     )
     staged_b = f"{path}/bands.__upsert_staged"
     content_b.write.mode("overwrite").partitionBy("__bhb").parquet(staged_b)
+    commit_index_mutation(path, ver)  # claim before the first visible swap
     swap_partitions(staged_b, f"{path}/bands", "__bhb", bhbs)
 
     # ---- rewrite the affected shingle partitions likewise (same
@@ -1134,9 +1160,13 @@ def minhash_delete_index(
     test). Caller contract: ids are live in the index. Run
     :func:`minhash_compact_index` to physically drop the rows."""
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
         write_tombstones,
     )
 
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate vs concurrent mutators
     write_tombstones(
         deleted.select(F.col(id_col).alias("__id")), path, id_col="__id"
     )
@@ -1154,10 +1184,14 @@ def minhash_compact_index(spark, path: str) -> None:
 
     from spatially_databricks_etl_spark.operators.indexstore import (
         anti_tombstones,
+        begin_index_mutation,
         clear_tombstones,
+        commit_index_mutation,
         swap_directory,
     )
 
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate vs concurrent mutators
     for sub, pcol in (("bands", "__bhb"), ("shingles", "__pb")):
         live = anti_tombstones(
             spark.read.parquet(f"{path}/{sub}"), path, "__id"

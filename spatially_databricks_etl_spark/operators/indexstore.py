@@ -43,6 +43,18 @@ the rewritten artifact next to the live one, then rename — never
 overwrite a directory Spark is lazily reading. Local-FS rename here;
 on an object store, write a new version directory and flip a manifest
 pointer (same note as the appenders).
+
+Multi-writer arbitration (VERDICT r11 item 4): every mutation in the
+family — append, delete, upsert, compact, across BM25 / MinHash /
+LSH / IVF / IVF-PQ — runs under the optimistic
+:func:`begin_index_mutation` / :func:`commit_index_mutation` pair:
+snapshot the index's mutation version before reading any state, then
+atomically claim version+1 (``os.mkdir`` arbiter) immediately before
+the first visible write. Racing writers that entered at the same
+version produce exactly one winner; each loser raises
+:class:`ConcurrentIndexWriteError` having written NOTHING visible —
+the silent meta-rewrite interleave is gone. Race-interleaving pytests
+per family pin it (the ``sinks/versioned.py`` test is the template).
 """
 
 from __future__ import annotations
@@ -53,6 +65,108 @@ from pyspark.sql import functions as F
 #: Subdirectory (underscore-prefixed → invisible to partition
 #: discovery) holding tombstoned ids as parquet, one column ``id``.
 TOMBSTONE_DIR = "_tombstones"
+
+#: Mutation-version marks for the optimistic multi-writer arbiter
+#: (underscore-prefixed → invisible to partition discovery). One empty
+#: ``v=N`` directory per committed (or claimed) mutation.
+INDEX_VERSION_DIR = "_index_version"
+
+
+class ConcurrentIndexWriteError(RuntimeError):
+    """Raised when an index mutation (append / delete / upsert /
+    compact) detects that another writer claimed the index root
+    between this mutation's entry read and its commit point — the
+    loser fails loudly BEFORE its first visible write instead of
+    interleaving meta/manifest rewrites with the winner (the
+    ``sinks/versioned.py: ConcurrentWriteError`` discipline, ported
+    to the index family per VERDICT r11 item 4)."""
+
+
+def read_index_version(path: str) -> int:
+    """Current mutation version of an index root: the highest ``v=N``
+    mark under ``{path}/_index_version`` (0 for a fresh or
+    pre-versioning index — all legacy indexes read as version 0 and
+    acquire marks on their first instrumented mutation)."""
+    import os
+
+    d = os.path.join(path, INDEX_VERSION_DIR)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(d)
+        if n.startswith("v=") and n.split("=", 1)[1].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def reassert_index_version(path: str, version: int) -> None:
+    """Re-create the claimed version mark after a ROOT-overwriting
+    initial build: ``mode("overwrite")`` on the index root (the
+    LSH/IVF/IVF-PQ layout, where the root IS the parquet dataset)
+    replaces every sidecar including the marks directory, so the
+    builder re-asserts its claimed version once the data lands —
+    keeping the mutation counter monotonic across rebuilds (a writer
+    that entered before the rebuild still loses at its commit)."""
+    import os
+
+    os.makedirs(
+        os.path.join(path, INDEX_VERSION_DIR, f"v={int(version)}"), exist_ok=True
+    )
+
+
+def begin_index_mutation(path: str) -> int:
+    """Entry point of every index mutation: snapshot the mutation
+    version BEFORE reading any state the mutation will rewrite
+    (meta sidecars, df stats, manifests, partition contents). Pass
+    the returned version to :func:`commit_index_mutation` immediately
+    before the first visible write."""
+    return read_index_version(path)
+
+
+def commit_index_mutation(path: str, entry_version: int) -> int:
+    """The optimistic commit arbiter: atomically claim
+    ``entry_version + 1`` via ``os.mkdir`` (atomic on POSIX and on
+    the object-store translation — a conditional PUT). Exactly ONE of
+    any set of writers that entered at the same version wins; every
+    loser raises :class:`ConcurrentIndexWriteError` BEFORE having
+    written anything visible, re-reads, and retries against the
+    winner's state.
+
+    Residual window, stated honestly (same class as
+    ``sinks/versioned.py``): a writer that ENTERS while a winner is
+    mid-commit reads the claimed version and stages against data still
+    being swapped — a real table format's atomic log append is the
+    full fix (SCALE.md "Dependency gates"); the claim-before-write
+    discipline here guarantees losers never corrupt, which is the
+    silent-interleave hazard the family actually had. A crashed
+    claimant leaves a harmless stale mark (data untouched, next writer
+    enters at the claimed version). Marks are empty directories;
+    all but the newest 32 are pruned on each commit."""
+    import os
+    import shutil
+
+    d = os.path.join(path, INDEX_VERSION_DIR)
+    os.makedirs(d, exist_ok=True)
+    target = int(entry_version) + 1
+    try:
+        os.mkdir(os.path.join(d, f"v={target}"))
+    except FileExistsError:
+        raise ConcurrentIndexWriteError(
+            f"index mutation version moved past {entry_version} under "
+            f"{path} while this writer was staging; another writer "
+            "committed first — re-read the index state and retry"
+        ) from None
+    marks = sorted(
+        (
+            int(n.split("=", 1)[1])
+            for n in os.listdir(d)
+            if n.startswith("v=") and n.split("=", 1)[1].isdigit()
+        ),
+    )
+    for v in marks[:-32]:
+        shutil.rmtree(os.path.join(d, f"v={v}"), ignore_errors=True)
+    return target
 
 
 def swap_directory(staged: str, live: str) -> None:
@@ -126,6 +240,42 @@ def clear_tombstones(path: str) -> None:
     shutil.rmtree(f"{path}/{TOMBSTONE_DIR}", ignore_errors=True)
 
 
+def heal_partition_swap(live: str) -> bool:
+    """SELF-HEAL a crashed :func:`swap_partitions` (VERDICT r11 item
+    6): a crash between its rename loops leaves live partitions
+    stranded under ``{live}.__upsert_old`` — previously a
+    manual-recovery state. Restore every partition directory that was
+    moved aside but whose replacement never got installed (live path
+    missing), discard aside copies whose replacements DID land, then
+    clear the aside directory. Returns True when a leftover state was
+    found (and healed), False when there was nothing to do.
+
+    The healed store is the crashed upsert PARTIALLY applied: every
+    partition exists (old or new content) and every non-batch row is
+    intact in either version, so re-running the interrupted upsert —
+    which recomputes its affected-partition rewrite from the healed
+    live state — completes it exactly (pinned by test); any OTHER
+    subsequent upsert/compaction on the root is likewise correct.
+    Called automatically at the entry of :func:`swap_partitions` and
+    of every partition-scoped upsert before it READS the live store
+    (a half-swapped read would otherwise see missing partitions);
+    also public for explicit startup recovery."""
+    import os
+    import shutil
+
+    olddir = f"{live.rstrip('/')}.__upsert_old"
+    if not os.path.isdir(olddir):
+        return False
+    for name in os.listdir(olddir):
+        if "=" not in name:
+            continue
+        dst = os.path.join(live, name)
+        if not os.path.exists(dst):
+            os.rename(os.path.join(olddir, name), dst)
+    shutil.rmtree(olddir, ignore_errors=True)
+    return True
+
+
 def swap_partitions(staged: str, live: str, partition_col: str, affected: list) -> None:
     """Crash-safe install of a staged partitioned rewrite over the
     AFFECTED partition directories of a live index root: the live
@@ -133,12 +283,15 @@ def swap_partitions(staged: str, live: str, partition_col: str, affected: list) 
     are uninstalled), the staged ``{col}={v}`` directories move in,
     and the old copies are deleted LAST — the per-partition form of
     :func:`swap_directory`, shared by every partition-scoped upsert
-    (vector indexes, MinHash)."""
+    (vector indexes, MinHash). A leftover half-swapped state from a
+    crashed run is healed on entry (:func:`heal_partition_swap`),
+    matching ``swap_directory``'s clear-``.__old``-on-next-run
+    discipline."""
     import os
     import shutil
 
+    heal_partition_swap(live)
     olddir = f"{live.rstrip('/')}.__upsert_old"
-    shutil.rmtree(olddir, ignore_errors=True)
     os.makedirs(olddir)
     for v in affected:
         src = os.path.join(live, f"{partition_col}={v}")
@@ -192,10 +345,15 @@ def compact_partitioned_index(
     import os
     import shutil
 
+    ver = begin_index_mutation(path)
     live = anti_tombstones(spark.read.parquet(path), path, id_col)
     staged = f"{path.rstrip('/')}.__compact_staged"
     shutil.rmtree(staged, ignore_errors=True)
     live.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    # claim BEFORE the sidecar copy: the version marks are themselves a
+    # sidecar, and the staged copy must carry the freshly-claimed mark
+    # through the swap (else the root's version would regress)
+    commit_index_mutation(path, ver)
     for name in os.listdir(path):
         src = os.path.join(path, name)
         # meta sidecars only: underscore-prefixed dirs that are not the

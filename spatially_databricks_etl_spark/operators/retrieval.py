@@ -365,6 +365,13 @@ def bm25_write_index(
     """
     import json
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
     post = _postings(docs, id_col, text_col, "dl").withColumn(
         "gen", F.lit(0).cast("long")
     )
@@ -453,9 +460,12 @@ def bm25_append_index(
     import json
 
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
         swap_directory,
     )
 
+    ver = begin_index_mutation(path)
     spark = new_docs.sparkSession
     meta = json.loads(
         spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
@@ -477,6 +487,7 @@ def bm25_append_index(
     post = _postings(new_docs, id_col, text_col, "dl")
     if new_gen is not None:
         post = post.withColumn("gen", F.lit(new_gen).cast("long"))
+    commit_index_mutation(path, ver)  # claim before the first visible write
     (
         post.repartitionByRange("term")
         .sortWithinPartitions("term")
@@ -571,10 +582,13 @@ def bm25_delete_index(
     import json
 
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
         swap_directory,
         write_tombstones,
     )
 
+    ver = begin_index_mutation(path)
     spark = deleted.sparkSession
     dele = deleted.select(F.col(id_col).alias("doc_id")).distinct()
     meta = json.loads(
@@ -635,6 +649,7 @@ def bm25_delete_index(
     staged = f"{path}/df_staged"
     merged.write.mode("overwrite").parquet(staged)
     gone.unpersist()
+    commit_index_mutation(path, ver)  # claim before the first visible swap
     swap_directory(staged, f"{path}/df")
 
     n_docs = old_n - float(n_del)
@@ -676,10 +691,13 @@ def bm25_compact_index(spark, path: str) -> None:
     results are identical before and after (pinned by test) —
     compaction changes layout, never content."""
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
         clear_tombstones,
+        commit_index_mutation,
         swap_directory,
     )
 
+    ver = begin_index_mutation(path)
     post = _anti_tombstones_gen(
         spark.read.parquet(f"{path}/postings"), path, "doc_id"
     )
@@ -697,6 +715,7 @@ def bm25_compact_index(spark, path: str) -> None:
     if manifest_live is not None:
         mstaged = f"{path}/{MANIFEST_DIR}__staged"
         manifest_live.write.mode("overwrite").parquet(mstaged)
+    commit_index_mutation(path, ver)  # claim before the first visible swap
     swap_directory(staged, f"{path}/postings")
     if mstaged is not None:
         swap_directory(mstaged, f"{path}/{MANIFEST_DIR}")

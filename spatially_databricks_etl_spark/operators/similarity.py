@@ -247,11 +247,20 @@ def lsh_write_index(
     searches read only the probed bucket directories."""
     import json
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
+    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
     hp = _hyperplanes(dim, planes, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__bucket", lsh_bucket("embedding", hp))
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     corpus.sparkSession.createDataFrame(
         [(json.dumps({"planes": planes, "dim": dim, "seed": seed}),)],
         "lsh_params_json string",
@@ -276,12 +285,20 @@ def lsh_append_index(
     drift — only bucket-size SKEW can grow; monitor it and re-seed +
     rewrite if a mega-bucket forms (the same hazard note as
     :func:`lsh_bucketed_topk`)."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
     bucketed = _lsh_assigned(
         new_vecs.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ),
         path,
     )
+    commit_index_mutation(path, ver)  # claim before the visible append
     bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
 
 
@@ -549,11 +566,20 @@ def ivf_write_index(
     shuffled, and unprobed cells are never even listed."""
     import json
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
+    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
     cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids_json string"
@@ -584,12 +610,20 @@ def ivf_append_index(
     monitors over the ``__cell`` column) and retrain + rewrite via
     :func:`ivf_build` + :func:`ivf_write_index` when it matters,
     exactly as FAISS re-trains an IVF list structure."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
     assigned = _ivf_assigned(
         new_vecs.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ),
         path,
     )
+    commit_index_mutation(path, ver)  # claim before the visible append
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -853,6 +887,14 @@ def ivfpq_write_index(
 
     from spatially_databricks_etl_spark.operators.embeddings import pq_encode
 
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
+    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
     cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
     assigned = pq_encode(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
@@ -861,6 +903,7 @@ def ivfpq_write_index(
         out_col="pq_code",
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(json.dumps({"centroids": centroids, "codebooks": codebooks}),)],
@@ -884,12 +927,20 @@ def ivfpq_append_index(
     :func:`ivf_append_index` (stale codebooks additionally inflate ADC
     error for drifted batches; retrain + rewrite when cell-size or
     residual drift says so)."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
     assigned = _ivfpq_assigned(
         new_vecs.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         ),
         path,
     )
+    commit_index_mutation(path, ver)  # claim before the visible append
     assigned.write.mode("append").partitionBy("__cell").parquet(path)
 
 
@@ -1081,6 +1132,14 @@ def _vector_delete_index(deleted: DataFrame, path: str, id_col: str) -> None:
     results immediately, no stats merge needed (unlike
     ``bm25_delete_index``). Caller contract: ids are live in the
     index (present, not already tombstoned)."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        reassert_index_version,
+    )
+
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate vs concurrent mutators
     write_tombstones(
         deleted.select(F.col(id_col).alias("vec_id")), path, id_col="vec_id"
     )
@@ -1145,9 +1204,17 @@ def _vector_upsert_index(
     import shutil
 
     from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        heal_partition_swap,
         shed_tombstones,
         swap_partitions,
     )
+
+    # heal a crashed earlier upsert's half-swapped state BEFORE the
+    # old-partition scan below reads the live index
+    heal_partition_swap(path)
+    ver = begin_index_mutation(path)
 
     spark = new_vecs.sparkSession
     assigned = assigned_fn(
@@ -1175,6 +1242,7 @@ def _vector_upsert_index(
     shutil.rmtree(staged, ignore_errors=True)
     content.write.partitionBy(pcol).parquet(staged)
     assigned.unpersist()
+    commit_index_mutation(path, ver)  # claim before the first visible swap
     # crash-safe partition swap (live copies aside first, deleted last)
     swap_partitions(staged, path, pcol, affected)
 

@@ -2341,3 +2341,213 @@ def test_minhash_upsert_keeps_other_ids_tombstoned_codes(spark, tmp_path):
         ).collect()
     }
     assert y_id in new_hits
+
+
+def test_partition_swap_crash_self_heals_on_next_upsert(spark, tmp_path):
+    """VERDICT r11 item 6: a crash between swap_partitions' rename
+    loops used to strand live partitions under ``.__upsert_old`` until
+    a human intervened. Now the half-swapped state self-heals — the
+    next upsert restores the stranded partitions BEFORE reading the
+    store, and its result equals a rebuild on the updated corpus.
+    Also unit-pins heal_partition_swap: aside copies whose
+    replacements never landed are restored; those whose replacements
+    DID land are discarded."""
+    import os
+    import shutil
+
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_search_index,
+        minhash_upsert_index,
+        minhash_write_index,
+    )
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        heal_partition_swap,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(16)
+    )
+    live = str(tmp_path / "mh_heal")
+    minhash_write_index(docs, live)
+
+    # simulate the crash window: some live band partitions were moved
+    # aside, the replacements were never installed
+    bands = f"{live}/bands"
+    olddir = f"{bands}.__upsert_old"
+    os.makedirs(olddir)
+    moved = [n for n in os.listdir(bands) if n.startswith("__bhb=")][:3]
+    assert len(moved) == 3
+    for n in moved:
+        os.rename(os.path.join(bands, n), os.path.join(olddir, n))
+
+    # the next upsert heals before reading, then applies normally
+    t0 = docs.collect()[0]["text"]
+    new_text = "entirely new replacement body about tidal estuaries " * 3
+    batch = spark.createDataFrame(
+        [(docs.collect()[0]["doc_id"], new_text)], "doc_id long, text string"
+    )
+    minhash_upsert_index(batch, live)
+    assert not os.path.exists(olddir)
+
+    updated = docs.filter(F.col("doc_id") != batch.collect()[0]["doc_id"]).union(
+        batch
+    )
+    rebuilt = str(tmp_path / "mh_heal_rebuilt")
+    minhash_write_index(updated, rebuilt)
+    probes = spark.createDataFrame(
+        [(800000, t0), (800001, new_text)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, minhash_search_index(probes, live, threshold=0.5).collect())
+    )
+    want = sorted(
+        map(tuple, minhash_search_index(probes, rebuilt, threshold=0.5).collect())
+    )
+    assert got == want
+
+    # unit pin: restore-missing / discard-present
+    root = str(tmp_path / "heal_unit")
+    os.makedirs(f"{root}/p=1")
+    os.makedirs(f"{root}/p=2")
+    os.makedirs(f"{root}.__upsert_old/p=2")  # replacement landed -> discard
+    os.makedirs(f"{root}.__upsert_old/p=3")  # never installed -> restore
+    open(f"{root}.__upsert_old/p=3/part-0", "w").write("x")
+    assert heal_partition_swap(root) is True
+    assert sorted(os.listdir(root)) == ["p=1", "p=2", "p=3"]
+    assert os.path.exists(f"{root}/p=3/part-0")
+    assert not os.path.exists(f"{root}.__upsert_old")
+    assert heal_partition_swap(root) is False
+    shutil.rmtree(root)
+
+
+def test_index_family_concurrent_writer_detection(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 4: the persisted-index family gets the
+    ``sinks/versioned.py`` optimistic-concurrency shape — every
+    mutation snapshots the index's mutation version at entry and
+    atomically claims version+1 (os.mkdir arbiter) immediately before
+    its first visible write, so a writer that raced with (and lost
+    to) another mutator raises ConcurrentIndexWriteError having
+    changed NOTHING visible, instead of silently interleaving
+    meta/manifest rewrites. Simulated exactly like the versioned_write
+    race test: the loser's entry version read is made stale (as if
+    the winner committed right after it), and the loser's index must
+    be bit-identical to before. One loser scenario per family —
+    MinHash append, BM25 delete, IVF upsert — plus the primitive's
+    direct arbitration and the clean retry after re-reading."""
+    import pytest
+
+    import spatially_databricks_etl_spark.operators.indexstore as I
+
+    # ---- primitive: one winner per entry version ----
+    root = str(tmp_path / "prim")
+    import os
+
+    os.makedirs(root)
+    v0 = I.begin_index_mutation(root)
+    assert v0 == 0
+    assert I.commit_index_mutation(root, v0) == 1
+    with pytest.raises(I.ConcurrentIndexWriteError):
+        I.commit_index_mutation(root, v0)  # same-entry second writer
+    assert I.commit_index_mutation(root, I.begin_index_mutation(root)) == 2
+
+    def make_stale(mp):
+        real = I.begin_index_mutation
+
+        def stale(p):
+            return real(p) - 1  # as if a winner committed after our read
+
+        mp.setattr(I, "begin_index_mutation", stale)
+        return real
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(8)
+
+    # ---- MinHash: losing append leaves the index bit-identical ----
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_append_index,
+        minhash_search_index,
+        minhash_write_index,
+    )
+
+    mh = str(tmp_path / "mh_race")
+    minhash_write_index(docs, mh)
+    probe = spark.createDataFrame(
+        [(900000, docs.collect()[0]["text"])], "doc_id long, text string"
+    )
+    before = sorted(
+        map(tuple, minhash_search_index(probe, mh, threshold=0.5).collect())
+    )
+    batch = spark.createDataFrame(
+        [(500000, "brand new append body about glacier melt " * 3)],
+        "doc_id long, text string",
+    )
+    real = make_stale(monkeypatch)
+    with pytest.raises(I.ConcurrentIndexWriteError):
+        minhash_append_index(batch, mh)
+    monkeypatch.setattr(I, "begin_index_mutation", real)
+    after = sorted(
+        map(tuple, minhash_search_index(probe, mh, threshold=0.5).collect())
+    )
+    assert after == before
+    minhash_append_index(batch, mh)  # clean retry commits
+
+    # ---- BM25: losing delete leaves postings/df/meta/tombstones intact
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_delete_index,
+        bm25_search_index,
+        bm25_write_index,
+    )
+
+    bp = str(tmp_path / "bm_race")
+    bm25_write_index(docs, bp)
+    qs = spark.createDataFrame(
+        [(1, docs.collect()[0]["text"][:40])], "query_id int, query string"
+    )
+    before_b = sorted(
+        map(tuple, bm25_search_index(qs, bp, k=5, quantize=6).collect())
+    )
+    real = make_stale(monkeypatch)
+    with pytest.raises(I.ConcurrentIndexWriteError):
+        bm25_delete_index(
+            docs.limit(2).select("doc_id"), bp, id_col="doc_id"
+        )
+    monkeypatch.setattr(I, "begin_index_mutation", real)
+    after_b = sorted(
+        map(tuple, bm25_search_index(qs, bp, k=5, quantize=6).collect())
+    )
+    assert after_b == before_b
+
+    # ---- IVF: losing upsert leaves search results intact ----
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_search_index,
+        ivf_upsert_index,
+        ivf_write_index,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    cents = ivf_build(emb, n_centroids=4, kmeans_iters=1, seed=7)
+    iv = str(tmp_path / "ivf_race")
+    ivf_write_index(emb, iv, centroids=cents)
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    before_v = sorted(
+        map(tuple, ivf_search_index(q, iv, k=3, nprobe=4).collect())
+    )
+    up = emb.limit(1).select(
+        "vec_id", F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding")
+    )
+    real = make_stale(monkeypatch)
+    with pytest.raises(I.ConcurrentIndexWriteError):
+        ivf_upsert_index(up, iv)
+    monkeypatch.setattr(I, "begin_index_mutation", real)
+    after_v = sorted(
+        map(tuple, ivf_search_index(q, iv, k=3, nprobe=4).collect())
+    )
+    assert after_v == before_v
+    ivf_upsert_index(up, iv)  # clean retry commits

