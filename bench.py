@@ -203,6 +203,9 @@ EXTRA = [
     # path (one key Exchange; the cogroup twin above pins merge_asof
     # semantics at ~25x the cost)
     "asof_join_tolerance_window",
+    # round 12: label-propagation communities + embedding hygiene profile
+    "label_propagation",
+    "embedding_quality",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -7395,6 +7395,119 @@ r{i} AS (
 SQL_PAGERANK = _pagerank_oracle_sql(5)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by fixed-round SYNCHRONOUS label
+    propagation (3 rounds, min-label tie-break) over the
+    orders-derived deterministic graph (customer-bucket ↔ order-bucket
+    edges, symmetrized) — the community member completing the graph
+    family beside pagerank / triangles / reachability. The oracle
+    replays the SAME three synchronous rounds as unrolled SQL (mode +
+    smallest-label tie-break are order-free), making this a full
+    value check of an iterative distributed algorithm."""
+    from spatially_databricks_etl_spark.operators.curate import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 40).alias("src"),
+            (F.col("o_orderkey") % 40).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return label_propagation(e, iterations=3)
+
+
+def _label_propagation_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous label-propagation oracle (same shape as
+    the pagerank oracle: the fixed round count expands textually —
+    standard SQL cannot aggregate over a recursive term)."""
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+  FROM orders WHERE o_custkey % 40 <> o_orderkey % 40
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+c{i} AS (
+  SELECT e.src AS node, l.label AS label, count(*) AS c
+  FROM e JOIN l{i - 1} l ON l.node = e.dst GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{i}) t
+  WHERE rn = 1
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS community FROM l{iters}"
+    )
+
+
+SQL_LABEL_PROPAGATION = _label_propagation_oracle_sql(3)
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene profile over the embeddings fixture —
+    presence/ragged-dim/nonfinite/zero-vector counters plus the RMS
+    L2 norm from exact scaled-integer squared sums (see
+    ``operators/profile.py: embedding_quality``). The DuckDB oracle
+    replays the identical integer pipeline (floor-scale → square →
+    exact sums → one division + sqrt + e6 floor)."""
+    from spatially_databricks_etl_spark.operators.profile import embedding_quality
+
+    return embedding_quality(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUALITY = """
+WITH p0 AS (
+  SELECT embedding AS v,
+         embedding IS NULL AS is_null,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS sz,
+         CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+              THEN len(list_filter(embedding,
+                     x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+         END AS nonfin
+  FROM embeddings),
+p1 AS (
+  SELECT is_null,
+         (NOT is_null) AND sz = 0 AS is_empty,
+         coalesce(nonfin, FALSE) AS is_nonfin,
+         (NOT is_null) AND sz > 0 AND NOT coalesce(nonfin, FALSE) AS valid,
+         sz, v
+  FROM p0),
+p2 AS (
+  SELECT is_null, is_empty, is_nonfin,
+         CASE WHEN valid THEN sz END AS dim,
+         CASE WHEN valid THEN list_max(list_transform(v,
+           x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))) END AS maxabs,
+         CASE WHEN valid THEN list_sum(list_transform(v,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) END AS sq
+  FROM p1)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN is_null THEN 1 END), 0) AS BIGINT) AS n_null_vec,
+       CAST(coalesce(sum(CASE WHEN is_empty THEN 1 END), 0) AS BIGINT) AS n_empty_vec,
+       CAST(coalesce(sum(CASE WHEN is_nonfin THEN 1 END), 0) AS BIGINT) AS n_nonfinite_vec,
+       CAST(min(dim) AS BIGINT) AS dim_min,
+       CAST(max(dim) AS BIGINT) AS dim_max,
+       CAST(coalesce(sum(CASE WHEN maxabs = 0 THEN 1 END), 0) AS BIGINT) AS n_zero_vec,
+       CAST(floor(sqrt(CAST(sum(sq) AS DOUBLE)
+             / (CAST(count(sq) AS DOUBLE) * 1000000000000.0)) * 1000000.0 + 0.5)
+            AS BIGINT) AS norm_rms_e6
+FROM p2
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two deterministic snapshots of orders (old drops keys
     %10==0, new drops keys %13==0 and bumps price for %7==0) into an
@@ -7775,6 +7888,14 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join_tolerance": q_asof_join_tolerance,
     "variant_fns": q_variant_fns,
     "ann_pq_recall": q_ann_pq_recall,
+    # round-12 additions (at 51+ per the attest-then-rotate
+    # discipline; rotation queue in the comment above): synchronous
+    # label-propagation communities (the graph family's community
+    # member, fully value-oracled via unrolled SQL) and the
+    # embedding-column hygiene profile (exact-integer RMS norm +
+    # ragged-dim/nonfinite/zero-vector counters)
+    "label_propagation": q_label_propagation,
+    "embedding_quality": q_embedding_quality,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -7959,6 +8080,8 @@ ORACLES: dict[str, str] = {
     # the production window path faces the SAME oracle directly —
     # the oracle is path-agnostic (VERDICT r11 item 3)
     "asof_join_tolerance_window": SQL_ASOF_JOIN_TOLERANCE,
+    "label_propagation": SQL_LABEL_PROPAGATION,
+    "embedding_quality": SQL_EMBEDDING_QUALITY,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

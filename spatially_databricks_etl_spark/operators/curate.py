@@ -972,6 +972,83 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (the
+    deterministic variant of Raghavan/Albert/Kumara 2007): every node
+    starts labeled with its own id; each round simultaneously assigns
+    label(v) = the most frequent label among v's neighbors in the
+    PREVIOUS round's labeling, ties broken by the SMALLEST label.
+    Exactly ``iterations`` rounds, no convergence test — which is
+    what makes the result exactly replayable in unrolled SQL (the
+    asynchronous random-visit-order variant of the paper converges
+    faster but is irreproducible across engines by construction; a
+    fixed-round synchronous sweep is the standard determinization,
+    same trade as :func:`pagerank`'s fixed iterations). The edge list
+    is symmetrized and self-loop-stripped first; after
+    symmetrization every node has a neighbor, so no keep-own-label
+    branch is needed. Returns (node, community).
+
+    Scale shape (the :func:`pagerank` pattern): each round is ONE
+    equi-join of the symmetrized edges with the (node-count-sized)
+    label frame on the neighbor end plus one (node, label) hash
+    aggregate and a per-node top-1 window — the label frame is orders
+    of magnitude smaller than the edges and broadcasts when it fits;
+    ``localCheckpoint`` truncates lineage per round (reliable
+    ``checkpoint`` on a cluster). Hot-community skew lands in the
+    hash aggregate, where map-side partials absorb it. No reference
+    analog (`Spatially ETL test.py` has no graph surface); completes
+    the graph family (pagerank / triangles / connected components /
+    reachability) with its community member.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    sym = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    parts = max(
+        1,
+        min(
+            sym.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 200_000 + 1,
+        ),
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("__c").desc(), F.col("label"))
+    for _ in range(iterations):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "__n"), sym["dst"] == F.col("__n"))
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            neigh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .repartition(parts, "node")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_count(
     edges: DataFrame,
     *,

@@ -1152,6 +1152,102 @@ def _embedding_drift_stats(dims: DataFrame, counts: DataFrame, scale: int) -> Da
     )
 
 
+def embedding_quality(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    value_decimals: int = 6,
+) -> DataFrame:
+    """HYGIENE profile of an ``array<float>`` embedding column — the
+    pre-flight check an LLM pipeline runs before trusting a snapshot
+    to its ANN/dedup/drift machinery (a ragged dimension or a batch
+    of zero/NaN vectors silently poisons every cosine downstream).
+    One row out:
+
+    - ``n_rows`` / ``n_null_vec`` / ``n_empty_vec`` — presence;
+    - ``dim_min`` / ``dim_max`` — RAGGED-DIMENSION detection over
+      non-empty vectors (equal ⇒ rectangular, the invariant every
+      consumer assumes but none verifies);
+    - ``n_nonfinite_vec`` — vectors containing any NaN/±Inf
+      component (excluded from the norm statistics: a NaN would
+      otherwise swallow the aggregate);
+    - ``n_zero_vec`` — vectors whose every component rounds to 0 at
+      ``value_decimals`` (cosine-undefined rows);
+    - ``norm_rms_e6`` — root-mean-square L2 norm of the valid
+      vectors, from EXACT scaled-integer squared sums
+      (the ``weighted_quantiles``/``drift_embedding`` decimal
+      discipline): per-row Σc² is an exact int64 (bounded by
+      dims·max|c|²), the cross-row total an exact decimal(38,0), and
+      the single division + sqrt + e6 floor happen on exact operands
+      — engine-replayable to the last digit.
+
+    Scale shape: ONE pass, one 1-row aggregate — the per-row work
+    (transform/aggregate HOFs over the array) is codegen'd map-side;
+    nothing shuffles but the final partials. No reference analog
+    (`Spatially ETL test.py` has no array columns).
+    """
+    scale = 10**value_decimals
+    v = F.col(vec_col)
+    nonfinite = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (x.cast("double") == F.lit(float("inf")))
+        | (x.cast("double") == F.lit(float("-inf"))),
+    )
+    c = F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    sq = F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    maxabs = F.array_max(F.transform(c, lambda x: F.abs(x)))
+    is_valid = v.isNotNull() & (F.size(v) > 0) & ~nonfinite
+    per = df.select(
+        v.isNull().alias("__null"),
+        (v.isNotNull() & (F.size(v) == 0)).alias("__empty"),
+        (v.isNotNull() & (F.size(v) > 0) & nonfinite).alias("__nonfin"),
+        F.when(is_valid, F.size(v)).alias("__dim"),
+        F.when(is_valid & (maxabs == 0), True).alias("__zero"),
+        F.when(is_valid, sq).cast("decimal(38,0)").alias("__sq"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__null"), 1).otherwise(0)).alias("n_null_vec"),
+        F.sum(F.when(F.col("__empty"), 1).otherwise(0)).alias("n_empty_vec"),
+        F.sum(F.when(F.col("__nonfin"), 1).otherwise(0)).alias("n_nonfinite_vec"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+        F.sum(F.when(F.col("__zero"), 1).otherwise(0)).alias("n_zero_vec"),
+        F.count("__sq").alias("__n_valid"),
+        F.sum("__sq").cast("decimal(38,0)").alias("__sum_sq"),
+    )
+    rms = F.when(
+        F.col("__n_valid") > 0,
+        F.sqrt(
+            F.col("__sum_sq").cast("double")
+            / (
+                F.col("__n_valid").cast("double")
+                * F.lit(float(scale) * float(scale))
+            )
+        ),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null_vec").cast("long").alias("n_null_vec"),
+        F.col("n_empty_vec").cast("long").alias("n_empty_vec"),
+        F.col("n_nonfinite_vec").cast("long").alias("n_nonfinite_vec"),
+        F.col("dim_min").cast("long").alias("dim_min"),
+        F.col("dim_max").cast("long").alias("dim_max"),
+        F.col("n_zero_vec").cast("long").alias("n_zero_vec"),
+        F.floor(rms * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("norm_rms_e6"),
+    )
+
+
 def mutual_info(
     df: DataFrame,
     *,

@@ -769,3 +769,39 @@ def test_ts_anomaly_detrended_flags_spike_not_trend(spark):
     # ramp-onset transient, never the flat or steady regions
     detr_ctl = flagged(ts_anomaly(mk(False), **kw, detrend_window=6).collect())
     assert detr_ctl <= onset, sorted(detr_ctl - onset)
+
+
+def test_label_propagation_two_communities_and_synchrony(spark):
+    """label_propagation hand case: two triangles {0,1,2} and
+    {10,11,12} joined by one bridge edge 2–10 resolve to exactly two
+    communities after 3 synchronous rounds, and the round-1 labeling
+    matches the hand-computed SYNCHRONOUS update (every node reads
+    only the PREVIOUS round's labels) with the min-label tie-break —
+    the two properties that make the operator SQL-replayable."""
+    from spatially_databricks_etl_spark.operators.curate import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "src long, dst long",
+    )
+    got3 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got3 == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+
+    got1 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    # round 1 from self-labels: each node takes the smallest neighbor
+    # label (all neighbor labels distinct -> pure tie-break)
+    assert got1 == {0: 1, 1: 0, 2: 0, 10: 2, 11: 10, 12: 10}
+
+    # direction-insensitive: reversing every edge changes nothing
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    got3r = {
+        r["node"]: r["community"]
+        for r in label_propagation(rev, iterations=3).collect()
+    }
+    assert got3r == got3

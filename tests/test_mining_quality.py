@@ -900,3 +900,43 @@ def test_drift_embedding_headroom_breach_raises_loudly(spark):
         small, small.filter("embedding IS NULL")
     ).collect()[0]
     assert erow["centroid_cos_e6"] is None
+
+
+def test_embedding_quality_hand_counters_and_exact_rms(spark):
+    """embedding_quality closed-form hand case covering every counter:
+    null / empty / nonfinite / zero vectors, RAGGED dims (2 vs 3),
+    and the RMS norm replayed from the exact integer formula the
+    operator (and its DuckDB oracle) uses — floor-scale, square, sum,
+    one division + sqrt + e6 floor."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.profile import embedding_quality
+
+    rows = [
+        ([3.0, 4.0],),          # valid, dim 2, sq-norm 25e12
+        ([0.0, 0.0],),          # zero vector (valid, enters RMS)
+        (None,),                # null
+        ([],),                  # empty
+        ([float("nan"), 1.0],), # nonfinite
+        ([1.0, 2.0, 2.0],),     # valid, dim 3, sq-norm 9e12
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    r = embedding_quality(df).collect()[0]
+    assert (
+        r["n_rows"],
+        r["n_null_vec"],
+        r["n_empty_vec"],
+        r["n_nonfinite_vec"],
+        r["dim_min"],
+        r["dim_max"],
+        r["n_zero_vec"],
+    ) == (6, 1, 1, 1, 2, 3, 1)
+    want = math.floor(
+        math.sqrt(float(25e12 + 0 + 9e12) / (3.0 * 1e12)) * 1e6 + 0.5
+    )
+    assert r["norm_rms_e6"] == want
+
+    # all-invalid input: counters report, RMS is null (never an error)
+    bad = spark.createDataFrame([(None,), ([],)], "embedding array<float>")
+    rb = embedding_quality(bad).collect()[0]
+    assert rb["norm_rms_e6"] is None and rb["dim_min"] is None
