@@ -846,6 +846,45 @@ def embedding_drift_monitor_sink(
     return write
 
 
+def embedding_quality_monitor_sink(
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    value_decimals: int = 6,
+    fmt: str = "parquet",
+):
+    """``foreachBatch`` embedding-HYGIENE monitor — the streaming form
+    of :func:`operators.profile.embedding_quality`, the pre-flight
+    check's continuous twin: every micro-batch lands one
+    (n_rows, n_null_vec, n_empty_vec, n_nonfinite_vec, dim_min,
+    dim_max, n_zero_vec, norm_rms_e6) row, so a bad embedder deploy
+    (NaN burst, dimension change, zero-vector flood) pages on the
+    batch that shipped it instead of poisoning the ANN/dedup indexes
+    silently. Unlike the drift monitor there is NO reference state —
+    the profile is intrinsic to the batch — so the sink is exactly
+    the batch operator behind the idempotent
+    :func:`foreach_batch_writer` (sink row ≡
+    ``embedding_quality(batch)`` bitwise, pinned by test; replays
+    overwrite their own batch partition, never double-count).
+
+    Per-batch cost: the operator's one map-side pass + 1-row
+    aggregate — no state store, no shuffle beyond the final partials.
+    """
+    from spatially_databricks_etl_spark.operators.profile import embedding_quality
+
+    base = foreach_batch_writer(path, fmt)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        base(
+            embedding_quality(
+                batch_df, vec_col=vec_col, value_decimals=value_decimals
+            ),
+            batch_id,
+        )
+
+    return write
+
+
 def index_ingest_sink(path: str, append, *, empty_batches_log: bool = True):
     """``foreachBatch`` INGEST into a persisted index — the streaming
     write path for the whole index family: pass any of the family's

@@ -1657,6 +1657,61 @@ def test_index_ingest_sink_upsert_closes_crash_window(spark, tmp_path):
     assert m_live == m_full
 
 
+def test_embedding_quality_monitor_sink_matches_batch_operator(spark, tmp_path):
+    """The embedding-hygiene sink's per-micro-batch row must equal
+    embedding_quality(batch) EXACTLY (same operator behind the
+    idempotent writer — the equality is bitwise on all eight
+    columns), and a replayed batch leaves history unchanged."""
+    from spatially_databricks_etl_spark.operators.profile import embedding_quality
+    from spatially_databricks_etl_spark.streaming.stateful import (
+        embedding_quality_monitor_sink,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding")
+    src = str(tmp_path / "eqm_src")
+    sink = str(tmp_path / "eqm_sink")
+    emb.repartition(3).write.parquet(src)
+
+    seen: list[tuple[int, list]] = []
+    inner = embedding_quality_monitor_sink(sink)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    cols = [
+        "n_rows",
+        "n_null_vec",
+        "n_empty_vec",
+        "n_nonfinite_vec",
+        "dim_min",
+        "dim_max",
+        "n_zero_vec",
+        "norm_rms_e6",
+    ]
+    rows = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(rows) == len(seen) >= 2
+    for bid, batch_rows in seen:
+        batch_df = spark.createDataFrame(batch_rows, schema=emb.schema)
+        want = embedding_quality(batch_df).collect()[0]
+        got = rows[bid]
+        assert tuple(got[c] for c in cols) == tuple(want[c] for c in cols), bid
+
+    # replay: history unchanged
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=emb.schema), bid)
+    after = {r["__batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert {k: tuple(v) for k, v in after.items()} == {
+        k: tuple(v) for k, v in rows.items()
+    }
+
+
 def test_embedding_drift_monitor_sink_matches_batch_operator(spark, tmp_path):
     """The embedding-drift sink's per-micro-batch row must equal
     drift_embedding(reference, batch) EXACTLY — the sink pins the
