@@ -7727,8 +7727,10 @@ QUERIES: dict[str, QueryFn] = {
     # 10) token_diversity, 11) column_entropy, 12) benford_audit —
     # all judge-attested since round 9; each rotation displaces a
     # driver-attested same-family twin, which stays fully oracled at
-    # 51+. Round-12 additions land at 51+ first, per the standing
-    # attest-then-rotate discipline.
+    # 51+. Round-12 additions (label_propagation, embedding_quality,
+    # asof_join_tolerance_window's bench row) land at 51+ first, per
+    # the standing attest-then-rotate discipline, and join the queue
+    # at positions 13-14 once judge-attested.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
