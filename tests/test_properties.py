@@ -1033,3 +1033,124 @@ def test_drift_embedding_matches_python_reference(spark, refv, curv):
         assert row["centroid_cos_e6"] is None
     l2 = math.sqrt(float(num2)) / float(nr * nc) / 1e6
     assert row["mean_shift_l2_e6"] == math.floor(l2 * 1e6 + 0.5)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=14,
+    ),
+    iters=st.integers(1, 3),
+)
+@SETTINGS
+def test_label_propagation_matches_python_reference(spark, edges, iters):
+    """label_propagation against a from-scratch synchronous replay on
+    arbitrary small graphs: symmetrize + strip self-loops, then
+    ``iters`` rounds of label(v) = most frequent neighbor label from
+    the PREVIOUS round, ties to the smallest label — the exact
+    contract the unrolled-SQL oracle encodes."""
+    from collections import Counter
+
+    from spatially_databricks_etl_spark.operators.curate import label_propagation
+
+    sym = {(a, b) for a, b in edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    if not sym:
+        return  # all self-loops: operator has no nodes to label
+    df = spark.createDataFrame(sorted(sym), "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iterations=iters).collect()
+    }
+
+    nbrs: dict = {}
+    for a, b in sym:
+        nbrs.setdefault(a, []).append(b)
+    labels = {v: v for v in nbrs}
+    for _ in range(iters):
+        nxt = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(labels[u] for u in ns)
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    assert got == labels, (sorted(sym), iters)
+
+
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.floats(min_value=-10, max_value=10, allow_nan=False,
+                              allow_infinity=False, width=32),
+                    st.just(float("nan")),
+                    st.just(float("inf")),
+                ),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_embedding_quality_matches_python_reference(spark, vecs):
+    """embedding_quality against a from-scratch replay on arbitrary
+    float32 vectors including nulls, empties, NaN/Inf components and
+    ragged dimensions: every counter plus the exact-integer RMS norm
+    formula (floor-scale, square, exact sums, one division + sqrt +
+    e6 floor)."""
+    import math
+    import struct
+
+    from spatially_databricks_etl_spark.operators.profile import embedding_quality
+
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    r = embedding_quality(df).collect()[0]
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    n_null = sum(1 for v in vecs if v is None)
+    n_empty = sum(1 for v in vecs if v is not None and len(v) == 0)
+    nonfin = [
+        v
+        for v in vecs
+        if v is not None
+        and len(v) > 0
+        and any(math.isnan(x) or math.isinf(x) for x in v)
+    ]
+    valid = [
+        v
+        for v in vecs
+        if v is not None
+        and len(v) > 0
+        and not any(math.isnan(x) or math.isinf(x) for x in v)
+    ]
+    scaled = [
+        [math.floor(f32(x) * 1e6 + 0.5) for x in v] for v in valid
+    ]
+    assert (
+        r["n_rows"],
+        r["n_null_vec"],
+        r["n_empty_vec"],
+        r["n_nonfinite_vec"],
+    ) == (len(vecs), n_null, n_empty, len(nonfin))
+    if valid:
+        assert (r["dim_min"], r["dim_max"]) == (
+            min(len(v) for v in valid),
+            max(len(v) for v in valid),
+        )
+        assert r["n_zero_vec"] == sum(
+            1 for c in scaled if max(abs(x) for x in c) == 0
+        )
+        sum_sq = sum(x * x for c in scaled for x in c)
+        want = math.floor(
+            math.sqrt(float(sum_sq) / (float(len(valid)) * 1e12)) * 1e6 + 0.5
+        )
+        assert r["norm_rms_e6"] == want
+    else:
+        assert r["dim_min"] is None and r["norm_rms_e6"] is None
