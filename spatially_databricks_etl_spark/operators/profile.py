@@ -1176,10 +1176,15 @@ def embedding_quality(
     - ``norm_rms_e6`` — root-mean-square L2 norm of the valid
       vectors, from EXACT scaled-integer squared sums
       (the ``weighted_quantiles``/``drift_embedding`` decimal
-      discipline): per-row Σc² is an exact int64 (bounded by
-      dims·max|c|²), the cross-row total an exact decimal(38,0), and
-      the single division + sqrt + e6 floor happen on exact operands
-      — engine-replayable to the last digit.
+      discipline): per-row Σc² accumulates in decimal(38,0) — NOT
+      int64, whose silent non-ANSI wrap at ~9.2e18 (one component of
+      ~3e3 at value_decimals=6 squares past it) would corrupt the
+      statistic with no error; decimal holds ~1e38, i.e. ~1e12-scale
+      components, far past any real embedding — the cross-row total
+      is decimal(38,0) too, and the single division + sqrt + e6 floor
+      happen on exact operands — engine-replayable to the last digit
+      (DuckDB's BIGINT oracle raises loudly at the int64 line, which
+      the fixtures never approach).
 
     Scale shape: ONE pass, one 1-row aggregate — the per-row work
     (transform/aggregate HOFs over the array) is codegen'd map-side;
@@ -1201,7 +1206,12 @@ def embedding_quality(
         ).cast("long"),
     )
     sq = F.aggregate(
-        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        c,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc
+        + (x.cast("decimal(19,0)") * x.cast("decimal(19,0)")).cast(
+            "decimal(38,0)"
+        ),
     )
     maxabs = F.array_max(F.transform(c, lambda x: F.abs(x)))
     is_valid = v.isNotNull() & (F.size(v) > 0) & ~nonfinite

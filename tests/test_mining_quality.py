@@ -940,3 +940,11 @@ def test_embedding_quality_hand_counters_and_exact_rms(spark):
     bad = spark.createDataFrame([(None,), ([],)], "embedding array<float>")
     rb = embedding_quality(bad).collect()[0]
     assert rb["norm_rms_e6"] is None and rb["dim_min"] is None
+
+    # per-row squared sums accumulate in decimal(38,0), NOT int64: a
+    # component of 1e10 scales to c=1e16 whose square (1e32) silently
+    # WRAPS in non-ANSI long arithmetic — here it must stay exact:
+    # rms = sqrt(1e32 / 1e12) = 1e10, e6-floored to exactly 10^16
+    huge = spark.createDataFrame([([1.0e10],)], "embedding array<float>")
+    rh = embedding_quality(huge).collect()[0]
+    assert rh["norm_rms_e6"] == 10**16
