@@ -1061,6 +1061,15 @@ def minhash_search_index(
     join reads only the candidate ids' ``__pb`` directories of the
     shingle store. The indexed corpus is never re-shingled, never
     re-signed, and never scanned in full.
+
+    Read-vs-writer concurrency, stated honestly: a search overlapping
+    a live upsert's swap window — or running after a CRASHED upsert
+    before anything healed it — can observe moved-aside partitions
+    (missing rows). Mutations self-heal crash states at entry
+    (``indexstore.heal_partition_swap``, also public for explicit
+    startup recovery before serving searches); reader/writer
+    isolation beyond that needs a real table format's snapshot reads
+    (SCALE.md "Dependency gates").
     """
     import json
 

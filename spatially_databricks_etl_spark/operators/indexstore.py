@@ -100,6 +100,31 @@ def read_index_version(path: str) -> int:
     return max(vs, default=0)
 
 
+def retry_index_mutation(fn, *, retries: int = 3):
+    """Run an index mutation, retrying on
+    :class:`ConcurrentIndexWriteError` — the standard loser loop the
+    arbiter's contract prescribes ("re-read and retry"): because every
+    loser raises BEFORE its first visible write, simply re-invoking
+    the mutation re-reads the winner's committed state and stages
+    against it, so the retry is always semantically fresh (never a
+    blind replay of stale staging). Returns ``fn()``'s result; after
+    ``retries`` consecutive losses the final error propagates —
+    sustained contention should be visible, not absorbed.
+
+    Usage::
+
+        retry_index_mutation(lambda: bm25_append_index(batch, path))
+    """
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except ConcurrentIndexWriteError:
+            attempt += 1
+            if attempt > retries:
+                raise
+
+
 def reassert_index_version(path: str, version: int) -> None:
     """Re-create the claimed version mark after a ROOT-overwriting
     initial build: ``mode("overwrite")`` on the index root (the

@@ -2551,3 +2551,23 @@ def test_index_family_concurrent_writer_detection(spark, tmp_path, monkeypatch):
     )
     assert after_v == before_v
     ivf_upsert_index(up, iv)  # clean retry commits
+
+    # retry_index_mutation: losses are retried with FRESH state reads
+    # (the loser raised before any visible write, so re-invoking
+    # stages against the winner's committed state), and sustained
+    # contention propagates after the budget
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise I.ConcurrentIndexWriteError("lost")
+        return "committed"
+
+    assert I.retry_index_mutation(flaky, retries=3) == "committed"
+    assert calls["n"] == 3
+    with pytest.raises(I.ConcurrentIndexWriteError):
+        I.retry_index_mutation(
+            lambda: (_ for _ in ()).throw(I.ConcurrentIndexWriteError("x")),
+            retries=2,
+        )
