@@ -288,7 +288,6 @@ def lsh_append_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
@@ -613,7 +612,6 @@ def ivf_append_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
@@ -930,7 +928,6 @@ def ivfpq_append_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
@@ -1135,7 +1132,6 @@ def _vector_delete_index(deleted: DataFrame, path: str, id_col: str) -> None:
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
