@@ -1154,3 +1154,120 @@ def test_embedding_quality_matches_python_reference(spark, vecs):
         assert r["norm_rms_e6"] == want
     else:
         assert r["dim_min"] is None and r["norm_rms_e6"] is None
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert", "compact"]),
+            st.integers(0, 9),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """MODEL-BASED lifecycle test for the persisted MinHash index:
+    a random sequence of append / delete / upsert / compact mutations
+    is mirrored against a plain dict model of the live corpus
+    (honoring each operation's caller contract — append only ever
+    NEW ids, delete only live ids), and at the end the mutated
+    index's search results must equal a FRESH index built on the
+    model's corpus. This is the class of invariant that caught the
+    r11 tombstone-code-loss trap: any interleaving that strands or
+    resurrects stale rows diverges from the rebuild."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_append_index,
+        minhash_compact_index,
+        minhash_delete_index,
+        minhash_search_index,
+        minhash_upsert_index,
+        minhash_write_index,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the deadline",
+        "sphinx of black quartz judge my vow tonight under the stars",
+        "how vexingly quick daft zebras jump across the frozen river",
+        "bright vixens jump while the dozy fowl quack in the morning",
+        "crazy frederick bought many very exquisite opal jewels abroad",
+    ]
+    model = {i: texts[i % len(texts)] + f" doc {i}" for i in range(4)}
+    next_new = 100
+
+    base = tmp_path_factory.mktemp("mh_model")
+    live = str(base / "live")
+    minhash_write_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        live,
+    )
+
+    for kind, pick, tpick in ops:
+        if kind == "append":
+            nid = next_new
+            next_new += 1
+            model[nid] = texts[tpick] + f" appended {nid}"
+            minhash_append_index(
+                spark.createDataFrame(
+                    [(nid, model[nid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        elif kind == "delete":
+            if not model:
+                continue
+            did = sorted(model)[pick % len(model)]
+            del model[did]
+            minhash_delete_index(
+                spark.createDataFrame([(did,)], "doc_id long").select("doc_id"),
+                live,
+            )
+        elif kind == "upsert":
+            uid = (
+                sorted(model)[pick % len(model)]
+                if model and pick % 2 == 0
+                else 200 + pick
+            )
+            model[uid] = texts[tpick] + f" upserted {uid} {tpick}"
+            minhash_upsert_index(
+                spark.createDataFrame(
+                    [(uid, model[uid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        else:
+            minhash_compact_index(spark, live)
+
+    rebuilt = str(base / "rebuilt")
+    minhash_write_index(
+        spark.createDataFrame(
+            list(model.items()) or [(999999, "placeholder corpus row")],
+            "doc_id long, text string",
+        ),
+        rebuilt,
+    )
+    probes = spark.createDataFrame(
+        [(700 + i, t + f" doc {i}") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, minhash_search_index(probes, live, threshold=0.4).collect())
+    )
+    want = sorted(
+        map(tuple, minhash_search_index(probes, rebuilt, threshold=0.4).collect())
+    )
+    if not model:
+        # empty model: rebuilt used a placeholder; live must simply
+        # return no matches for ids outside the placeholder
+        got_ids = {g[1] for g in got}
+        assert not got_ids
+    else:
+        assert got == want, (ops, sorted(model))
