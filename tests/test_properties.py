@@ -1271,3 +1271,113 @@ def test_minhash_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
         assert not got_ids
     else:
         assert got == want, (ops, sorted(model))
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert", "compact"]),
+            st.integers(0, 9),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """MODEL-BASED lifecycle test for the persisted BM25 index — the
+    stats-carrying family member, where every mutation must keep
+    (n_docs, sum_dl, per-term df) EXACTLY equal to a rebuild's, and
+    replacement is by ingest GENERATION rather than physical row
+    removal: random append/delete/upsert/compact sequences mirrored
+    against a dict model, final search results (scores included, e6
+    quantized) must equal a fresh index built on the model corpus."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_compact_index,
+        bm25_delete_index,
+        bm25_search_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the deadline",
+        "sphinx of black quartz judge my vow tonight under the stars",
+        "how vexingly quick daft zebras jump across the frozen river",
+        "bright vixens jump while the dozy fowl quack in the morning",
+        "crazy frederick bought many very exquisite opal jewels abroad",
+    ]
+    model = {i: texts[i % len(texts)] + f" doc {i}" for i in range(4)}
+    next_new = 100
+
+    base = tmp_path_factory.mktemp("bm_model")
+    live = str(base / "live")
+    bm25_write_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        live,
+    )
+
+    for kind, pick, tpick in ops:
+        if kind == "append":
+            nid = next_new
+            next_new += 1
+            model[nid] = texts[tpick] + f" appended {nid}"
+            bm25_append_index(
+                spark.createDataFrame(
+                    [(nid, model[nid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        elif kind == "delete":
+            if not model:
+                continue
+            did = sorted(model)[pick % len(model)]
+            del model[did]
+            bm25_delete_index(
+                spark.createDataFrame([(did,)], "doc_id long").select("doc_id"),
+                live,
+            )
+        elif kind == "upsert":
+            uid = (
+                sorted(model)[pick % len(model)]
+                if model and pick % 2 == 0
+                else 200 + pick
+            )
+            model[uid] = texts[tpick] + f" upserted {uid} {tpick}"
+            bm25_upsert_index(
+                spark.createDataFrame(
+                    [(uid, model[uid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        else:
+            bm25_compact_index(spark, live)
+
+    if not model:
+        return  # bm25_write_index on an empty corpus is out of scope
+    rebuilt = str(base / "rebuilt")
+    bm25_write_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        rebuilt,
+    )
+    queries = spark.createDataFrame(
+        [(i, " ".join(t.split()[:5])) for i, t in enumerate(texts)],
+        "query_id int, query string",
+    )
+    got = sorted(
+        map(tuple, bm25_search_index(queries, live, k=10, quantize=6).collect())
+    )
+    want = sorted(
+        map(
+            tuple, bm25_search_index(queries, rebuilt, k=10, quantize=6).collect()
+        )
+    )
+    assert got == want, (ops, sorted(model))
