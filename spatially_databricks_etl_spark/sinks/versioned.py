@@ -130,6 +130,25 @@ def versioned_write(df: DataFrame, path: str) -> int:
     return v
 
 
+def retry_versioned_write(df: DataFrame, path: str, *, retries: int = 3) -> int:
+    """Publish with the standard optimistic-loser loop: re-invoke
+    :func:`versioned_write` on :class:`ConcurrentWriteError` — each
+    retry re-reads the winner's manifest and stages a fresh snapshot
+    (the loser's staging was already removed), so the retry is always
+    against current state. After ``retries`` consecutive losses the
+    error propagates: sustained contention should be visible, not
+    absorbed. The index-family twin is
+    ``operators.indexstore.retry_index_mutation``."""
+    attempt = 0
+    while True:
+        try:
+            return versioned_write(df, path)
+        except ConcurrentWriteError:
+            attempt += 1
+            if attempt > retries:
+                raise
+
+
 def versioned_read(
     spark: SparkSession, path: str, *, version: int | None = None
 ) -> DataFrame:

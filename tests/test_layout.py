@@ -406,3 +406,39 @@ def test_versioned_vacuum_never_eats_concurrent_commit(spark, tmp_path):
     os.makedirs(fresh)
     V.versioned_vacuum(spark, path, keep_last=1)
     assert os.path.isdir(fresh)
+
+
+def test_retry_versioned_write_loser_loop(spark, tmp_path, monkeypatch):
+    """retry_versioned_write re-invokes on ConcurrentWriteError with a
+    FRESH manifest read each time (the loser's staging was removed),
+    and propagates after the retry budget."""
+    import pytest
+
+    import spatially_databricks_etl_spark.sinks.versioned as V
+
+    path = str(tmp_path / "vt_retry")
+    df = spark.createDataFrame([(1, "a")], "k int, name string")
+    assert V.versioned_write(df, path) == 1
+
+    real = V._read_manifest
+    fails = {"n": 2}
+
+    def stale_sometimes(s_, p_):
+        m = real(s_, p_)
+        if fails["n"] > 0 and m is not None:
+            fails["n"] -= 1
+            return {"version": int(m["version"]) - 1, "versions": m["versions"]}
+        return m
+
+    # every ENTRY read is stale twice -> two losses, then a clean win
+    monkeypatch.setattr(V, "_read_manifest", stale_sometimes)
+    assert V.retry_versioned_write(df, path, retries=3) == 2
+    monkeypatch.setattr(V, "_read_manifest", real)
+    assert V.versioned_read(spark, path).count() == 1
+
+    def always_lose(df_, path_):
+        raise V.ConcurrentWriteError("contended")
+
+    monkeypatch.setattr(V, "versioned_write", always_lose)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.retry_versioned_write(df, path, retries=2)
