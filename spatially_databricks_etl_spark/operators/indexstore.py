@@ -66,10 +66,20 @@ from pyspark.sql import functions as F
 #: discovery) holding tombstoned ids as parquet, one column ``id``.
 TOMBSTONE_DIR = "_tombstones"
 
-#: Mutation-version marks for the optimistic multi-writer arbiter
-#: (underscore-prefixed → invisible to partition discovery). One empty
-#: ``v=N`` directory per committed (or claimed) mutation.
-INDEX_VERSION_DIR = "_index_version"
+#: Mutation-version marks for the optimistic multi-writer arbiter:
+#: one empty ``v=N`` directory per committed (or claimed) mutation,
+#: kept in a SIBLING directory (``{root}.__index_version``) rather
+#: than inside the index root — the LSH/IVF/IVF-PQ layouts overwrite
+#: their whole root on rebuild, and marks stored inside would vanish
+#: mid-build, opening a window where a racing writer's claim succeeds
+#: against an empty marks dir. A sibling survives every root
+#: overwrite/swap; the marks are transient arbiter state (copying an
+#: index directory without them just resets its version to 0).
+INDEX_VERSION_SUFFIX = ".__index_version"
+
+
+def _version_dir(path: str) -> str:
+    return f"{path.rstrip('/')}{INDEX_VERSION_SUFFIX}"
 
 
 class ConcurrentIndexWriteError(RuntimeError):
@@ -84,12 +94,12 @@ class ConcurrentIndexWriteError(RuntimeError):
 
 def read_index_version(path: str) -> int:
     """Current mutation version of an index root: the highest ``v=N``
-    mark under ``{path}/_index_version`` (0 for a fresh or
-    pre-versioning index — all legacy indexes read as version 0 and
-    acquire marks on their first instrumented mutation)."""
+    mark under the SIBLING ``{path}.__index_version`` (0 for a fresh
+    or pre-versioning index — all legacy indexes read as version 0
+    and acquire marks on their first instrumented mutation)."""
     import os
 
-    d = os.path.join(path, INDEX_VERSION_DIR)
+    d = _version_dir(path)
     if not os.path.isdir(d):
         return 0
     vs = [
@@ -125,21 +135,6 @@ def retry_index_mutation(fn, *, retries: int = 3):
                 raise
 
 
-def reassert_index_version(path: str, version: int) -> None:
-    """Re-create the claimed version mark after a ROOT-overwriting
-    initial build: ``mode("overwrite")`` on the index root (the
-    LSH/IVF/IVF-PQ layout, where the root IS the parquet dataset)
-    replaces every sidecar including the marks directory, so the
-    builder re-asserts its claimed version once the data lands —
-    keeping the mutation counter monotonic across rebuilds (a writer
-    that entered before the rebuild still loses at its commit)."""
-    import os
-
-    os.makedirs(
-        os.path.join(path, INDEX_VERSION_DIR, f"v={int(version)}"), exist_ok=True
-    )
-
-
 def begin_index_mutation(path: str) -> int:
     """Entry point of every index mutation: snapshot the mutation
     version BEFORE reading any state the mutation will rewrite
@@ -171,7 +166,7 @@ def commit_index_mutation(path: str, entry_version: int) -> int:
     import os
     import shutil
 
-    d = os.path.join(path, INDEX_VERSION_DIR)
+    d = _version_dir(path)
     os.makedirs(d, exist_ok=True)
     target = int(entry_version) + 1
     try:
@@ -375,10 +370,9 @@ def compact_partitioned_index(
     staged = f"{path.rstrip('/')}.__compact_staged"
     shutil.rmtree(staged, ignore_errors=True)
     live.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
-    # claim BEFORE the sidecar copy: the version marks are themselves a
-    # sidecar, and the staged copy must carry the freshly-claimed mark
-    # through the swap (else the root's version would regress)
-    commit_index_mutation(path, ver)
+    commit_index_mutation(path, ver)  # claim before the visible swap; the
+    # marks live in the sibling {root}.__index_version dir and survive
+    # the whole-root swap below untouched
     for name in os.listdir(path):
         src = os.path.join(path, name)
         # meta sidecars only: underscore-prefixed dirs that are not the

@@ -250,17 +250,17 @@ def lsh_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
-    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
+    commit_index_mutation(path, ver)  # arbitrate racing builds/mutators (marks
+    # live in the sibling {root}.__index_version dir — the root
+    # overwrite below cannot wipe them)
     hp = _hyperplanes(dim, planes, seed)
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__bucket", lsh_bucket("embedding", hp))
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     corpus.sparkSession.createDataFrame(
         [(json.dumps({"planes": planes, "dim": dim, "seed": seed}),)],
         "lsh_params_json string",
@@ -568,17 +568,17 @@ def ivf_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
-    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
+    commit_index_mutation(path, ver)  # arbitrate racing builds/mutators (marks
+    # live in the sibling {root}.__index_version dir — the root
+    # overwrite below cannot wipe them)
     cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids_json string"
@@ -888,11 +888,12 @@ def ivfpq_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
-        reassert_index_version,
     )
 
     ver = begin_index_mutation(path)
-    claimed = commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
+    commit_index_mutation(path, ver)  # arbitrate racing builds/mutators (marks
+    # live in the sibling {root}.__index_version dir — the root
+    # overwrite below cannot wipe them)
     cell_sims = _cell_sims(_scaled_centroid_lit(centroids))
     assigned = pq_encode(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
@@ -901,7 +902,6 @@ def ivfpq_write_index(
         out_col="pq_code",
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    reassert_index_version(path, claimed)  # the root overwrite wiped the marks
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(json.dumps({"centroids": centroids, "codebooks": codebooks}),)],
