@@ -1210,3 +1210,395 @@ def minhash_compact_index(spark, path: str) -> None:
         live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
         swap_directory(staged, f"{path}/{sub}")
     clear_tombstones(path)
+
+
+def _simhash_band_rows(
+    coded: DataFrame, *, chunks: int, hash_buckets: int
+) -> DataFrame:
+    """(__id, __sh, __chunk, __cv, __cb) band rows from a coded frame
+    (__id, __sh) — the shared banding of the persisted SimHash index:
+    the 64-bit fingerprint splits into ``chunks`` equal chunks; rows
+    partition on ``__cb = pmod(xxhash64(chunk, value), buckets)`` so a
+    search reads only its batch's chunk-hash directories. Pure in
+    (code, chunks, buckets): the same code always reproduces the same
+    band rows, which is what lets the upsert locate old band
+    partitions from the codes store alone."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("__sh"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    return (
+        coded.select("__id", "__sh", F.explode(chunk_structs).alias("__c"))
+        .select(
+            "__id",
+            "__sh",
+            F.col("__c.chunk").alias("__chunk"),
+            F.col("__c.cv").alias("__cv"),
+        )
+        .withColumn(
+            "__cb", F.pmod(F.xxhash64("__chunk", "__cv"), F.lit(hash_buckets))
+        )
+    )
+
+
+def simhash_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    seed: int = 42,
+    hash_buckets: int = 64,
+) -> None:
+    """Materialize the SimHash index for INCREMENTAL near-dup lookup —
+    the fingerprint-family member completing the persisted dedup-index
+    symmetry (MinHash got its index first; SimHash's pigeonhole
+    banding admits exactly the same build-once / probe-partitions
+    design). Layout (both stores partition-PRUNED):
+
+    - ``{path}/bands``: (__id, __sh, __chunk, __cv) rows partitioned
+      by ``__cb = pmod(xxhash64(chunk, value), hash_buckets)`` — a
+      search lists only its batch's chunk directories, joins on the
+      exact (chunk, value) pair (the bucket is a hash — collisions
+      prune to the same directory but fail the equality join), and
+      verifies ``bit_count(a XOR b) <= max_hamming`` directly on the
+      ``__sh`` the row carries: no second store read in the search
+      path;
+    - ``{path}/codes``: (__id, __sh) partitioned by
+      ``__pb = pmod(xxhash64(id), hash_buckets)`` — the UPSERT
+      locator: an id's old band partitions derive deterministically
+      from its stored code (``_simhash_band_rows`` is pure), so a
+      replacement touches only (old ∪ new) partitions, never the
+      corpus (the ``minhash_write_index`` two-store discipline);
+    - ``{path}/_simhash_meta``: (chunks, seed, hash_buckets) sidecar —
+      searches replay them so chunk keys stay bit-identical.
+
+    Pigeonhole guarantee (same as :func:`simhash_near_dedup`): any
+    pair within Hamming d < chunks shares at least one exact chunk,
+    so search with ``max_hamming < chunks`` is complete, not
+    approximate. Token-frequency-weighted 64-bit fingerprints via
+    :func:`simhash` (Charikar 2002). Lifecycle (append / tombstone
+    delete / compact / upsert / filtered search) rides
+    ``operators/indexstore.py`` — multi-writer arbitrated, crash
+    swaps self-heal."""
+    import json
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks ({chunks}) must divide 64 evenly")
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate racing builds/mutators
+    src = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    coded = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
+    coded.withColumn(
+        "__pb", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets))
+    ).write.mode("overwrite").partitionBy("__pb").parquet(f"{path}/codes")
+    # bands derive from the stored codes read back — one fingerprint
+    # pass over the corpus, not two
+    _simhash_band_rows(
+        corpus.sparkSession.read.parquet(f"{path}/codes"),
+        chunks=chunks,
+        hash_buckets=hash_buckets,
+    ).select("__id", "__sh", "__chunk", "__cv", "__cb").write.mode(
+        "overwrite"
+    ).partitionBy("__cb").parquet(f"{path}/bands")
+    corpus.sparkSession.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"chunks": chunks, "seed": seed, "hash_buckets": hash_buckets}
+                ),
+            )
+        ],
+        "simhash_params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_simhash_meta")
+
+
+def _simhash_meta(spark, path: str) -> dict:
+    import json
+
+    return json.loads(
+        spark.read.json(f"{path}/_simhash_meta").collect()[0]["simhash_params_json"]
+    )
+
+
+def simhash_append_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a NEW document batch to a persisted SimHash index: only
+    the batch is fingerprinted (the sidecar pins chunks/seed, and
+    fingerprints are per-document, so append ≡ rebuild exactly —
+    pinned by test); its rows land as additional files inside the
+    existing partition directories. Caller contract (the family's
+    appender contract): batch ids are NEW — route replacements
+    through :func:`simhash_upsert_index`."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    spark = new_docs.sparkSession
+    ver = begin_index_mutation(path)
+    meta = _simhash_meta(spark, path)
+    src = ensure_parallelism(
+        new_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    coded = src.select(
+        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    commit_index_mutation(path, ver)  # claim before the first visible write
+    coded.withColumn(
+        "__pb", F.pmod(F.xxhash64("__id"), F.lit(meta["hash_buckets"]))
+    ).write.mode("append").partitionBy("__pb").parquet(f"{path}/codes")
+    _simhash_band_rows(
+        coded, chunks=meta["chunks"], hash_buckets=meta["hash_buckets"]
+    ).write.mode("append").partitionBy("__cb").parquet(f"{path}/bands")
+    coded.unpersist()
+
+
+def simhash_search_index(
+    batch: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Find near-duplicates of a (small) ingest ``batch`` against a
+    persisted SimHash index: (batch_id, indexed_id, hamming) for every
+    indexed document within ``max_hamming`` bit flips — complete by
+    the pigeonhole guarantee (requires ``max_hamming < chunks``).
+
+    Plan shape: the batch fingerprints once; its chunk rows BROADCAST
+    into a join against the band store restricted by a STATIC ``__cb``
+    partition filter (≤ batch × chunks directories of
+    ``hash_buckets``), the join is on the exact (chunk, value) pair,
+    and the Hamming verify runs on the ``__sh`` columns both sides
+    already carry — the corpus is never re-fingerprinted and never
+    scanned in full; no second store touches the search path. Same
+    read-vs-writer honesty note as :func:`minhash_search_index`."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        apply_allowed_ids,
+    )
+
+    spark = batch.sparkSession
+    meta = _simhash_meta(spark, path)
+    if max_hamming >= meta["chunks"]:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({meta['chunks']}) "
+            "for the pigeonhole completeness guarantee"
+        )
+    src = batch.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    coded = src.select(
+        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
+    )
+    b_bands = _simhash_band_rows(
+        coded, chunks=meta["chunks"], hash_buckets=meta["hash_buckets"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cbs = sorted({r["__cb"] for r in b_bands.select("__cb").distinct().collect()})
+    idx = spark.read.parquet(f"{path}/bands").filter(F.col("__cb").isin(cbs))
+    idx = anti_tombstones(idx, path, "__id")
+    idx = apply_allowed_ids(idx, allowed_ids, "__id")
+    left = b_bands.select(
+        F.col("__id").alias("batch_id"),
+        F.col("__sh").alias("__sh_a"),
+        "__chunk",
+        "__cv",
+    )
+    right = idx.select(
+        F.col("__id").alias("indexed_id"),
+        F.col("__sh").alias("__sh_b"),
+        "__chunk",
+        "__cv",
+    )
+    cand = (
+        F.broadcast(left)
+        .join(right, on=["__chunk", "__cv"])
+        .select("batch_id", "indexed_id", "__sh_a", "__sh_b")
+        .dropDuplicates(["batch_id", "indexed_id"])
+    )
+    out = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "indexed_id", "hamming")
+    )
+    return register_persists(out, [b_bands])
+
+
+def simhash_delete_index(
+    deleted: DataFrame, path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone-delete documents from a persisted SimHash index —
+    pure tombstoning (fingerprints carry no corpus-global statistics):
+    ``delete(batch) ≡ rebuild(remaining)`` for search results
+    immediately (pinned by test). Run :func:`simhash_compact_index`
+    to physically drop the rows."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        write_tombstones,
+    )
+
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate vs concurrent mutators
+    write_tombstones(
+        deleted.select(F.col(id_col).alias("__id")), path, id_col="__id"
+    )
+
+
+def simhash_compact_index(spark, path: str) -> None:
+    """Major compaction of a persisted SimHash index: rewrite both
+    stores without tombstoned documents — an id's rows leave the codes
+    and bands stores TOGETHER here and only here (the same invariant
+    as :func:`minhash_compact_index`: a tombstoned id's stored code is
+    its band-partition locator until compaction removes both) — then
+    clear the tombstones. Results identical before/after (pinned by
+    test)."""
+    import shutil
+
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        anti_tombstones,
+        begin_index_mutation,
+        clear_tombstones,
+        commit_index_mutation,
+        swap_directory,
+    )
+
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)  # arbitrate vs concurrent mutators
+    for sub, pcol in (("bands", "__cb"), ("codes", "__pb")):
+        live = anti_tombstones(spark.read.parquet(f"{path}/{sub}"), path, "__id")
+        staged = f"{path}/{sub}_staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
+        swap_directory(staged, f"{path}/{sub}")
+    clear_tombstones(path)
+
+
+def simhash_upsert_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Upsert a document batch into a persisted SimHash index:
+    re-ingested ids REPLACE their old content physically (the
+    partition-scoped rewrite the layout makes cheap), new ids land,
+    previously-deleted batch ids shed their tombstones.
+    ``upsert(batch) ≡ rebuild(corpus − old versions ∪ batch)`` for
+    search results (pinned by test). Partition location is O(batch):
+    the codes store is keyed on id-hash, and an old band partition
+    derives deterministically from the stored code
+    (``_simhash_band_rows`` is pure). Tombstoned OTHER ids' rows in
+    touched partitions are deliberately KEPT — the same invariant as
+    :func:`minhash_upsert_index` (a tombstoned id's stored code is
+    the only locator for its band partitions; rows leave both stores
+    together only at compaction)."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+        heal_partition_swap,
+        shed_tombstones,
+        swap_partitions,
+    )
+
+    heal_partition_swap(f"{path}/bands")
+    heal_partition_swap(f"{path}/codes")
+    ver = begin_index_mutation(path)
+    spark = new_docs.sparkSession
+    meta = _simhash_meta(spark, path)
+    chunks, hash_buckets = meta["chunks"], meta["hash_buckets"]
+
+    src = ensure_parallelism(
+        new_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        "__id",
+    )
+    batch_ids = src.select("__id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    new_coded = src.select(
+        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_bands = _simhash_band_rows(
+        new_coded, chunks=chunks, hash_buckets=hash_buckets
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    pbs = sorted(
+        {
+            r["__pb"]
+            for r in batch_ids.select(
+                F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    old_codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("__pb").isin(pbs))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    old_mine = old_codes.join(F.broadcast(batch_ids), "__id").select("__id", "__sh")
+    old_cbs = {
+        r["__cb"]
+        for r in _simhash_band_rows(
+            old_mine, chunks=chunks, hash_buckets=hash_buckets
+        )
+        .select("__cb")
+        .distinct()
+        .collect()
+    }
+    new_cbs = {r["__cb"] for r in new_bands.select("__cb").distinct().collect()}
+    cbs = sorted(old_cbs | new_cbs)
+
+    keep_b = spark.read.parquet(f"{path}/bands").filter(
+        F.col("__cb").isin(cbs)
+    ).join(F.broadcast(batch_ids), "__id", "left_anti")
+    content_b = keep_b.select("__id", "__sh", "__chunk", "__cv", "__cb").unionByName(
+        new_bands.select("__id", "__sh", "__chunk", "__cv", "__cb")
+    )
+    staged_b = f"{path}/bands.__upsert_staged"
+    content_b.write.mode("overwrite").partitionBy("__cb").parquet(staged_b)
+    commit_index_mutation(path, ver)  # claim before the first visible swap
+    swap_partitions(staged_b, f"{path}/bands", "__cb", cbs)
+
+    keep_c = old_codes.join(F.broadcast(batch_ids), "__id", "left_anti")
+    content_c = keep_c.select("__id", "__sh", "__pb").unionByName(
+        new_coded.select(
+            "__id",
+            "__sh",
+            F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb"),
+        )
+    )
+    staged_c = f"{path}/codes.__upsert_staged"
+    content_c.write.mode("overwrite").partitionBy("__pb").parquet(staged_c)
+    swap_partitions(staged_c, f"{path}/codes", "__pb", pbs)
+
+    shed_tombstones(spark, path, batch_ids, id_col="__id")
+    for df in (batch_ids, new_coded, new_bands, old_codes):
+        df.unpersist()

@@ -2571,3 +2571,139 @@ def test_index_family_concurrent_writer_detection(spark, tmp_path, monkeypatch):
             lambda: (_ for _ in ()).throw(I.ConcurrentIndexWriteError("x")),
             retries=2,
         )
+
+
+def test_simhash_index_lifecycle_matches_rebuild_and_batch_operator(
+    spark, tmp_path
+):
+    """Persisted SimHash index — the fingerprint family member
+    completing the dedup-index symmetry. Pins: (a) searching the
+    corpus against its own index reproduces EXACTLY the batch
+    operator's pair set (simhash_near_dedup — same fingerprints, same
+    pigeonhole banding, plus the self-match each id has with itself);
+    (b) append ≡ rebuild; (c) delete ≡ rebuild(remaining) immediately
+    and after compaction; (d) upsert replaces content physically
+    (old content stops matching, new content matches, previously-
+    deleted re-ingests shed their tombstone); (e) filtered search
+    restricts candidates only."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        simhash_append_index,
+        simhash_compact_index,
+        simhash_delete_index,
+        simhash_near_dedup,
+        simhash_search_index,
+        simhash_upsert_index,
+        simhash_write_index,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the mossy riverbank at dusk"
+    )
+    docs = [
+        (0, base_text),
+        (1, base_text + " tonight"),            # near-dup of 0
+        (2, base_text.replace("quick", "slow")),  # near-dup of 0
+        (3, "completely different content about tax accounting rules"),
+        (4, "pack my box with five dozen liquor jugs before noon"),
+        (5, "pack my box with five dozen liquor jugs before midnight"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    live = str(tmp_path / "sh_idx")
+    simhash_write_index(corpus, live)
+
+    # (a) index search on the corpus itself == batch operator pairs
+    hits = simhash_search_index(corpus, live, max_hamming=3).collect()
+    self_ids = {r["batch_id"] for r in hits if r["batch_id"] == r["indexed_id"]}
+    assert self_ids == {d[0] for d in docs}  # every id matches itself at 0
+    got_pairs = {
+        (min(r["batch_id"], r["indexed_id"]), max(r["batch_id"], r["indexed_id"]))
+        for r in hits
+        if r["batch_id"] != r["indexed_id"]
+    }
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dedup(corpus, max_hamming=3).collect()
+    }
+    assert got_pairs == want_pairs and want_pairs  # non-trivial fixture
+
+    # (b) append ≡ rebuild
+    extra = spark.createDataFrame(
+        [(10, base_text + " again tonight")], "doc_id long, text string"
+    )
+    simhash_append_index(extra, live)
+    rebuilt = str(tmp_path / "sh_rebuilt")
+    simhash_write_index(corpus.union(extra), rebuilt)
+    probe = spark.createDataFrame([(900, base_text)], "doc_id long, text string")
+    got = sorted(
+        map(tuple, simhash_search_index(probe, live, max_hamming=3).collect())
+    )
+    want = sorted(
+        map(tuple, simhash_search_index(probe, rebuilt, max_hamming=3).collect())
+    )
+    assert got == want
+    assert {g[1] for g in got} >= {0, 1, 10}
+
+    # (e) filtered search: candidates restricted, nothing else changes
+    allowed = spark.createDataFrame([(0,), (10,)], "doc_id long")
+    filt = {
+        r["indexed_id"]
+        for r in simhash_search_index(
+            probe, live, max_hamming=3, allowed_ids=allowed
+        ).collect()
+    }
+    assert filt == {g[1] for g in got} & {0, 10}
+
+    # (c) delete ≡ rebuild(remaining), immediately and after compaction
+    simhash_delete_index(
+        spark.createDataFrame([(1,)], "doc_id long").select("doc_id"), live
+    )
+    got_d = {
+        r["indexed_id"]
+        for r in simhash_search_index(probe, live, max_hamming=3).collect()
+    }
+    assert 1 not in got_d and 0 in got_d
+    before_c = sorted(
+        map(tuple, simhash_search_index(probe, live, max_hamming=3).collect())
+    )
+    simhash_compact_index(spark, live)
+    after_c = sorted(
+        map(tuple, simhash_search_index(probe, live, max_hamming=3).collect())
+    )
+    assert after_c == before_c
+
+    # (d) upsert: replace 0's content, re-ingest deleted 1, add 20
+    simhash_delete_index(
+        spark.createDataFrame([(4,)], "doc_id long").select("doc_id"), live
+    )
+    new_text = "entirely fresh narrative about deep sea hydrothermal vents"
+    batch = spark.createDataFrame(
+        [(0, new_text), (4, docs[4][1]), (20, new_text)],
+        "doc_id long, text string",
+    )
+    simhash_upsert_index(batch, live)
+    model = {i: t for i, t in docs if i not in (0, 1, 4)}
+    model.update({10: base_text + " again tonight", 0: new_text,
+                  4: docs[4][1], 20: new_text})
+    rebuilt2 = str(tmp_path / "sh_rebuilt2")
+    simhash_write_index(
+        spark.createDataFrame(sorted(model.items()), "doc_id long, text string"),
+        rebuilt2,
+    )
+    probes = spark.createDataFrame(
+        [(901, base_text), (902, new_text), (903, docs[4][1])],
+        "doc_id long, text string",
+    )
+    got_u = sorted(
+        map(tuple, simhash_search_index(probes, live, max_hamming=3).collect())
+    )
+    want_u = sorted(
+        map(tuple, simhash_search_index(probes, rebuilt2, max_hamming=3).collect())
+    )
+    assert got_u == want_u
+    m_new = {r[1] for r in got_u if r[0] == 902}
+    assert {0, 20} <= m_new          # replacement + new id match new text
+    m_old = {r[1] for r in got_u if r[0] == 901}
+    assert 0 not in m_old            # old content is gone
+    m4 = {r[1] for r in got_u if r[0] == 903}
+    assert 4 in m4                   # deleted-then-upserted searchable again

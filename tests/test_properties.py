@@ -1477,3 +1477,112 @@ def test_ivf_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
         map(tuple, ivf_search_index(queries, rebuilt, k=5, nprobe=3).collect())
     )
     assert got == want, (ops, sorted(model))
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert", "compact"]),
+            st.integers(0, 9),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """MODEL-BASED lifecycle test for the persisted SimHash index —
+    the second two-store (codes-as-locator) family member, subject to
+    the same tombstone-code invariant the r11 MinHash trap taught:
+    random append/delete/upsert/compact sequences mirrored against a
+    dict model; final search results must equal a fresh build on the
+    model corpus."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        simhash_append_index,
+        simhash_compact_index,
+        simhash_delete_index,
+        simhash_search_index,
+        simhash_upsert_index,
+        simhash_write_index,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the deadline",
+        "sphinx of black quartz judge my vow tonight under the stars",
+        "how vexingly quick daft zebras jump across the frozen river",
+        "bright vixens jump while the dozy fowl quack in the morning",
+        "crazy frederick bought many very exquisite opal jewels abroad",
+    ]
+    model = {i: texts[i % len(texts)] + f" doc {i}" for i in range(4)}
+    next_new = 100
+
+    base = tmp_path_factory.mktemp("sh_model")
+    live = str(base / "live")
+    simhash_write_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        live,
+    )
+
+    for kind, pick, tpick in ops:
+        if kind == "append":
+            nid = next_new
+            next_new += 1
+            model[nid] = texts[tpick] + f" appended {nid}"
+            simhash_append_index(
+                spark.createDataFrame(
+                    [(nid, model[nid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        elif kind == "delete":
+            if not model:
+                continue
+            did = sorted(model)[pick % len(model)]
+            del model[did]
+            simhash_delete_index(
+                spark.createDataFrame([(did,)], "doc_id long").select("doc_id"),
+                live,
+            )
+        elif kind == "upsert":
+            uid = (
+                sorted(model)[pick % len(model)]
+                if model and pick % 2 == 0
+                else 200 + pick
+            )
+            model[uid] = texts[tpick] + f" upserted {uid} {tpick}"
+            simhash_upsert_index(
+                spark.createDataFrame(
+                    [(uid, model[uid])], "doc_id long, text string"
+                ),
+                live,
+            )
+        else:
+            simhash_compact_index(spark, live)
+
+    if not model:
+        return
+    rebuilt = str(base / "rebuilt")
+    simhash_write_index(
+        spark.createDataFrame(list(model.items()), "doc_id long, text string"),
+        rebuilt,
+    )
+    probes = spark.createDataFrame(
+        [(700 + i, t + f" doc {i}") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, simhash_search_index(probes, live, max_hamming=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple, simhash_search_index(probes, rebuilt, max_hamming=3).collect()
+        )
+    )
+    assert got == want, (ops, sorted(model))
