@@ -1343,6 +1343,81 @@ def test_seasonal_monitor_sink_matches_independent_recompute(spark, tmp_path):
     assert after == got
 
 
+def test_index_ingest_sink_streams_into_simhash_exactly_once(spark, tmp_path):
+    """Streaming ingest into the NEW persisted SimHash index through
+    index_ingest_sink: base build + micro-batch appends must search
+    exactly like one full build (append ≡ rebuild), a replayed batch
+    is SKIPPED via the ingest log, and the UPSERT route
+    (simhash_upsert_index — same (batch_df, path) signature) also
+    composes, converging to the same results even when re-delivered."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        simhash_append_index,
+        simhash_search_index,
+        simhash_upsert_index,
+        simhash_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 30")
+    )
+    base = docs.filter("doc_id < 15")
+    rest = docs.filter("doc_id >= 15")
+    probes = docs.filter("doc_id < 3").select(
+        (F.col("doc_id") + 900).alias("doc_id"), "text"
+    )
+
+    live = str(tmp_path / "sh_stream")
+    simhash_write_index(base, live)
+    src = str(tmp_path / "sh_src")
+    rest.repartition(3).write.parquet(src)
+    seen: list[tuple[int, list]] = []
+    inner = index_ingest_sink(live, simhash_append_index)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(rest.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(seen) >= 2
+
+    full = str(tmp_path / "sh_full")
+    simhash_write_index(docs, full)
+    got = sorted(
+        map(tuple, simhash_search_index(probes, live, max_hamming=3).collect())
+    )
+    want = sorted(
+        map(tuple, simhash_search_index(probes, full, max_hamming=3).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # replayed batch: log unchanged, results unchanged
+    log_before = spark.read.parquet(f"{live}/_ingest_log").count()
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=rest.schema), bid)
+    assert spark.read.parquet(f"{live}/_ingest_log").count() == log_before
+    after = sorted(
+        map(tuple, simhash_search_index(probes, live, max_hamming=3).collect())
+    )
+    assert after == want
+
+    # upsert route: crash-window re-delivery (log row missing) still
+    # converges — upsert replaces its own batch with identical content
+    up = index_ingest_sink(live, simhash_upsert_index)
+    up(spark.createDataFrame(batch_rows, schema=rest.schema), bid + 1000)
+    up(spark.createDataFrame(batch_rows, schema=rest.schema), bid + 1001)
+    again = sorted(
+        map(tuple, simhash_search_index(probes, live, max_hamming=3).collect())
+    )
+    assert again == want
+
+
 def test_index_ingest_sink_streams_into_ivf_exactly_once(spark, tmp_path):
     """Streaming ingest into a persisted IVF index: a base build plus
     micro-batch appends through index_ingest_sink must search exactly
