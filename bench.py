@@ -206,6 +206,16 @@ EXTRA = [
     # round 12: label-propagation communities + embedding hygiene profile
     "label_propagation",
     "embedding_quality",
+    # round 12: BPE tokenizer training + learned-vocabulary token
+    # frequencies (8 unrolled merge rounds, fully value-oracled)
+    "bpe_train",
+    "bpe_token_freq",
+    # round 12: MMR diversity re-rank (exact-integer greedy, all five
+    # picks value-oracled via unrolled SQL)
+    "mmr_rerank",
+    # round 12: the tokenizer APPLY side (per-doc token arrays under
+    # the trained merges; array values oracled)
+    "bpe_encode_docs",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

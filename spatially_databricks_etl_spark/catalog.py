@@ -7508,6 +7508,306 @@ FROM p2
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (8 merge rounds) over the documents
+    corpus — the tokenizer-training member of the LLM-pipeline family
+    (Sennrich et al. 2016, determinized: arg-max ties (count DESC,
+    left, right), leftmost-non-overlapping merge apply). The oracle
+    replays ALL eight rounds as unrolled SQL (the pagerank
+    discipline): pair counting, the arg-max selection, and the
+    gaps-and-islands greedy merge are each expressed identically in
+    DuckDB — full value verification of an iterative distributed
+    algorithm, merge table AND counts."""
+    from spatially_databricks_etl_spark.operators.curate import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), text_col="text", merges=8)
+
+
+def _bpe_oracle_ctes(merges: int) -> str:
+    """Shared unrolled-round CTE chain for the BPE oracles: one
+    corpus-scan word-frequency CTE, a character symbol table, then
+    per round pair-count → 1-row arg-max → gaps-and-islands greedy
+    merge (islands = maximal runs of consecutive matching positions;
+    merge the odd offsets; ``lag(head)`` drops consumed rows) —
+    textually identical semantics to ``operators/curate.py:
+    _bpe_apply_merge``."""
+    head = """
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY w
+),
+s0 AS (
+  SELECT word, freq, pos, substr(word, CAST(pos AS INT), 1) AS sym
+  FROM (SELECT word, freq, unnest(range(1, length(word)+1)) AS pos FROM words)
+)"""
+    steps = []
+    for r in range(1, merges + 1):
+        steps.append(
+            f""",
+x{r} AS (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{r - 1}
+),
+t{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM x{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+),
+g{r} AS (
+  SELECT x.word, x.freq, x.pos, x.sym, x.nxt,
+         coalesce(x.sym = t.a AND x.nxt = t.b, FALSE) AS m
+  FROM x{r} x CROSS JOIN t{r} t
+),
+i{r} AS (
+  SELECT word, freq, pos, sym, nxt, m,
+         CASE WHEN m THEN pos -
+           row_number() OVER (PARTITION BY word, m ORDER BY pos) END AS isl
+  FROM g{r}
+),
+h{r} AS (
+  SELECT word, freq, pos, sym, nxt,
+         (m AND (row_number() OVER (PARTITION BY word, isl ORDER BY pos)
+                 % 2 = 1)) AS head
+  FROM i{r}
+),
+y{r} AS (
+  SELECT word, freq, pos, sym, nxt, head,
+         lag(head) OVER (PARTITION BY word ORDER BY pos) AS prev_head
+  FROM h{r}
+),
+s{r} AS (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN head THEN sym || nxt ELSE sym END AS sym
+  FROM y{r} WHERE NOT coalesce(prev_head, FALSE)
+)"""
+        )
+    return head + "".join(steps)
+
+
+def _bpe_train_oracle_sql(merges: int) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM t{r}"
+        for r in range(1, merges + 1)
+    )
+    return _bpe_oracle_ctes(merges) + "\nSELECT * FROM (\n" + union + "\n)"
+
+
+SQL_BPE_TRAIN = _bpe_train_oracle_sql(8)
+
+
+def q_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus token frequencies under the freshly-trained
+    8-merge BPE vocabulary (ties broken by token — a deterministic
+    top-N boundary). Exercises the trainer's FINAL symbol table, so
+    the oracle checks the merged state after all rounds, not just
+    each round's arg-max."""
+    from spatially_databricks_etl_spark.operators.curate import bpe_token_freq
+
+    return bpe_token_freq(
+        _t(spark, sf_dir, "documents"), text_col="text", merges=8, top_n=20
+    )
+
+
+SQL_BPE_TOKEN_FREQ = (
+    _bpe_oracle_ctes(8)
+    + "\nSELECT sym AS token, CAST(sum(freq) AS BIGINT) AS freq FROM s8"
+    + " GROUP BY sym ORDER BY freq DESC, token LIMIT 20"
+)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=7/10, k=5) of each query's top-30
+    exact-dot-product candidates over the embeddings fixture — the
+    relevance/diversity stage that follows first-stage retrieval.
+    EXACT integer arithmetic end to end (floor(x·1000 + 0.5)
+    component quantization, integer dot products, rational λ), so the
+    inherently-sequential greedy selection is fully value-oracled:
+    the DuckDB oracle unrolls the five picks textually (the pagerank
+    discipline) and must reproduce rank, document AND score."""
+    from spatially_databricks_etl_spark.operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("__qv")
+    )
+    rel = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            F.zip_with("v", "__qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    from spatially_databricks_etl_spark.operators.relational import top_k_per_group
+
+    cand = top_k_per_group(
+        rel, ["query_id"], [F.col("rel").desc(), F.col("doc_id")], 30
+    ).select("query_id", "doc_id", "rel")
+    with_vec = cand.join(
+        base.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("vec")),
+        "doc_id",
+    )
+    return mmr_rerank(
+        with_vec, k=5, lambda_num=7, lambda_denom=10
+    ).select("query_id", "rank", "doc_id", "mmr_score")
+
+
+def _mmr_oracle_sql(
+    k: int, n_queries: int = 5, n_cand: int = 30, lam_num: int = 7, lam_den: int = 10
+) -> str:
+    """Unrolled-greedy MMR oracle: candidate generation (exact
+    integer dot products, top-N per query), the pairwise
+    candidate-similarity table, then each of the ``k`` picks expanded
+    textually — pick i re-ranks the unpicked candidates by
+    ``lam_num·rel − (lam_den−lam_num)·max-sim-to-picked`` with the
+    smallest-doc-id tie-break, exactly the semantics of
+    ``operators/retrieval.py: mmr_rerank``."""
+    comp = lam_den - lam_num
+    head = f"""
+WITH ev AS (
+  SELECT vec_id, dim,
+         CAST(floor(v[dim] * 1000 + 0.5) AS BIGINT) AS c
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+),
+rel AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         CAST(sum(q.c * d.c) AS BIGINT) AS rel
+  FROM ev q JOIN ev d ON q.dim = d.dim AND q.vec_id <> d.vec_id
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
+    FROM rel) t
+  WHERE rn <= {n_cand}
+),
+cv AS (
+  SELECT c.query_id, c.doc_id, ev.dim, ev.c
+  FROM cand c JOIN ev ON ev.vec_id = c.doc_id
+),
+sim AS (
+  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(a.c * b.c) AS BIGINT) AS s
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.dim = b.dim AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT query_id, doc_id, CAST({lam_num} AS BIGINT) * rel AS mmr_score,
+         CAST(1 AS BIGINT) AS rank
+  FROM (SELECT query_id, doc_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM cand) t
+  WHERE rn = 1
+),
+picked1 AS (SELECT query_id, doc_id FROM sel1)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(
+            f""",
+ms{i} AS (
+  SELECT s.query_id, s.d1 AS doc_id, max(s.s) AS maxsim
+  FROM sim s JOIN picked{i - 1} p
+    ON p.query_id = s.query_id AND p.doc_id = s.d2
+  GROUP BY 1, 2
+),
+sel{i} AS (
+  SELECT query_id, doc_id, score AS mmr_score, CAST({i} AS BIGINT) AS rank
+  FROM (
+    SELECT c.query_id, c.doc_id,
+           {lam_num} * c.rel - {comp} * m.maxsim AS score,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY ({lam_num} * c.rel - {comp} * m.maxsim)
+                                       DESC, c.doc_id) AS rn
+    FROM cand c
+    JOIN ms{i} m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+    LEFT JOIN picked{i - 1} p
+      ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+    WHERE p.doc_id IS NULL) t
+  WHERE rn = 1
+),
+picked{i} AS (SELECT query_id, doc_id FROM picked{i - 1}
+              UNION ALL SELECT query_id, doc_id FROM sel{i})"""
+        )
+    tail = (
+        "\nSELECT query_id, rank, doc_id,"
+        " CAST(mmr_score AS BIGINT) AS mmr_score FROM (\n"
+        + "\nUNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+        + "\n)"
+    )
+    return head + "".join(steps) + tail
+
+
+SQL_MMR_RERANK = _mmr_oracle_sql(5)
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of the tokenizer family: train the 8-merge BPE on
+    the FULL corpus, then encode the first 30 documents to their
+    token arrays — order-sensitive array values faced directly by the
+    oracle (the DuckDB replay re-derives the trained symbol table via
+    the same unrolled CTEs and re-assembles per-document tokens with
+    ordered list aggregation). The 8-row merge-table collect is
+    bounded metadata (the kmeans-centroid class), never O(corpus);
+    encoding itself runs on the distinct-word table and joins back
+    broadcast-style (`operators/curate.py: bpe_encode`)."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, merges=8).orderBy("round").collect()
+    ]
+    return bpe_encode(docs.filter(F.col("doc_id") < 30), rules).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "tokens"
+    )
+
+
+SQL_BPE_ENCODE_DOCS = (
+    _bpe_oracle_ctes(8)
+    + """
+, wt AS (
+  SELECT word, array_agg(sym ORDER BY pos) AS wtoks FROM s8 GROUP BY word
+),
+dw AS (
+  SELECT doc_id, wp, w AS word
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'),
+                                   1) AS wp
+        FROM documents)
+)
+SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       flatten(array_agg(wt.wtoks ORDER BY dw.wp)) AS tokens
+FROM dw JOIN wt ON wt.word = dw.word
+WHERE dw.doc_id < 30
+GROUP BY dw.doc_id
+"""
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two deterministic snapshots of orders (old drops keys
     %10==0, new drops keys %13==0 and bumps price for %7==0) into an
@@ -7728,9 +8028,10 @@ QUERIES: dict[str, QueryFn] = {
     # all judge-attested since round 9; each rotation displaces a
     # driver-attested same-family twin, which stays fully oracled at
     # 51+. Round-12 additions (label_propagation, embedding_quality,
-    # asof_join_tolerance_window's bench row) land at 51+ first, per
-    # the standing attest-then-rotate discipline, and join the queue
-    # at positions 13-14 once judge-attested.
+    # asof_join_tolerance_window's bench row, and the late bpe_train /
+    # bpe_token_freq / mmr_rerank trio) land at 51+ first, per the
+    # standing attest-then-rotate discipline, and join the queue at
+    # positions 13-17 once judge-attested.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -7898,6 +8199,18 @@ QUERIES: dict[str, QueryFn] = {
     # ragged-dim/nonfinite/zero-vector counters)
     "label_propagation": q_label_propagation,
     "embedding_quality": q_embedding_quality,
+    # round-12 late additions (same discipline): BPE tokenizer
+    # training + the learned-vocabulary token frequencies — both
+    # fully value-oracled via 8-round unrolled SQL
+    "bpe_train": q_bpe_train,
+    "bpe_token_freq": q_bpe_token_freq,
+    # round-12 late addition: MMR diversity re-rank — the greedy
+    # selection runs on exact integers, so all five picks are
+    # value-oracled via unrolled SQL
+    "mmr_rerank": q_mmr_rerank,
+    # round-12 late addition: the tokenizer APPLY side — per-document
+    # token arrays under the trained merges, array values oracled
+    "bpe_encode_docs": q_bpe_encode_docs,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8084,6 +8397,10 @@ ORACLES: dict[str, str] = {
     "asof_join_tolerance_window": SQL_ASOF_JOIN_TOLERANCE,
     "label_propagation": SQL_LABEL_PROPAGATION,
     "embedding_quality": SQL_EMBEDDING_QUALITY,
+    "bpe_train": SQL_BPE_TRAIN,
+    "bpe_token_freq": SQL_BPE_TOKEN_FREQ,
+    "mmr_rerank": SQL_MMR_RERANK,
+    "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

@@ -1317,3 +1317,314 @@ def token_diversity(
         "n_distinct_tokens",
         F.floor(ttr * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("ttr_e6"),
     )
+
+
+def _bpe_words(
+    docs: DataFrame, *, text_col: str, pattern: str, lowercase: bool
+) -> DataFrame:
+    """Word-frequency table for BPE: regex pre-tokenize (the classic
+    word-boundary pre-tokenization every public BPE implementation
+    applies before pair merging — Sennrich et al. 2016 §3) and ONE
+    corpus-wide hash aggregate. This is the scale pivot: everything
+    after operates on the VOCABULARY (Heaps'-law sublinear in corpus
+    size), never the corpus again."""
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(txt, F.lit(pattern), F.lit(0))).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _bpe_apply_merge(
+    syms: DataFrame, pair: DataFrame, *, carry: list[str]
+) -> DataFrame:
+    """Apply ONE merge rule to a (word-partitioned) symbol table with
+    leftmost-non-overlapping greedy semantics, expressed relationally
+    so the exact same logic is replayable as oracle SQL:
+
+    - match flag ``m`` marks positions where (sym, next-sym) equals
+      the rule,
+    - consecutive matching positions always overlap (they share the
+      middle symbol), so maximal runs of matches form islands
+      (gaps-and-islands: ``pos - row_number()`` among matches), and
+      greedy-from-the-left merges exactly the ODD offsets within each
+      island,
+    - a merge head emits ``left || right`` and consumes the following
+      row (``lag(head)``); survivors re-densify positions.
+
+    ``pair`` is a ONE-row frame (left ``__a``, right ``__b``) ridden
+    in via broadcast — no driver round-trip. All four windows
+    partition by ``word``: one Exchange per round, reused."""
+    wpos = Window.partitionBy("word").orderBy("pos")
+    g = (
+        syms.withColumn("nxt", F.lead("sym").over(wpos))
+        .crossJoin(F.broadcast(pair.select("__a", "__b")))
+        .withColumn(
+            "m",
+            F.coalesce(
+                (F.col("sym") == F.col("__a")) & (F.col("nxt") == F.col("__b")),
+                F.lit(False),
+            ),
+        )
+    )
+    g = g.withColumn(
+        "isl",
+        F.when(
+            F.col("m"),
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word", "m").orderBy("pos")),
+        ),
+    )
+    g = g.withColumn(
+        "head",
+        F.col("m")
+        & (
+            F.row_number().over(Window.partitionBy("word", "isl").orderBy("pos")) % 2
+            == 1
+        ),
+    ).withColumn("prev_head", F.lag("head").over(wpos))
+    return (
+        g.filter(~F.coalesce(F.col("prev_head"), F.lit(False)))
+        .select(
+            *carry,
+            F.row_number().over(wpos).alias("__newpos"),
+            F.when(F.col("head"), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+            .alias("__newsym"),
+        )
+        .select(
+            *carry,
+            F.col("__newpos").alias("pos"),
+            F.col("__newsym").alias("sym"),
+        )
+    )
+
+
+def _bpe_rounds(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    merges: int,
+    pattern: str,
+    lowercase: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE trainer: returns (merge table, final symbol table).
+
+    Distributed-BPE shape (no reference analog — `Spatially ETL
+    test.py` has no tokenizer surface; the algorithm is Sennrich et
+    al. 2016, determinized): ONE corpus scan builds the word-frequency
+    table; every subsequent round touches only vocabulary-sized
+    frames. Per round: one ``lead`` window (word-partitioned) + one
+    (sym, next) hash aggregate with frequency weights for the pair
+    counts, a 1-row sort-limit for the arg-max pair (ties broken
+    (count DESC, left, right) — fully deterministic, which is what
+    makes the whole training run value-oracle-able as unrolled SQL),
+    and the gaps-and-islands merge apply. ``localCheckpoint``
+    truncates lineage per round (the :func:`pagerank` /
+    :func:`label_propagation` discipline); the 1-row arg-max frame is
+    checkpointed so its two consumers (merge table, merge apply)
+    don't recompute the aggregate."""
+    if merges < 1:
+        raise ValueError(f"merges must be >= 1, got {merges}")
+    words = _bpe_words(docs, text_col=text_col, pattern=pattern, lowercase=lowercase)
+    syms = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(word, CAST(pos AS INT), 1)"))
+        .repartition("word")
+        .localCheckpoint(eager=True)
+    )
+    # size the per-round shuffles to the SYMBOL table (vocabulary-
+    # scale — tiny next to the corpus), not the session default: the
+    # count runs on the checkpointed frame, so it never re-touches
+    # the corpus (the label_propagation discipline)
+    n_syms = syms.count()
+    parts = max(
+        1,
+        min(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            n_syms // 200_000 + 1,
+        ),
+    )
+    syms = syms.repartition(parts, "word").localCheckpoint(eager=True)
+    wpos = Window.partitionBy("word").orderBy("pos")
+    merge_frames: list[DataFrame] = []
+    for rnd in range(1, merges + 1):
+        counts = (
+            syms.withColumn("nxt", F.lead("sym").over(wpos))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # eagerly checkpointed: the 1-row arg-max has two consumers
+        # (merge table, merge apply) — leaving it lazy re-runs the
+        # count aggregate inside every consumer's job and measured
+        # ~1.6x SLOWER locally than paying the one extra barrier
+        top = (
+            counts.orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.col("sym").alias("__a"),
+                F.col("nxt").alias("__b"),
+                F.col("cnt").cast("long").alias("__cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_frames.append(
+            top.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("__a").alias("left_sym"),
+                F.col("__b").alias("right_sym"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        syms = (
+            _bpe_apply_merge(syms, top, carry=["word", "freq"])
+            .repartition(parts, "word")
+            .localCheckpoint(eager=True)
+        )
+    merges_df = merge_frames[0]
+    for f in merge_frames[1:]:
+        merges_df = merges_df.unionByName(f)
+    return merges_df, syms
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    merges: int = 8,
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table over a document corpus
+    (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+    Rare Words with Subword Units") — the tokenizer-training member
+    of the LLM-data-pipeline family. Returns one row per merge round:
+    (round, left_sym, right_sym, pair_count), where pair_count is the
+    frequency-weighted corpus count that made the pair the arg-max.
+
+    Deterministic end-to-end (arg-max ties broken (count DESC, left,
+    right); merge application is leftmost-non-overlapping greedy), so
+    a fixed round count is exactly replayable in unrolled SQL — full
+    value verification of an iterative distributed algorithm, like
+    :func:`pagerank`.
+
+    100 TB story: the corpus is touched ONCE (regex pre-tokenize +
+    word-frequency hash aggregate, map-side partials absorbing hot
+    words); all training rounds run on the vocabulary, which grows
+    sublinearly with corpus size (Heaps' law) and is re-partitioned
+    by word exactly once per round — every window in a round reuses
+    that one Exchange. The arg-max is a 1-row sort-limit, and the
+    winning pair rides a broadcast into the merge apply: no driver
+    round-trip, no O(corpus) step after the first scan."""
+    return _bpe_rounds(
+        docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
+    )[0]
+
+
+def bpe_token_freq(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    merges: int = 8,
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+    top_n: int = 0,
+) -> DataFrame:
+    """Corpus token frequencies under a freshly-trained BPE merge
+    table: (token, freq), frequency-weighted by word counts — the
+    "what does the learned vocabulary actually look like" audit that
+    follows tokenizer training. ``top_n`` keeps the most frequent
+    tokens (ties broken by token — deterministic boundary). Shares
+    one trainer pass with :func:`bpe_train`; the final symbol table
+    is vocabulary-sized, so the closing aggregate is trivial."""
+    _, syms = _bpe_rounds(
+        docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
+    )
+    out = (
+        syms.groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .select(F.col("sym").alias("token"), "freq")
+    )
+    if top_n > 0:
+        out = out.orderBy(F.col("freq").desc(), "token").limit(top_n)
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merge_rules: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode documents with an already-trained BPE merge list
+    (applied in training order): returns (id_col, tokens
+    array<string>). The apply side of :func:`bpe_train`.
+
+    Scale shape: merges are applied to the DISTINCT-word table (the
+    same vocabulary-sized frame training used), then joined back to
+    the documents' word sequence — the join's build side is the
+    vocabulary, broadcastable at any corpus size; per-document token
+    arrays re-assemble with one ``collect_list`` + sort-by-position
+    flatten. The corpus is scanned once and shuffled once (by doc id
+    for the re-assembly)."""
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    doc_words = docs.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(F.regexp_extract_all(txt, F.lit(pattern), F.lit(0))).alias(
+            "__wp", "word"
+        ),
+    )
+    vocab = doc_words.select("word").distinct()
+    syms = (
+        vocab.select(
+            "word",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(word, CAST(pos AS INT), 1)"))
+        .repartition("word")
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    for left, right in merge_rules:
+        pair = spark.createDataFrame([(left, right)], "__a string, __b string")
+        syms = (
+            _bpe_apply_merge(syms, pair, carry=["word"])
+            .repartition("word")
+            .localCheckpoint(eager=True)
+        )
+    word_toks = syms.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+            lambda s: s["sym"],
+        ).alias("__wtoks")
+    )
+    return (
+        doc_words.join(F.broadcast(word_toks), "word")
+        .groupBy("__did")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__wp", "__wtoks"))),
+                    lambda s: s["__wtoks"],
+                )
+            ).alias("tokens")
+        )
+        .select(F.col("__did").alias(id_col), "tokens")
+    )

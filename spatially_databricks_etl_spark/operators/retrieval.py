@@ -1086,3 +1086,100 @@ def retrieval_metrics(
         e6("__mrr").alias("mrr_e6"),
         e6("__ndcg").alias("ndcg_e6"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    k: int = 5,
+    lambda_num: int = 7,
+    lambda_denom: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    of a per-query candidate list: greedily pick ``k`` documents, each
+    maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-picked``
+    — the relevance/diversity trade-off stage that follows first-stage
+    retrieval (BM25 / ANN / hybrid fusion).
+
+    EXACT integer semantics so the greedy run is value-replayable in
+    SQL: ``rel_col`` and the ``vec_col`` components must be integers
+    (quantize floats with the repo's floor(x·scale + 0.5) idiom
+    first); similarity is the integer dot product; the selection
+    score is ``lambda_num·rel − (lambda_denom−lambda_num)·maxsim``
+    (λ as a rational — no float comparisons anywhere), maxsim over
+    the picked set (0 for the first pick), ties broken by smallest
+    id. Caller keeps |score| inside int64 (quantized unit-norm
+    vectors at e3 scale leave ~6 orders of headroom).
+
+    Returns (query_col, rank, id_col, mmr_score).
+
+    Scale shape: greedy selection is inherently sequential IN k, so
+    it runs per query group via Arrow-batched ``applyInPandas`` — the
+    one-group-per-query partitioning distributes over queries, and
+    each group is a bounded first-stage candidate list (top-N), so
+    the in-group O(N²·dim) similarity matrix and O(k·N) greedy loop
+    are constant-bounded regardless of corpus size. One shuffle on
+    the query key, nothing O(corpus)."""
+    if not 0 < lambda_num <= lambda_denom:
+        raise ValueError(
+            f"need 0 < lambda_num <= lambda_denom, got {lambda_num}/{lambda_denom}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import numpy as np
+    import pandas as pd
+
+    fields = {f.name: f.dataType.simpleString() for f in candidates.schema.fields}
+    out_schema = (
+        f"{query_col} {fields[query_col]}, rank long,"
+        f" {id_col} {fields[id_col]}, mmr_score long"
+    )
+    comp = lambda_denom - lambda_num
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id so np.argmax's first-max rule IS the smallest-id
+        # tie-break
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
+        sims = mat @ mat.T  # exact int64 pairwise dot products
+        n = len(ids)
+        # maxsim over the picked set can be NEGATIVE (integer dots are
+        # signed) — only the FIRST pick uses the defined-empty-max 0,
+        # so the running max starts as the first pick's column, never
+        # clamped at zero
+        maxsim = None
+        alive = np.ones(n, dtype=bool)
+        out_rank, out_id, out_score = [], [], []
+        for rank in range(1, min(k, n) + 1):
+            score = (
+                lambda_num * rel
+                if maxsim is None
+                else lambda_num * rel - comp * maxsim
+            )
+            score = np.where(alive, score, np.iinfo(np.int64).min)
+            best = int(np.argmax(score))
+            alive[best] = False
+            out_rank.append(rank)
+            out_id.append(ids[best])
+            out_score.append(int(score[best]))
+            maxsim = (
+                sims[:, best].copy()
+                if maxsim is None
+                else np.maximum(maxsim, sims[:, best])
+            )
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                "rank": out_rank,
+                id_col: out_id,
+                "mmr_score": out_score,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, schema=out_schema)

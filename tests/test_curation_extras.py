@@ -805,3 +805,87 @@ def test_label_propagation_two_communities_and_synchrony(spark):
         for r in label_propagation(rev, iterations=3).collect()
     }
     assert got3r == got3
+
+
+def test_bpe_train_hand_case(spark):
+    """bpe_train closed-form hand case: corpus 'low low lower' x2 +
+    'new newer' — word freqs low:4, lower:2, new:1, newer:1. The
+    round-1 arg-max ties (l,o) vs (o,w) at 6 and breaks to (l,o) by
+    the (count DESC, left, right) rule; rounds 2-3 follow by hand."""
+    from spatially_databricks_etl_spark.operators.curate import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low low lower"), (3, "new newer")],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, merges=3).orderBy("round").collect()
+    ]
+    # freqs: low=4, lower=2, new=1, newer=1
+    # r1: lo=6, ow=6, we=3, er=3, ne=2, ew=2 -> tie lo/ow -> (l,o) 6
+    # r2 symbols: low->[lo,w], lower->[lo,w,e,r], new->[n,e,w],
+    #   newer->[n,e,w,e,r]; pairs: (lo,w)=6, (w,e)=3, (e,r)=3,
+    #   (n,e)=2, (e,w)=2 -> (lo,w) 6
+    # r3: low->[low], lower->[low,e,r], new/newer unchanged;
+    #   pairs: (low,e)=2, (e,r)=3, (n,e)=2, (e,w)=2, (w,e)=1
+    #   -> (e,r) 3
+    assert got == [(1, "l", "o", 6), (2, "lo", "w", 6), (3, "e", "r", 3)]
+
+
+def test_bpe_greedy_overlap_and_token_freq(spark):
+    """Leftmost-non-overlapping greedy: with pair (a,a), 'aaaa' →
+    [aa,aa] and 'aaa' → [aa,a] (the run-parity island rule); verified
+    through bpe_token_freq's final symbol table."""
+    from spatially_databricks_etl_spark.operators.curate import bpe_token_freq
+
+    docs = spark.createDataFrame([(1, "aaaa aaa aaaa")], ["doc_id", "text"])
+    # freqs: aaaa=2, aaa=1. r1 pairs: (a,a)=3*2? -> aaaa has 3
+    # adjacent pairs x2 + aaa has 2 -> 8; merge (a,a):
+    # aaaa->[aa,aa], aaa->[aa,a]
+    got = {
+        r["token"]: r["freq"]
+        for r in bpe_token_freq(docs, merges=1).collect()
+    }
+    assert got == {"aa": 5, "a": 1}
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """bpe_encode ≡ a from-scratch per-word greedy Python replay on a
+    mixed corpus, token order preserved across word boundaries;
+    docs with no [a-z] words produce no row."""
+    import re
+
+    from spatially_databricks_etl_spark.operators.curate import bpe_encode
+
+    rules = [("l", "o"), ("lo", "w"), ("e", "r")]
+    texts = {
+        1: "Lower lowlands, slower flow!",
+        2: "newer hello world",
+        3: "12345 --- 678",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, rules).collect()}
+
+    def replay(text):
+        toks = []
+        for w in re.findall(r"[a-z]+", text.lower()):
+            s = list(w)
+            for a, b in rules:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            toks.extend(s)
+        return toks
+
+    assert got[1] == replay(texts[1])
+    assert got[2] == replay(texts[2])
+    assert 3 not in got

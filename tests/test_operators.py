@@ -2707,3 +2707,51 @@ def test_simhash_index_lifecycle_matches_rebuild_and_batch_operator(
     assert 0 not in m_old            # old content is gone
     m4 = {r[1] for r in got_u if r[0] == 903}
     assert 4 in m4                   # deleted-then-upserted searchable again
+
+
+def test_mmr_rerank_diversity_hand_case(spark):
+    """MMR hand case: doc 2 is a near-copy of the most relevant doc 1,
+    doc 3 is orthogonal with slightly lower relevance. Pure relevance
+    would rank (1, 2, 3); MMR (λ=7/10) demotes the redundant copy:
+    pick 1 = doc 1 (7·rel); pick 2 scores doc 2 at 7·90−3·100=330 vs
+    doc 3 at 7·80−3·0=560 → doc 3; doc 2 last. Also pins the
+    NEGATIVE-similarity branch: doc 4 anti-correlates with doc 1, so
+    its pick-2 score is 7·10+3·100 = 370 > its pure-relevance 70 —
+    a zero-clamped maxsim would get this wrong."""
+    from spatially_databricks_etl_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [
+            (0, 1, 100, [10, 0]),
+            (0, 2, 90, [10, 1]),
+            (0, 3, 80, [0, 10]),
+            (0, 4, 10, [-10, 0]),
+        ],
+        "query_id long, doc_id long, rel long, vec array<long>",
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["mmr_score"])
+        for r in mmr_rerank(cand, k=4).orderBy("rank").collect()
+    ]
+    # sims to doc1: doc2=100, doc3=0, doc4=-100
+    # pick1: doc1 700. pick2: doc2 630-300=330, doc3 560-0=560,
+    #   doc4 70+300=370 -> doc3. pick3 (maxsim over {1,3}):
+    #   doc2 max(100,10)=100 -> 330; doc4 max(-100,0)=0 -> 70 -> doc2.
+    # pick4: doc4 maxsim max(-100,0,-10)=0 -> 70.
+    assert got == [(1, 1, 700), (2, 3, 560), (3, 2, 330), (4, 4, 70)]
+
+
+def test_mmr_rerank_tie_break_and_short_group(spark):
+    """Equal-score candidates break to the smallest doc id, and a
+    group with fewer than k candidates emits one row per candidate."""
+    from spatially_databricks_etl_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(0, 7, 50, [1, 0]), (0, 3, 50, [0, 1]), (1, 9, 5, [1, 1])],
+        "query_id long, doc_id long, rel long, vec array<long>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in mmr_rerank(cand, k=5).collect()
+    }
+    assert got == {(0, 1): 3, (0, 2): 7, (1, 1): 9}

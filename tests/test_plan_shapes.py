@@ -142,6 +142,10 @@ def test_no_catalog_query_plans_a_smell(spark):
         # one-row total frame onto the 9-digit literal axis — same
         # scalar-join pattern
         "benford_audit",
+        # the 5-row quantized query set broadcasts against the corpus
+        # scan with an inequality guard (self-exclusion) — the
+        # ann_brute_topk pattern
+        "mmr_rerank",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

@@ -1586,3 +1586,114 @@ def test_simhash_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
         )
     )
     assert got == want, (ops, sorted(model))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    merges=st.integers(1, 3),
+)
+@SETTINGS
+def test_bpe_train_matches_python_reference(spark, texts, merges):
+    """bpe_train against a from-scratch Python BPE replay on arbitrary
+    tiny corpora over a deliberately collision-heavy alphabet (lots of
+    arg-max ties and self-overlapping pairs like (a,a) on 'aaa'):
+    word-frequency weighting, (count DESC, left, right) tie-break, and
+    leftmost-non-overlapping greedy merge must all agree — the exact
+    contract the unrolled-SQL oracle encodes."""
+    import re
+    from collections import Counter
+
+    from spatially_databricks_etl_spark.operators.curate import bpe_train
+
+    wf = Counter(w for t in texts for w in re.findall(r"[a-z]+", t.lower()))
+    if not wf:
+        return  # no words: nothing to train on
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, merges=merges).orderBy("round").collect()
+    ]
+
+    syms = {w: list(w) for w in wf}
+    want = []
+    for rnd in range(1, merges + 1):
+        pc = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wf[w]
+        if not pc:
+            break  # every word is a single symbol: no pairs left
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, a, b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == want, (texts, got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),          # query group
+            st.integers(-20, 20),       # rel
+            st.lists(st.integers(-5, 5), min_size=3, max_size=3),  # vec
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 4),
+)
+@SETTINGS
+def test_mmr_rerank_matches_python_reference(spark, rows, k):
+    """mmr_rerank against a from-scratch greedy replay on arbitrary
+    small candidate sets (negative rels/sims included): λ=7/10
+    integer scoring, max-sim-over-picked (empty-max 0 on the first
+    pick only — NOT zero-clamped after), smallest-id tie-break."""
+    from spatially_databricks_etl_spark.operators.retrieval import mmr_rerank
+
+    data = [
+        (q, i, rel, vec) for i, (q, rel, vec) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "query_id long, doc_id long, rel long, vec array<long>"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["mmr_score"])
+        for r in mmr_rerank(df, k=k).collect()
+    )
+
+    want = []
+    for q in {d[0] for d in data}:
+        cand = [(i, rel, vec) for (qq, i, rel, vec) in data if qq == q]
+        picked = []
+        for rank in range(1, min(k, len(cand)) + 1):
+            best = None
+            for i, rel, vec in cand:
+                if i in [p[0] for p in picked]:
+                    continue
+                if picked:
+                    ms = max(
+                        sum(a * b for a, b in zip(vec, pv))
+                        for _, _, pv in picked
+                    )
+                    score = 7 * rel - 3 * ms
+                else:
+                    score = 7 * rel
+                if best is None or (-score, i) < (-best[1], best[0]):
+                    best = (i, score)
+            want.append((q, rank, best[0], best[1]))
+            picked.append(
+                next((i, rel, vec) for i, rel, vec in cand if i == best[0])
+            )
+    assert got == sorted(want), (rows, got, sorted(want))
