@@ -216,6 +216,12 @@ EXTRA = [
     # round 12: the tokenizer APPLY side (per-doc token arrays under
     # the trained merges; array values oracled)
     "bpe_encode_docs",
+    # round 12: seasonal-naive-with-drift forecast (ts family's
+    # forecast member; e6-exact oracle)
+    "ts_forecast",
+    # round 12: per-domain training-mixture planning (integer-div
+    # exact targets / rates / oversampling epochs)
+    "mixture_plan",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -7808,6 +7808,106 @@ GROUP BY dw.doc_id
 )
 
 
+def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive-with-drift forecast (hourly buckets, period 24,
+    12 horizons) per event_type over the events fixture — the
+    time-series family's FORECAST member beside ts_anomaly /
+    ts_changepoint. Exact decimal bucket sums + a verbatim-replayed
+    e6-floored forecast expression make the oracle a full value
+    check; horizons whose seasonal source bucket was never observed
+    are absent on both engines."""
+    from spatially_databricks_etl_spark.operators.profile import ts_forecast
+
+    return ts_forecast(
+        _t(spark, sf_dir, "events"),
+        key_cols=["event_type"],
+        bucket="hour",
+        period=24,
+        horizons=12,
+        value_decimals=2,
+    )
+
+
+SQL_TS_FORECAST = """
+WITH y AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS DECIMAL(38,0))) AS ys
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+st AS (
+  SELECT event_type, min(bucket) AS b0, max(bucket) AS b1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM y GROUP BY 1),
+anchors AS (
+  SELECT st.event_type, st.b1, st.n,
+         yf.ys AS ys_first, yl.ys AS ys_last
+  FROM st
+  JOIN y yf ON yf.event_type = st.event_type AND yf.bucket = st.b0
+  JOIN y yl ON yl.event_type = st.event_type AND yl.bucket = st.b1),
+f AS (
+  SELECT a.event_type, h.horizon,
+         a.b1 + h.horizon * INTERVAL 1 HOUR AS forecast_ts,
+         a.b1 + CAST(h.horizon
+                     - 24 * CAST(ceil(h.horizon / 24.0) AS INT) AS INT)
+              * INTERVAL 1 HOUR AS src_bucket,
+         a.n, a.ys_first, a.ys_last
+  FROM anchors a
+  CROSS JOIN (SELECT unnest(range(1, 13)) AS horizon) h)
+SELECT f.event_type, CAST(f.horizon AS BIGINT) AS horizon, f.forecast_ts,
+       CAST(floor((CAST(y.ys AS DOUBLE) / 100
+             + f.horizon * (CASE WHEN f.n > 1
+                 THEN (CAST(f.ys_last - f.ys_first AS DOUBLE) / 100)
+                      / (f.n - 1)
+                 ELSE 0.0 END)) * 1000000 + 0.5) AS BIGINT) AS forecast_e6
+FROM f JOIN y ON y.event_type = f.event_type AND y.bucket = f.src_bucket
+"""
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture PLAN over the documents fixture: target
+    language weights en:5 de:2 es:1 fr:1 zh:1 against a 500k-token
+    budget → per-language target tokens, sampling rate, oversampling
+    epochs — the planning stage ahead of sample_mixture, exact
+    integer `div` arithmetic throughout (the oracle replays it with
+    BIGINT `//`)."""
+    from spatially_databricks_etl_spark.operators.curate import mixture_plan
+
+    return mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1},
+        group_col="lang",
+        total_tokens=500_000,
+    )
+
+
+SQL_MIXTURE_PLAN = """
+WITH agg AS (
+  SELECT lang AS "group",
+         CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'es' THEN 1
+                   WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 END AS w,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+              AS BIGINT) AS avail_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+  GROUP BY 1, 2),
+t AS (
+  SELECT "group", n_docs, avail_tokens,
+         (CAST(500000 AS BIGINT) * w) // 10 AS target_tokens
+  FROM agg)
+SELECT "group", n_docs, avail_tokens,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CASE WHEN avail_tokens > 0 THEN
+         CAST((target_tokens * CAST(1000000 AS BIGINT)) // avail_tokens
+              AS BIGINT) END AS sample_rate_e6,
+       CASE WHEN avail_tokens > 0 THEN
+         CAST((target_tokens + avail_tokens - 1) // avail_tokens
+              AS BIGINT) END AS epochs
+FROM t
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two deterministic snapshots of orders (old drops keys
     %10==0, new drops keys %13==0 and bumps price for %7==0) into an
@@ -8029,9 +8129,10 @@ QUERIES: dict[str, QueryFn] = {
     # driver-attested same-family twin, which stays fully oracled at
     # 51+. Round-12 additions (label_propagation, embedding_quality,
     # asof_join_tolerance_window's bench row, and the late bpe_train /
-    # bpe_token_freq / mmr_rerank trio) land at 51+ first, per the
-    # standing attest-then-rotate discipline, and join the queue at
-    # positions 13-17 once judge-attested.
+    # bpe_token_freq / bpe_encode_docs / mmr_rerank / ts_forecast / mixture_plan
+    # additions) land at 51+ first, per the standing
+    # attest-then-rotate discipline, and join the queue at positions
+    # 13-20 once judge-attested.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -8211,6 +8312,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-12 late addition: the tokenizer APPLY side — per-document
     # token arrays under the trained merges, array values oracled
     "bpe_encode_docs": q_bpe_encode_docs,
+    # round-12 late addition: seasonal-naive-with-drift forecast —
+    # the ts family's forecast member, e6-exact oracle
+    "ts_forecast": q_ts_forecast,
+    # round-12 late addition: per-domain mixture planning (targets /
+    # rates / oversampling epochs, exact integer div)
+    "mixture_plan": q_mixture_plan,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8401,6 +8508,8 @@ ORACLES: dict[str, str] = {
     "bpe_token_freq": SQL_BPE_TOKEN_FREQ,
     "mmr_rerank": SQL_MMR_RERANK,
     "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
+    "ts_forecast": SQL_TS_FORECAST,
+    "mixture_plan": SQL_MIXTURE_PLAN,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

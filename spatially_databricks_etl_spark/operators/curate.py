@@ -1628,3 +1628,119 @@ def bpe_encode(
         )
         .select(F.col("__did").alias(id_col), "tokens")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    total_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Training-data mixture PLAN: given integer domain weights (the
+    target mixture as a rational distribution — the public Pile /
+    DoReMi-style domain-weights table) and a total token budget,
+    compute per domain how many tokens to draw, the sampling rate,
+    and the oversampling epoch count when the target exceeds what the
+    domain holds. The planning stage ahead of :func:`sample_mixture`
+    (which draws the rows); rates > 1e6 (rate_e6) mean repeat the
+    domain across epochs, the standard under-resourced-domain
+    up-sampling.
+
+    Exact integer arithmetic end to end (and therefore fully
+    SQL-oracle-able): tokens are the corpus-standard ``[a-z]+`` regex
+    count on the lowercased text; ``target = floor(T·w / ΣW)`` with
+    ΣW the STATIC sum over the weight table (domains listed but
+    absent from the corpus emit no row — they cannot silently
+    reweight the others); ``sample_rate_e6 = floor(target·1e6 /
+    avail)``; ``epochs = ceil(target / avail)`` as
+    ``(target + avail − 1) div avail``.
+
+    Returns (group, n_docs, avail_tokens, target_tokens,
+    sample_rate_e6, epochs).
+
+    Scale shape: ONE corpus scan into a |domains|-row hash aggregate
+    (map-side combine absorbs hot domains); everything after is
+    arithmetic on that tiny frame. At 100 TB this is exactly one
+    pass, shuffle carries |domains| rows."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    w_den = sum(weights.values())
+    wcol = None
+    for g, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+        cond = F.col("group") == F.lit(g)
+        wcol = F.when(cond, F.lit(int(w))) if wcol is None else wcol.when(
+            cond, F.lit(int(w))
+        )
+    toks = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)))
+    agg = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("__t"))
+        .withColumn("__w", wcol)
+        .filter(F.col("__w").isNotNull())
+        .groupBy("group", "__w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("avail_tokens"),
+        )
+    )
+    # integer `div` everywhere — no float in the plan, so the oracle's
+    # BIGINT `//` replays the identical values at any magnitude
+    agg = agg.withColumn(
+        "target_tokens",
+        F.expr(
+            f"CAST((CAST({int(total_tokens)} AS BIGINT) * __w)"
+            f" div {int(w_den)} AS BIGINT)"
+        ),
+    )
+    rate = F.expr(
+        "CAST((target_tokens * CAST(1000000 AS BIGINT)) div avail_tokens AS BIGINT)"
+    )
+    epochs = F.expr(
+        "CAST((target_tokens + avail_tokens - 1) div avail_tokens AS BIGINT)"
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "avail_tokens",
+        "target_tokens",
+        F.when(F.col("avail_tokens") > 0, rate).alias("sample_rate_e6"),
+        F.when(F.col("avail_tokens") > 0, epochs).alias("epochs"),
+    )
+
+
+def bpe_save_merges(merges: DataFrame, path: str) -> None:
+    """Persist a trained BPE merge table (:func:`bpe_train`'s output)
+    as a parquet artifact — the tokenizer is a PRODUCT: trained once
+    on the corpus, then applied by every downstream encode job, so it
+    gets the same multi-writer arbitration the persisted-index family
+    has (`operators/indexstore.py`): version snapshot at entry,
+    atomic claim before the visible overwrite — two racing trainers
+    cannot silently interleave; the loser raises
+    ``ConcurrentIndexWriteError`` having written nothing."""
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    ver = begin_index_mutation(path)
+    commit_index_mutation(path, ver)
+    merges.select(
+        F.col("round").cast("long").alias("round"),
+        F.col("left_sym").cast("string").alias("left_sym"),
+        F.col("right_sym").cast("string").alias("right_sym"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted BPE merge table back as the ordered rule list
+    :func:`bpe_encode` consumes (training order = ``round`` order).
+    The artifact is rounds-sized — a bounded-metadata read, the
+    kmeans-centroid class."""
+    rows = spark.read.parquet(path).orderBy("round").collect()
+    return [(r["left_sym"], r["right_sym"]) for r in rows]

@@ -2114,3 +2114,158 @@ def ts_changepoint(
             F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cusum_e6"),
         )
     )
+
+
+def ts_forecast(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    bucket: str = "hour",
+    period: int = 24,
+    horizons: int = 12,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Seasonal-naive-with-drift forecast — the FORECAST member of the
+    time-series family (:func:`ts_anomaly` scores the past,
+    :func:`ts_changepoint` locates shifts; this extrapolates forward).
+    Method (Hyndman & Athanasopoulos, "Forecasting: Principles and
+    Practice", §5.2 public material — the two benchmark methods
+    composed): for horizon h, the seasonal-naive base is the observed
+    bucket one whole season back from the forecast time
+    (y(T + h − p·⌈h/p⌉)) and the drift term adds h · (y(T) − y(t₀)) /
+    (n − 1), the line through the key's first and last observed
+    buckets (0 when the key has a single bucket). Horizons whose
+    seasonal source bucket was never observed are NOT emitted — no
+    forecast exists, same honesty contract as ts_anomaly's unscored
+    buckets.
+
+    Cross-engine determinism (the ts_anomaly discipline): bucket sums
+    accumulate as exact decimal(38, value_decimals) integers; the
+    seasonal source is a timestamp EQUI-join on exact interval
+    arithmetic; the emitted forecast is e6-floored from an expression
+    tree replayed verbatim by the oracle (two divisions + one
+    multiply-add on exact operands).
+
+    Returns (key..., horizon, forecast_ts, forecast_e6).
+
+    Scale shape (100 TB): ONE hash aggregate compresses raw events to
+    the |keys|·|buckets| grid; per-key anchors are one aggregate +
+    two equi-joins on that grid; horizons explode map-side (literal
+    sequence, no join); the seasonal lookup is one equi-join on the
+    grid. Nothing touches raw events twice, no windows, no driver
+    collects."""
+    if bucket not in ("hour", "day"):
+        raise ValueError(f"bucket must be 'hour' or 'day', got {bucket!r}")
+    if horizons < 1:
+        raise ValueError(f"horizons must be >= 1, got {horizons}")
+    from pyspark import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
+
+    keys = list(key_cols) if key_cols else ["event_type"]
+    scale = 10**value_decimals
+    grid = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            *[F.col(k) for k in keys],
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col(value_col).cast("double") * F.lit(float(scale))
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("__ys")
+        )
+        # the grid has FOUR consumers (per-key stats, the two anchor
+        # joins, the seasonal-source join) — persist the compressed
+        # |keys|·|buckets| frame so the raw events really are scanned
+        # ONCE (release via caching.release_intermediates)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    st = grid.groupBy(*keys).agg(
+        F.min("bucket").alias("__b0"),
+        F.max("bucket").alias("__b1"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    yf = grid.select(
+        *[F.col(k).alias(f"__fk_{k}") for k in keys],
+        F.col("bucket").alias("__fb"),
+        F.col("__ys").alias("__ys_first"),
+    )
+    yl = grid.select(
+        *[F.col(k).alias(f"__lk_{k}") for k in keys],
+        F.col("bucket").alias("__lb"),
+        F.col("__ys").alias("__ys_last"),
+    )
+    cf = F.col("__fb") == F.col("__b0")
+    cl = F.col("__lb") == F.col("__b1")
+    for k in keys:
+        cf = cf & (F.col(f"__fk_{k}") == F.col(k))
+        cl = cl & (F.col(f"__lk_{k}") == F.col(k))
+    anchors = st.join(yf, cf).join(yl, cl)
+    fan = anchors.select(
+        *keys,
+        "__b1",
+        "__n",
+        "__ys_first",
+        "__ys_last",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizons)))).alias("horizon"),
+    )
+    # seasonal source offset: h − p·⌈h/p⌉ buckets back from the last
+    # observed bucket (≤ 0 — always inside the observed range)
+    off = (
+        F.col("horizon")
+        - F.lit(int(period))
+        * F.ceil(F.col("horizon") / F.lit(float(period))).cast("int")
+    ).cast("int")
+    if bucket == "hour":
+        fts = F.col("__b1") + F.make_interval(hours=F.col("horizon"))
+        sts = F.col("__b1") + F.make_interval(hours=off)
+    else:
+        fts = F.col("__b1") + F.make_interval(days=F.col("horizon"))
+        sts = F.col("__b1") + F.make_interval(days=off)
+    fan = fan.select(
+        *keys,
+        "horizon",
+        fts.alias("forecast_ts"),
+        sts.alias("__src_bucket"),
+        "__n",
+        "__ys_first",
+        "__ys_last",
+    )
+    src = grid.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        F.col("bucket").alias("__sb"),
+        F.col("__ys").alias("__ys_src"),
+    )
+    cs = F.col("__sb") == F.col("__src_bucket")
+    for k in keys:
+        cs = cs & (F.col(f"__sk_{k}") == F.col(k))
+    joined = fan.join(src, cs)
+    slope = F.when(
+        F.col("__n") > 1,
+        (
+            (F.col("__ys_last") - F.col("__ys_first")).cast("double")
+            / F.lit(float(scale))
+        )
+        / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    forecast = (
+        F.col("__ys_src").cast("double") / F.lit(float(scale))
+        + F.col("horizon").cast("double") * slope
+    )
+    out = joined.select(
+        *keys,
+        F.col("horizon").cast("long").alias("horizon"),
+        "forecast_ts",
+        F.floor(forecast * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("forecast_e6"),
+    )
+    return register_persists(out, [grid])

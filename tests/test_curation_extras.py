@@ -889,3 +889,124 @@ def test_bpe_encode_matches_python_replay(spark):
     assert got[1] == replay(texts[1])
     assert got[2] == replay(texts[2])
     assert 3 not in got
+
+
+def test_ts_forecast_hand_case(spark):
+    """ts_forecast closed-form hand case: key 'a' has hourly buckets
+    at 00:00 (y=10.0), 01:00 (y=20.0), 02:00 (y=16.0) on 2024-01-03.
+    With period=3, horizons=4: n=3, slope=(16−10)/(3−1)=3.0; the
+    seasonal source for h is last+h−3·⌈h/3⌉ hours → h=1→00:00,
+    h=2→01:00, h=3→02:00 (the last bucket), h=4→00:00 again.
+    Forecasts: 10+1·3=13, 20+2·3=26, 16+3·3=25, 10+4·3=22. A
+    single-bucket key 'b' gets slope 0 → its seasonal-naive value
+    verbatim at every horizon whose source exists (period=3 → only
+    h=3)."""
+    from datetime import datetime
+
+    from spatially_databricks_etl_spark.operators.profile import ts_forecast
+
+    rows = [
+        ("a", datetime(2024, 1, 3, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 3, 1, 30), 20.0),
+        ("a", datetime(2024, 1, 3, 2, 30), 16.0),
+        ("b", datetime(2024, 1, 3, 5, 15), 7.5),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r["event_type"], r["horizon"]): (r["forecast_ts"], r["forecast_e6"])
+        for r in ts_forecast(
+            df, key_cols=["event_type"], bucket="hour", period=3, horizons=4
+        ).collect()
+    }
+    assert got[("a", 1)] == (datetime(2024, 1, 3, 3, 0), 13_000000)
+    assert got[("a", 2)] == (datetime(2024, 1, 3, 4, 0), 26_000000)
+    assert got[("a", 3)] == (datetime(2024, 1, 3, 5, 0), 25_000000)
+    assert got[("a", 4)] == (datetime(2024, 1, 3, 6, 0), 22_000000)
+    # key 'b': single bucket at 05:00 → only h=3 has a source (05:00
+    # itself); slope 0 → forecast = 7.5
+    assert got[("b", 3)] == (datetime(2024, 1, 3, 8, 0), 7_500000)
+    assert len([k for k in got if k[0] == "b"]) == 1
+    assert len(got) == 5
+
+
+def test_mixture_plan_hand_case(spark):
+    """mixture_plan closed-form hand case: corpus a:10 tokens (2
+    docs), b:4 tokens (1 doc), plus a domain 'c' in the corpus but
+    NOT in the weight table (dropped) and a weighted domain 'd'
+    absent from the corpus (no row). Budget 30, weights a:2 b:1 d:1
+    (ΣW=4 — static, so d's absence does not reweight a/b):
+    a: target 30·2//4=15 > avail 10 → rate 1.5e6, epochs 2;
+    b: target 30·1//4=7 > avail 4 → rate 1.75e6, epochs 2."""
+    from spatially_databricks_etl_spark.operators.curate import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five"),
+            ("a", "six seven eight nine ten"),
+            ("b", "w x y z"),
+            ("c", "ignored words here"),
+        ],
+        ["lang", "text"],
+    )
+    got = {
+        r["group"]: r
+        for r in mixture_plan(
+            docs, {"a": 2, "b": 1, "d": 1}, group_col="lang", total_tokens=30
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    ra, rb = got["a"], got["b"]
+    assert (ra["n_docs"], ra["avail_tokens"], ra["target_tokens"]) == (2, 10, 15)
+    assert (ra["sample_rate_e6"], ra["epochs"]) == (1_500_000, 2)
+    assert (rb["n_docs"], rb["avail_tokens"], rb["target_tokens"]) == (1, 4, 7)
+    assert (rb["sample_rate_e6"], rb["epochs"]) == (1_750_000, 2)
+
+
+def test_bpe_merges_artifact_roundtrip(spark, tmp_path):
+    """Save/load round-trip of the trained merge table: encode with
+    the loaded rules ≡ encode with the in-memory rules, and a stale
+    concurrent saver raises ConcurrentIndexWriteError before writing
+    anything (the persisted-index arbitration contract)."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_encode,
+        bpe_load_merges,
+        bpe_save_merges,
+        bpe_train,
+    )
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        ConcurrentIndexWriteError,
+        begin_index_mutation,
+        commit_index_mutation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newer lowest")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, merges=3)
+    path = str(tmp_path / "bpe_merges")
+    bpe_save_merges(merges, path)
+    rules = bpe_load_merges(spark, path)
+    assert rules == [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("round").collect()
+    ]
+    got_loaded = {
+        r["doc_id"]: r["tokens"] for r in bpe_encode(docs, rules).collect()
+    }
+    got_mem = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(
+            docs,
+            [(r["left_sym"], r["right_sym"]) for r in merges.orderBy("round").collect()],
+        ).collect()
+    }
+    assert got_loaded == got_mem
+
+    # stale writer: enters at the pre-save version, loses the claim
+    stale = begin_index_mutation(path) - 1
+    with pytest.raises(ConcurrentIndexWriteError):
+        commit_index_mutation(path, stale)
+    # artifact untouched by the loser
+    assert bpe_load_merges(spark, path) == rules

@@ -1697,3 +1697,97 @@ def test_mmr_rerank_matches_python_reference(spark, rows, k):
                 next((i, rel, vec) for i, rel, vec in cand if i == best[0])
             )
     assert got == sorted(want), (rows, got, sorted(want))
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert", "compact"]),
+            st.integers(0, 9),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """MODEL-BASED lifecycle test for the persisted LSH index —
+    completes the family symmetry (MinHash / BM25 / IVF / SimHash
+    already have one): random append/delete/upsert/compact sequences
+    mirrored against a dict model of the live vectors; final search
+    results (buckets pinned by the same seed-derived hyperplanes on
+    both sides) must equal a fresh index built on the model corpus."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        lsh_append_index,
+        lsh_compact_index,
+        lsh_delete_index,
+        lsh_search_index,
+        lsh_upsert_index,
+        lsh_write_index,
+    )
+
+    def vec(seed: int) -> list:
+        return [
+            round(((seed * 29 + d * 19) % 11 - 5) / 5.0, 3) for d in range(8)
+        ]
+
+    model = {i: vec(i) for i in range(5)}
+    next_new = 100
+
+    base = tmp_path_factory.mktemp("lsh_model")
+    live = str(base / "live")
+
+    def frame(items):
+        return spark.createDataFrame(
+            [(k, v) for k, v in items], "vec_id long, embedding array<float>"
+        )
+
+    lsh_write_index(frame(model.items()), live, planes=4, dim=8, seed=7)
+
+    for kind, pick, tpick in ops:
+        if kind == "append":
+            nid = next_new
+            next_new += 1
+            model[nid] = vec(nid + tpick)
+            lsh_append_index(frame([(nid, model[nid])]), live)
+        elif kind == "delete":
+            if not model:
+                continue
+            did = sorted(model)[pick % len(model)]
+            del model[did]
+            lsh_delete_index(
+                spark.createDataFrame([(did,)], "vec_id long").select("vec_id"),
+                live,
+            )
+        elif kind == "upsert":
+            uid = (
+                sorted(model)[pick % len(model)]
+                if model and pick % 2 == 0
+                else 200 + pick
+            )
+            model[uid] = vec(uid * 7 + tpick)
+            lsh_upsert_index(frame([(uid, model[uid])]), live)
+        else:
+            lsh_compact_index(spark, live)
+
+    if not model:
+        return
+    rebuilt = str(base / "rebuilt")
+    lsh_write_index(frame(model.items()), rebuilt, planes=4, dim=8, seed=7)
+    queries = spark.createDataFrame(
+        [(i, vec(i + 300)) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    got = sorted(
+        map(tuple, lsh_search_index(queries, live, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, lsh_search_index(queries, rebuilt, k=5).collect())
+    )
+    assert got == want, (ops, sorted(model))
