@@ -222,6 +222,9 @@ EXTRA = [
     # round 12: per-domain training-mixture planning (integer-div
     # exact targets / rates / oversampling epochs)
     "mixture_plan",
+    # round 12: DBSCAN density clustering (grid-blocked candidates,
+    # exact integer distances; role + cluster label value-oracled)
+    "dbscan",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -7762,25 +7762,20 @@ SQL_MMR_RERANK = _mmr_oracle_sql(5)
 
 def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of the tokenizer family: train the 8-merge BPE on
-    the FULL corpus, then encode the first 30 documents to their
-    token arrays — order-sensitive array values faced directly by the
-    oracle (the DuckDB replay re-derives the trained symbol table via
-    the same unrolled CTEs and re-assembles per-document tokens with
-    ordered list aggregation). The 8-row merge-table collect is
-    bounded metadata (the kmeans-centroid class), never O(corpus);
-    encoding itself runs on the distinct-word table and joins back
-    broadcast-style (`operators/curate.py: bpe_encode`)."""
-    from spatially_databricks_etl_spark.operators.curate import (
-        bpe_encode,
-        bpe_train,
-    )
+    the FULL corpus and encode through the SINGLE-PASS route
+    (`operators/curate.py: bpe_train_encode` — the trainer's final
+    symbol table already IS every distinct word's encoding, so no
+    second merge-application sweep runs; ~1.5x the separate
+    train-then-encode calls at sf0.1). Order-sensitive array values faced
+    directly by the oracle: the DuckDB replay re-derives the trained
+    symbol table via the same unrolled CTEs and re-assembles
+    per-document tokens with ordered list aggregation. The first 30
+    documents keep the compare small."""
+    from spatially_databricks_etl_spark.operators.curate import bpe_train_encode
 
     docs = _t(spark, sf_dir, "documents")
-    rules = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_train(docs, merges=8).orderBy("round").collect()
-    ]
-    return bpe_encode(docs.filter(F.col("doc_id") < 30), rules).select(
+    _, encoded = bpe_train_encode(docs, merges=8)
+    return encoded.filter(F.col("doc_id") < 30).select(
         F.col("doc_id").cast("long").alias("doc_id"), "tokens"
     )
 
@@ -7905,6 +7900,78 @@ SELECT "group", n_docs, avail_tokens,
          CAST((target_tokens + avail_tokens - 1) // avail_tokens
               AS BIGINT) END AS epochs
 FROM t
+"""
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, eps=100, min_pts=4) over a
+    deterministic 2-D projection of the first 500 embedding vectors
+    (x = label·2000 + first-component e3, y = second-component e3 —
+    planted label blobs 2000 apart with organic in-blob spread, so
+    the result mixes core/border/noise and ~10 clusters). Exact
+    integer coordinates make every distance compare and both label
+    assignments deterministic; the oracle replays the full run —
+    per-point role AND cluster label — with an O(n²) pair join + a
+    recursive-CTE reachability closure (the neardup_clusters
+    discipline), fully independent of the operator's grid-blocked
+    candidate generation. The 500-point cap keeps the closure small
+    at every sf; the operator's 100 TB shape is the grid block
+    (`operators/spatial.py: dbscan_2d`)."""
+    from spatially_databricks_etl_spark.operators.spatial import dbscan_2d
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        (
+            F.col("label").cast("long") * 2000
+            + F.floor(
+                F.element_at("embedding", 1).cast("double") * 1000 + F.lit(0.5)
+            ).cast("long")
+        ).alias("x"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * 1000 + F.lit(0.5)
+        ).cast("long").alias("y"),
+    )
+    return dbscan_2d(pts, eps=100, min_pts=4).select(
+        F.col("id").cast("long").alias("id"),
+        "role",
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+SQL_DBSCAN = """
+WITH RECURSIVE
+p AS (
+  SELECT vec_id AS id,
+         CAST(label AS BIGINT)*2000
+           + CAST(floor(CAST(embedding[1] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(CAST(embedding[2] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS y
+  FROM embeddings WHERE vec_id < 500),
+pairs AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM p a JOIN p b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000),
+cnt AS (SELECT ida AS id, count(*) AS n FROM pairs GROUP BY 1),
+core AS (SELECT id FROM cnt WHERE n >= 4),
+ce AS (SELECT ida AS src, idb AS dst FROM pairs
+       JOIN core c1 ON c1.id = pairs.ida
+       JOIN core c2 ON c2.id = pairs.idb
+       WHERE ida <> idb),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN ce e ON e.src = re.r),
+labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+border AS (SELECT pr.ida AS id, min(l.cluster) AS cluster
+           FROM pairs pr JOIN labels l ON l.id = pr.idb
+           WHERE pr.ida <> pr.idb
+             AND pr.ida NOT IN (SELECT id FROM core)
+           GROUP BY 1)
+SELECT CAST(p.id AS BIGINT) AS id,
+       CASE WHEN lc.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+       CAST(coalesce(lc.cluster, b.cluster) AS BIGINT) AS cluster
+FROM p LEFT JOIN labels lc ON lc.id = p.id LEFT JOIN border b ON b.id = p.id
 """
 
 
@@ -8129,10 +8196,11 @@ QUERIES: dict[str, QueryFn] = {
     # driver-attested same-family twin, which stays fully oracled at
     # 51+. Round-12 additions (label_propagation, embedding_quality,
     # asof_join_tolerance_window's bench row, and the late bpe_train /
-    # bpe_token_freq / bpe_encode_docs / mmr_rerank / ts_forecast / mixture_plan
+    # bpe_token_freq / bpe_encode_docs / mmr_rerank / ts_forecast /
+    # mixture_plan / dbscan
     # additions) land at 51+ first, per the standing
     # attest-then-rotate discipline, and join the queue at positions
-    # 13-20 once judge-attested.
+    # 13-21 once judge-attested.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -8318,6 +8386,10 @@ QUERIES: dict[str, QueryFn] = {
     # round-12 late addition: per-domain mixture planning (targets /
     # rates / oversampling epochs, exact integer div)
     "mixture_plan": q_mixture_plan,
+    # round-12 late addition: DBSCAN density clustering (grid-blocked
+    # candidates, exact integer distances; per-point role + cluster
+    # label fully value-oracled via recursive-CTE reachability)
+    "dbscan": q_dbscan,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8510,6 +8582,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
     "ts_forecast": SQL_TS_FORECAST,
     "mixture_plan": SQL_MIXTURE_PLAN,
+    "dbscan": SQL_DBSCAN,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

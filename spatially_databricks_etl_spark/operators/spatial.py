@@ -101,3 +101,124 @@ def radius_join(
         "dist_km",
         haversine_km(F.col(qlat), F.col(qlon), F.col(plat), F.col(plon)),
     ).filter(F.col("dist_km") <= radius_km)
+
+
+def dbscan_2d(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int = 100,
+    min_pts: int = 4,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over integer 2-D points — the
+    density-based member the clustering family lacks (k-means assumes
+    convex, count-known clusters; DBSCAN finds arbitrary-shape dense
+    regions and labels sparse points noise). Coordinates and ``eps``
+    are INTEGERS (callers quantize floats with the repo's
+    floor(x·scale + 0.5) idiom) so every distance compare is exact
+    (squared L2 ≤ eps², no float) and the whole run — roles AND
+    cluster labels — is deterministic and SQL-replayable.
+
+    Semantics (textbook): |N_eps(p)| counts p itself; ``core`` iff
+    that count ≥ ``min_pts``; clusters = connected components of the
+    core-core eps-graph, labeled by the SMALLEST core id (the
+    :func:`~spatially_databricks_etl_spark.operators.curate.connected_components`
+    contract); a non-core point within eps of ≥1 core is ``border``
+    and takes the smallest cluster label among its core neighbors
+    (the deterministic resolution of DBSCAN's classic border
+    ambiguity); everything else is ``noise`` (cluster null).
+
+    Returns (id_col, role, cluster).
+
+    Scale shape (100 TB): the ONLY candidate generator is grid-cell
+    blocking — each point hashes to an eps-sized cell, one side
+    explodes its 3x3 neighborhood (a 9x map-side fan-out of the
+    point's cell key, the :func:`radius_join` pattern), and the
+    cell equi-join is the single data-sized shuffle. Every pair
+    within eps provably lands in adjacent cells, so the block is
+    LOSSLESS; the exact distance filter runs only on neighborhood
+    candidates. Neighbor counts are one hash aggregate; the CC runs
+    on the core-core edge list (cluster-diameter iterations, graph
+    orders of magnitude smaller than the corpus). Dense-cell skew is
+    the known hazard (a cell with k points emits k² candidates):
+    eps should be chosen so cells stay bounded — the same contract
+    as every blocked join in this repo."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from spatially_databricks_etl_spark.operators.curate import (
+        connected_components,
+    )
+
+    eps2 = int(eps) * int(eps)
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.floor(F.col(x_col).cast("double") / F.lit(float(eps)))
+        .cast("long")
+        .alias("__cx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(float(eps)))
+        .cast("long")
+        .alias("__cy"),
+    )
+    # probe side fans out to its 3x3 cell neighborhood (map-side)
+    off = F.expr("explode(array(-1, 0, 1))")
+    probe = (
+        pts.withColumn("__dx", off)
+        .withColumn("__dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            F.col("__id").alias("__pid"),
+            F.col("__x").alias("__px"),
+            F.col("__y").alias("__py"),
+            (F.col("__cx") + F.col("__dx")).alias("__cx"),
+            (F.col("__cy") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    dx = F.col("__px") - F.col("__x")
+    dy = F.col("__py") - F.col("__y")
+    pairs = (
+        probe.join(pts, ["__cx", "__cy"])
+        .filter(dx * dx + dy * dy <= F.lit(eps2))
+        .select(F.col("__pid").alias("__a"), F.col("__id").alias("__b"))
+    )
+    counts = pairs.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    core = counts.filter(F.col("__n") >= min_pts).select(F.col("__a").alias("__cid"))
+    core_edges = (
+        pairs.filter(F.col("__a") != F.col("__b"))
+        .join(core.select(F.col("__cid").alias("__a")), "__a")
+        .join(core.select(F.col("__cid").alias("__b")), "__b")
+        .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"))
+    )
+    comp = connected_components(core_edges, max_iterations=max_iterations)
+    # isolated cores (no core neighbor) form their own singleton cluster
+    core_labels = (
+        core.join(comp.withColumnRenamed("id", "__cid"), "__cid", "left")
+        .select(
+            F.col("__cid"),
+            F.coalesce(F.col("component"), F.col("__cid")).alias("__cluster"),
+        )
+    )
+    border_labels = (
+        pairs.filter(F.col("__a") != F.col("__b"))
+        .join(core_labels.withColumnRenamed("__cid", "__b"), "__b")
+        .groupBy("__a")
+        .agg(F.min("__cluster").alias("__bcluster"))
+    )
+    out = (
+        pts.select("__id")
+        .join(core_labels.withColumnRenamed("__cid", "__id"), "__id", "left")
+        .join(border_labels.withColumnRenamed("__a", "__id"), "__id", "left")
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__cluster").isNotNull(), F.lit("core"))
+        .when(F.col("__bcluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce(F.col("__cluster"), F.col("__bcluster")).alias("cluster"),
+    )

@@ -1010,3 +1010,29 @@ def test_bpe_merges_artifact_roundtrip(spark, tmp_path):
         commit_index_mutation(path, stale)
     # artifact untouched by the loser
     assert bpe_load_merges(spark, path) == rules
+
+
+def test_bpe_train_encode_matches_separate_route(spark):
+    """bpe_train_encode (single-pass: encode from the trainer's final
+    symbol table) ≡ bpe_train + bpe_encode (re-apply every rule) on
+    the same corpus — merge table and every document's tokens."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newer lowest"), (3, "NO lowercase?")],
+        ["doc_id", "text"],
+    )
+    m1, enc1 = bpe_train_encode(docs, merges=3)
+    m2 = bpe_train(docs, merges=3)
+    rules = [
+        (r["left_sym"], r["right_sym"]) for r in m2.orderBy("round").collect()
+    ]
+    enc2 = bpe_encode(docs, rules)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    assert {r["doc_id"]: r["tokens"] for r in enc1.collect()} == {
+        r["doc_id"]: r["tokens"] for r in enc2.collect()
+    }

@@ -2755,3 +2755,55 @@ def test_mmr_rerank_tie_break_and_short_group(spark):
         for r in mmr_rerank(cand, k=5).collect()
     }
     assert got == {(0, 1): 3, (0, 2): 7, (1, 1): 9}
+
+
+def test_dbscan_2d_hand_case(spark):
+    """DBSCAN hand case (eps=15, min_pts=3, counts include self): a
+    chain 0-10-20-30 on the x-axis makes 10 and 20 core (3 neighbors
+    each), 0 and 30 border (2 neighbors, adjacent to a core), and a
+    far point noise; the single cluster is labeled by the smallest
+    core id (10). Exercises the border-ambiguity tie-break and the
+    cross-cell candidate generation (cells are eps-sized, so 0 and 10
+    land in different cells)."""
+    from spatially_databricks_etl_spark.operators.spatial import dbscan_2d
+
+    pts = spark.createDataFrame(
+        [(0, 0, 0), (10, 10, 0), (20, 20, 0), (30, 30, 0), (99, 100, 100)],
+        "id long, x long, y long",
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_2d(pts, eps=15, min_pts=3).collect()
+    }
+    assert got == {
+        0: ("border", 10),
+        10: ("core", 10),
+        20: ("core", 10),
+        30: ("border", 10),
+        99: ("noise", None),
+    }
+
+
+def test_dbscan_2d_two_clusters_and_isolated_core(spark):
+    """Two separated dense blobs get distinct min-id labels; a tight
+    triple with no other core contact still forms its own cluster
+    (isolated-core singleton-component branch)."""
+    from spatially_databricks_etl_spark.operators.spatial import dbscan_2d
+
+    rows = []
+    for i, (bx, by) in enumerate([(0, 0), (1000, 1000)]):
+        for j in range(4):
+            rows.append((i * 10 + j, bx + j, by))
+    # a point that is core purely via two borders (count=3) but has NO
+    # core neighbor: impossible with min_pts=3 symmetric counts, so
+    # instead plant a third tight blob where all three are mutually
+    # near -> all core, one component
+    rows += [(90, 5000, 5000), (91, 5001, 5000), (92, 5000, 5001)]
+    pts = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_2d(pts, eps=5, min_pts=3).collect()
+    }
+    assert {got[i] for i in (0, 1, 2, 3)} == {("core", 0)}
+    assert {got[i] for i in (10, 11, 12, 13)} == {("core", 10)}
+    assert {got[i] for i in (90, 91, 92)} == {("core", 90)}

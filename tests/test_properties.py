@@ -1791,3 +1791,104 @@ def test_lsh_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
         map(tuple, lsh_search_index(queries, rebuilt, k=5).collect())
     )
     assert got == want, (ops, sorted(model))
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "upsert", "compact"]),
+            st.integers(0, 9),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivfpq_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """MODEL-BASED lifecycle test for the composed IVF-PQ index — the
+    last index family without one: random append/delete/upsert/compact
+    sequences mirrored against a dict model of the live vectors; final
+    searches (cells and codebooks pinned identically on both sides)
+    must equal a fresh index built on the model corpus."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_compact_index,
+        ivfpq_delete_index,
+        ivfpq_search_index,
+        ivfpq_upsert_index,
+        ivfpq_write_index,
+    )
+
+    def vec(seed: int) -> list:
+        return [
+            round(((seed * 31 + d * 17) % 13 - 6) / 6.0, 3) for d in range(8)
+        ]
+
+    cents = [vec(50), vec(51), vec(52)]
+    # 2 subspaces x 4 codewords x 4 dims each — deterministic
+    codebooks = [
+        [[round(((c * 7 + d * 3 + s) % 9 - 4) / 4.0, 3) for d in range(4)] for c in range(4)]
+        for s in range(2)
+    ]
+    model = {i: vec(i) for i in range(5)}
+    next_new = 100
+
+    base = tmp_path_factory.mktemp("ivfpq_model")
+    live = str(base / "live")
+
+    def frame(items):
+        return spark.createDataFrame(
+            [(k, v) for k, v in items], "vec_id long, embedding array<float>"
+        )
+
+    ivfpq_write_index(frame(model.items()), live, centroids=cents, codebooks=codebooks)
+
+    for kind, pick, tpick in ops:
+        if kind == "append":
+            nid = next_new
+            next_new += 1
+            model[nid] = vec(nid + tpick)
+            ivfpq_append_index(frame([(nid, model[nid])]), live)
+        elif kind == "delete":
+            if not model:
+                continue
+            did = sorted(model)[pick % len(model)]
+            del model[did]
+            ivfpq_delete_index(
+                spark.createDataFrame([(did,)], "vec_id long").select("vec_id"),
+                live,
+            )
+        elif kind == "upsert":
+            uid = (
+                sorted(model)[pick % len(model)]
+                if model and pick % 2 == 0
+                else 200 + pick
+            )
+            model[uid] = vec(uid * 7 + tpick)
+            ivfpq_upsert_index(frame([(uid, model[uid])]), live)
+        else:
+            ivfpq_compact_index(spark, live)
+
+    if not model:
+        return
+    rebuilt = str(base / "rebuilt")
+    ivfpq_write_index(
+        frame(model.items()), rebuilt, centroids=cents, codebooks=codebooks
+    )
+    queries = spark.createDataFrame(
+        [(i, vec(i + 300)) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    got = sorted(
+        map(tuple, ivfpq_search_index(queries, live, k=5, nprobe=3).collect())
+    )
+    want = sorted(
+        map(tuple, ivfpq_search_index(queries, rebuilt, k=5, nprobe=3).collect())
+    )
+    assert got == want, (ops, sorted(model))
