@@ -225,6 +225,9 @@ EXTRA = [
     # round 12: DBSCAN density clustering (grid-blocked candidates,
     # exact integer distances; role + cluster label value-oracled)
     "dbscan",
+    # round 12: k-core peeling (graph degeneracy member; all rounds
+    # value-oracled via unrolled SQL)
+    "kcore",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

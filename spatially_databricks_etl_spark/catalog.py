@@ -7975,6 +7975,74 @@ FROM p LEFT JOIN labels lc ON lc.id = p.id LEFT JOIN border b ON b.id = p.id
 """
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 synchronous rounds) over a
+    deterministic graph derived from the first 1500 orders by
+    orderkey (the fixed-size slice keeps edge DENSITY scale-stable,
+    so multiple rounds genuinely peel at every sf — verified
+    70→54→39→32 survivors at sf0.001). Completes the graph family's
+    degeneracy member beside pagerank / triangles / communities /
+    reachability; the oracle replays all four synchronous sweeps as
+    unrolled SQL (degree aggregate + two semi-joins per round) —
+    full value verification of the surviving nodes AND their
+    in-subgraph degrees."""
+    from spatially_databricks_etl_spark.operators.curate import kcore
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(1500)
+        .filter(F.col("o_orderkey") % 9 == 0)
+    )
+    e = (
+        o.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return kcore(e, k=3, rounds=4).select(
+        F.col("node").cast("long").alias("node"), "degree"
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peeling oracle (the pagerank /
+    label_propagation discipline): each round re-derives degrees on
+    the current edge set and keeps only edges whose BOTH endpoints
+    still clear ``k``."""
+    head = """
+WITH o AS (SELECT o_custkey, o_orderkey FROM orders
+           ORDER BY o_orderkey LIMIT 1500),
+e0 AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM o WHERE o_custkey % 100 <> o_orderkey % 100
+    AND o_orderkey % 9 = 0
+),
+e_0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f""",
+d{r} AS (SELECT src, count(*) AS d FROM e_{r - 1} GROUP BY 1),
+kp{r} AS (SELECT src FROM d{r} WHERE d >= {k}),
+e_{r} AS (SELECT e.src, e.dst FROM e_{r - 1} e
+          JOIN kp{r} a ON a.src = e.src
+          JOIN kp{r} b ON b.src = e.dst)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e_{rounds} GROUP BY 1"""
+    )
+
+
+SQL_KCORE = _kcore_oracle_sql(3, 4)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff two deterministic snapshots of orders (old drops keys
     %10==0, new drops keys %13==0 and bumps price for %7==0) into an
@@ -8197,10 +8265,10 @@ QUERIES: dict[str, QueryFn] = {
     # 51+. Round-12 additions (label_propagation, embedding_quality,
     # asof_join_tolerance_window's bench row, and the late bpe_train /
     # bpe_token_freq / bpe_encode_docs / mmr_rerank / ts_forecast /
-    # mixture_plan / dbscan
+    # mixture_plan / dbscan / kcore
     # additions) land at 51+ first, per the standing
     # attest-then-rotate discipline, and join the queue at positions
-    # 13-21 once judge-attested.
+    # 13-22 once judge-attested.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -8390,6 +8458,9 @@ QUERIES: dict[str, QueryFn] = {
     # candidates, exact integer distances; per-point role + cluster
     # label fully value-oracled via recursive-CTE reachability)
     "dbscan": q_dbscan,
+    # round-12 late addition: k-core peeling — the graph family's
+    # degeneracy member, all four synchronous sweeps value-oracled
+    "kcore": q_kcore,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8583,6 +8654,7 @@ ORACLES: dict[str, str] = {
     "ts_forecast": SQL_TS_FORECAST,
     "mixture_plan": SQL_MIXTURE_PLAN,
     "dbscan": SQL_DBSCAN,
+    "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
     "drift_embedding": SQL_DRIFT_EMBEDDING,
     "transitive_closure": SQL_TRANSITIVE_CLOSURE,

@@ -1799,3 +1799,71 @@ def bpe_train_encode(
         .select(F.col("__did").alias(id_col), "tokens")
     )
     return merges_df, encoded
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983's coreness, determinized the
+    :func:`label_propagation` way): symmetrize + strip self-loops,
+    then run exactly ``rounds`` SYNCHRONOUS peeling sweeps — each
+    round simultaneously removes every node whose degree in the
+    CURRENT surviving subgraph is < ``k``. After enough rounds this
+    is exactly the k-core (the maximal subgraph of min-degree ≥ k);
+    a fixed round count makes the intermediate states — and therefore
+    the whole run — exactly replayable as unrolled SQL, the same
+    trade as pagerank's fixed iterations (peeling converges in at
+    most the graph's degeneracy-ordering depth; callers size
+    ``rounds`` like label_propagation's ``iterations``). Returns
+    (node, degree) for the surviving nodes, ``degree`` their degree
+    inside the surviving subgraph.
+
+    Scale shape: each round is ONE hash aggregate (degrees of the
+    current edge set) + one semi-join to drop edges touching peeled
+    nodes; the edge frame shrinks monotonically, lineage is truncated
+    per round (``localCheckpoint``; reliable ``checkpoint`` on a
+    cluster), and the shuffle parallelism is sized to the surviving
+    edge count — the :func:`connected_components` discipline. No
+    driver collects; the peel predicate is a broadcastable
+    degree-frame semi-join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    e = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    parts = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 200_000 + 1,
+        ),
+    )
+    e = e.repartition(parts, "src").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .repartition(parts, "src")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

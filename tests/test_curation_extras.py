@@ -1036,3 +1036,31 @@ def test_bpe_train_encode_matches_separate_route(spark):
     assert {r["doc_id"]: r["tokens"] for r in enc1.collect()} == {
         r["doc_id"]: r["tokens"] for r in enc2.collect()
     }
+
+
+def test_kcore_hand_case(spark):
+    """k-core hand case (k=2): a triangle {0,1,2} with two pendant
+    tails 2-3-4. Round 1 peels 4 (degree 1); round 2 peels 3 (its
+    degree dropped to 1 after 4 left); the triangle survives with
+    in-subgraph degree 2 each. Also pins SYNCHRONY: 3 is NOT peeled
+    in round 1 (its degree is 2 before 4 leaves), and a chain graph
+    empties completely."""
+    from spatially_databricks_etl_spark.operators.curate import kcore
+
+    tri_tail = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["degree"] for r in kcore(tri_tail, k=2, rounds=4).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    # synchrony: after ONE round only 4 is gone -> 3 still present
+    got1 = {
+        r["node"]: r["degree"] for r in kcore(tri_tail, k=2, rounds=1).collect()
+    }
+    assert set(got1) == {0, 1, 2, 3}
+    assert got1[3] == 1  # 3's surviving degree already reflects 4's removal
+
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert kcore(chain, k=2, rounds=4).count() == 0

@@ -1892,3 +1892,44 @@ def test_ivfpq_index_lifecycle_matches_model(spark, tmp_path_factory, ops):
         map(tuple, ivfpq_search_index(queries, rebuilt, k=5, nprobe=3).collect())
     )
     assert got == want, (ops, sorted(model))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+    k=st.integers(1, 3),
+    rounds=st.integers(1, 3),
+)
+@SETTINGS
+def test_kcore_matches_python_reference(spark, edges, k, rounds):
+    """kcore against a from-scratch synchronous peeling replay on
+    arbitrary small graphs: symmetrize + strip self-loops, then
+    ``rounds`` sweeps that simultaneously drop every node whose
+    CURRENT degree is < k — the exact contract the unrolled-SQL
+    oracle encodes."""
+    from spatially_databricks_etl_spark.operators.curate import kcore
+
+    sym = {(a, b) for a, b in edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    if not sym:
+        return
+    df = spark.createDataFrame(sorted(sym), "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(df, k=k, rounds=rounds).collect()
+    }
+
+    cur = set(sym)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    want = {}
+    for a, b in cur:
+        want[a] = want.get(a, 0) + 1
+    assert got == want, (sorted(sym), k, rounds, got, want)
