@@ -601,10 +601,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation. Returns (id, component) for every vertex that appears
     in an edge; component = smallest vertex id in the component.
+
+    Min-label propagation advances ONE hop per iteration, so the
+    iteration budget must cover the component diameter. With
+    ``require_convergence`` (the default) the budget being exhausted
+    while labels are still changing RAISES instead of silently
+    returning split components — elongated graphs whose diameter
+    exceeds ``max_iterations`` get a loud error, never wrong labels.
+    Pass ``require_convergence=False`` only for fixed-sweep analyses
+    that want the intermediate state.
 
     Scale notes: each iteration is one shuffle (join on neighbor +
     groupBy min) and ONE job: the changed-label count rides the same
@@ -642,6 +652,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    changed = 0
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -669,8 +680,22 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if int(obs.get["changed"]) == 0:
+        changed = int(obs.get["changed"])
+        if changed == 0:
             break
+    else:
+        # loop ran the full budget without a zero-change iteration:
+        # labels may still be mid-propagation (component diameter >
+        # max_iterations). The changed-count Observation rode the
+        # checkpoint action, so this costs nothing extra.
+        if require_convergence and changed > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} iterations ({changed} labels still "
+                f"changing) — the graph's component diameter exceeds "
+                f"the budget; raise max_iterations or pass "
+                f"require_convergence=False for the fixed-sweep state"
+            )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -1480,6 +1505,15 @@ def _bpe_rounds(
             )
             .localCheckpoint(eager=True)
         )
+        # pair counts exhausted before the requested round budget:
+        # classic BPE stops when no pair remains (Sennrich 2016 §3.2).
+        # Without this guard the empty 1-row frame would annihilate
+        # the symbol table through the broadcast cross join in
+        # _bpe_apply_merge — every document silently dropped. `top`
+        # is eagerly checkpointed, so the emptiness probe is a local
+        # scan of one cached partition, not a recompute.
+        if top.isEmpty():
+            break
         merge_frames.append(
             top.select(
                 F.lit(rnd).cast("long").alias("round"),
@@ -1493,6 +1527,14 @@ def _bpe_rounds(
             .repartition(parts, "word")
             .localCheckpoint(eager=True)
         )
+    if not merge_frames:
+        # zero completed rounds (e.g. an all-single-char corpus):
+        # empty merge table with the contract schema, symbols intact
+        empty = docs.sparkSession.createDataFrame(
+            [],
+            "round long, left_sym string, right_sym string, pair_count long",
+        )
+        return empty, syms
     merges_df = merge_frames[0]
     for f in merge_frames[1:]:
         merges_df = merges_df.unionByName(f)

@@ -155,16 +155,26 @@ def dbscan_2d(
     )
 
     eps2 = int(eps) * int(eps)
+
+    # exact integer floor division (toward -inf): pmod gives the
+    # non-negative remainder, so (x - pmod(x, eps)) is the largest
+    # multiple of eps <= x and integer `div` on it is exact for the
+    # FULL long range — a double-arithmetic floor(x/eps) can round a
+    # point near 2^53 into the wrong cell and break the lossless 3x3
+    # blocking guarantee.
+    def _cell(col: str):
+        e = int(eps)
+        return F.expr(
+            f"(CAST(`{col}` AS BIGINT) - pmod(CAST(`{col}` AS BIGINT), "
+            f"CAST({e} AS BIGINT))) div CAST({e} AS BIGINT)"
+        )
+
     pts = points.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-        F.floor(F.col(x_col).cast("double") / F.lit(float(eps)))
-        .cast("long")
-        .alias("__cx"),
-        F.floor(F.col(y_col).cast("double") / F.lit(float(eps)))
-        .cast("long")
-        .alias("__cy"),
+        _cell(x_col).alias("__cx"),
+        _cell(y_col).alias("__cy"),
     )
     # probe side fans out to its 3x3 cell neighborhood (map-side)
     off = F.expr("explode(array(-1, 0, 1))")

@@ -1064,3 +1064,44 @@ def test_kcore_hand_case(spark):
 
     chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     assert kcore(chain, k=2, rounds=4).count() == 0
+
+
+def test_bpe_exhaustion_stops_not_annihilates(spark):
+    """When pair counts run out before the requested merge budget,
+    training STOPS at the last completed round (classic BPE) instead
+    of letting the empty arg-max frame annihilate the symbol table
+    through the broadcast cross join (round-12 ADVICE, medium): an
+    all-single-char corpus still yields token frequencies, and an
+    over-budgeted train+encode still encodes every document."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_token_freq,
+        bpe_train,
+        bpe_train_encode,
+    )
+
+    # zero possible pairs: every word is one char -> zero rounds,
+    # frequencies intact (previously returned [])
+    solo = spark.createDataFrame([(1, "a b c a b a")], ["doc_id", "text"])
+    got = {r["token"]: r["freq"] for r in bpe_token_freq(solo, merges=1).collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+    # the merge table is EMPTY with the contract schema
+    mt = bpe_train(solo, merges=4)
+    assert mt.count() == 0
+    assert [f.name for f in mt.schema.fields] == [
+        "round",
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    ]
+
+    # pairs exhaust after 2 of 3 requested rounds: ab(x2) then cd;
+    # encode still returns the document (previously empty frame)
+    docs = spark.createDataFrame([(1, "ab ab cd")], ["doc_id", "text"])
+    merges_df, enc = bpe_train_encode(docs, merges=3)
+    rows = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges_df.orderBy("round").collect()
+    ]
+    assert rows == [(1, "a", "b", 2), (2, "c", "d", 1)]
+    got_enc = {r["doc_id"]: r["tokens"] for r in enc.collect()}
+    assert got_enc == {1: ["ab", "ab", "cd"]}

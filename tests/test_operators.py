@@ -2807,3 +2807,42 @@ def test_dbscan_2d_two_clusters_and_isolated_core(spark):
     assert {got[i] for i in (0, 1, 2, 3)} == {("core", 0)}
     assert {got[i] for i in (10, 11, 12, 13)} == {("core", 10)}
     assert {got[i] for i in (90, 91, 92)} == {("core", 90)}
+
+
+def test_dbscan_2d_snake_raises_then_converges(spark):
+    """An elongated single-density chain (the shapes DBSCAN exists to
+    find) whose core-graph diameter exceeds the CC budget now RAISES
+    loudly (round-12 ADVICE) instead of returning split cluster
+    labels; with a sized budget it returns ONE cluster."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.spatial import dbscan_2d
+
+    pts = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(40)], ["id", "x", "y"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dbscan_2d(pts, eps=15, min_pts=3, max_iterations=5).collect()
+
+    out = dbscan_2d(pts, eps=15, min_pts=3, max_iterations=60).collect()
+    clusters = {r["cluster"] for r in out if r["role"] == "core"}
+    assert clusters == {1}  # interior cores chain into one component
+    roles = {r["id"]: r["role"] for r in out}
+    assert roles[0] == "border" and roles[39] == "border"  # endpoints
+
+
+def test_dbscan_2d_exact_cells_near_long_max(spark):
+    """Grid cells use exact integer floor division: coordinates near
+    2^62 would round by up to 512 under a double cast, landing a
+    genuine <=eps pair many cells apart and silently missing it
+    (round-12 ADVICE). dx=8 <= eps=10 must pair regardless of
+    magnitude."""
+    from spatially_databricks_etl_spark.operators.spatial import dbscan_2d
+
+    x1, x2 = (1 << 62) - 260, (1 << 62) - 252
+    pts = spark.createDataFrame(
+        [(1, x1, 0), (2, x2, 0)], "id long, x long, y long"
+    )
+    out = {r["id"]: r for r in dbscan_2d(pts, eps=10, min_pts=2).collect()}
+    assert out[1]["role"] == "core" and out[2]["role"] == "core"
+    assert out[1]["cluster"] == out[2]["cluster"] == 1

@@ -1098,3 +1098,27 @@ def test_asof_join_tolerance_window_form_matches_cogroup(spark):
     # lt=10: candidate rt=5, distance 5 == tolerance -> matches;
     # lt=20: rt=18, distance 2 -> matches; lt=35: rt=18, distance 17 -> null
     assert out == {1: (5, "a"), 2: (18, "b"), 3: (None, None)}
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    """Min-label propagation advances one hop per iteration; a budget
+    smaller than the component diameter must RAISE (round-12 ADVICE)
+    rather than silently return split labels. require_convergence=False
+    opts back into the fixed-sweep intermediate state."""
+    import pytest
+
+    from spatially_databricks_etl_spark.operators.curate import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2).collect()
+
+    part = connected_components(
+        chain, max_iterations=2, require_convergence=False
+    )
+    assert part.count() == 11  # fixed-sweep state still returned
+
+    full = connected_components(chain, max_iterations=20)
+    assert {r["component"] for r in full.collect()} == {0}
