@@ -266,6 +266,67 @@ HEADLINE2 = [
     "q2_min_cost_supplier",
 ]
 
+# Per-query r1 baselines (BENCH_r01.json `parsed.queries`, the
+# committed artifact of record) — used to self-adjudicate apparent
+# breaches INSIDE the stdout artifact: a query whose median exceeds
+# BREACH_RATIO x its baseline gets its [min, max, baseline] spread
+# inlined into the one-line summary, so a verdict can tell "tail at
+# baseline = warm-up/box-variance class" from "floor above baseline =
+# real regression" without a separate isolation run (VERDICT r12
+# item 3). Only breaching rows are inlined — the round-4 lesson is
+# that ALL 44 spreads overflow the recorder's stdout tail.
+HEADLINE_BASELINE = {
+    "ref_pipeline": 2.295,
+    "q1_pricing_summary": 1.186,
+    "q6_forecast_revenue": 0.639,
+    "q10_returned_items": 2.676,
+    "q3_top_revenue_orders": 1.724,
+    "q5_star_join": 1.499,
+    "rollup": 0.735,
+    "grouping_sets": 0.448,
+    "pivot": 0.388,
+    "percentiles": 0.381,
+    "count_distinct": 0.282,
+    "range_join": 0.991,
+    "asof_join": 0.423,
+    "interval_join": 0.584,
+    "salted_join_agg": 2.267,
+    "window_topk": 1.066,
+    "json_fns": 0.817,
+    "map_explode": 0.764,
+    "text_stats": 0.334,
+    "doc_fingerprint": 0.234,
+    "pandas_sigmoid": 0.223,
+    "udaf_weighted_mean": 0.283,
+    "grouped_map_zscore": 2.981,
+    "dedup_exact": 0.544,
+    "minhash_neardup": 8.775,
+    "hash_split": 0.41,
+    "merge_upsert": 0.928,
+    "pack_sequences": 0.42,
+    "pii_redact": 0.346,
+    "decontaminate": 1.707,
+    "resample_ffill": 0.565,
+    "scd2": 0.739,
+    "fuzzy_join": 1.425,
+    "tfidf": 1.47,
+    "chunk_documents": 0.408,
+    "funnel": 0.676,
+    "geo_nearest": 0.39,
+    "ann_brute_topk": 1.082,
+    "ann_ivf_topk": 1.989,
+    "media_features": 0.443,
+    "tumbling_window": 0.531,
+    "sliding_window": 0.486,
+    "session_window": 0.68,
+    "stateful_running_totals": 0.264,
+}
+
+#: medians above this multiple of the committed baseline inline their
+#: spread into the stdout artifact (1.3 = the adjudication line the
+#: verdicts have used since round 10)
+BREACH_RATIO = 1.3
+
 HEADLINE2_BASELINE = {
     "dedup_lines": 0.573,
     "neardup_clusters": 6.126,
@@ -305,13 +366,24 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
+    # The sub-second class is where box-variance breaches have lived
+    # (hash_split r12, pii_redact r11: scheduling jitter is a fixed
+    # ~0.1-0.4 s tax that dominates a 0.4 s query and vanishes in a
+    # 9 s one). Queries whose n=iters median lands under 1 s get
+    # topped up to subsec_iters iterations — a few extra sub-second
+    # runs buy a median the jitter can't move (VERDICT r12 item 3).
+    subsec_iters = max(
+        iters, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_ITERS", "9"))
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
         n = -1
-        for _ in range(iters):
+
+        def one_run():
+            nonlocal n
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -323,11 +395,17 @@ def main() -> int:
             # numbers showed session_window at 2.2 s in-bench vs 0.9 s
             # isolated purely from this pollution.
             spark.catalog.clearCache()
+
+        for _ in range(iters):
+            one_run()
+        while statistics.median(runs) < 1.0 and len(runs) < subsec_iters:
+            one_run()
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         spread = f"[{min(runs):.2f}..{max(runs):.2f}]"
         print(
-            f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)",
+            f"# {name}: median {timings[name]:.3f}s {spread} "
+            f"(n={len(runs)}, {n} rows)",
             file=sys.stderr,
         )
 
@@ -349,11 +427,23 @@ def main() -> int:
             n = df.count()
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        # headline2 is a GATE (per-query 2x line) — its sub-second
+        # members get the same jitter-proof top-up as the headline set
+        while (
+            name in HEADLINE2_BASELINE
+            and statistics.median(runs) < 1.0
+            and len(runs) < subsec_iters
+        ):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
         extra_timings[name] = round(statistics.median(runs), 3)
         extra_spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         print(
             f"# extra {name}: median {extra_timings[name]:.3f}s "
-            f"[{min(runs):.2f}..{max(runs):.2f}] ({n} rows)",
+            f"[{min(runs):.2f}..{max(runs):.2f}] (n={len(runs)}, {n} rows)",
             file=sys.stderr,
         )
 
@@ -363,6 +453,30 @@ def main() -> int:
     # gate for the post-r1 operator families.
     h2 = {q: extra_timings[q] for q in HEADLINE2 if q in extra_timings}
     h2_total = round(sum(h2.values()), 3)
+    # Self-adjudicating breach evidence for the stdout artifact:
+    # [min, max, baseline] for every query whose median exceeds
+    # BREACH_RATIO x its committed baseline. Typically 0-3 rows (r12
+    # would have carried exactly one: hash_split); capped at 10 so
+    # the one-line contract survives a pathological board.
+    breach: dict[str, list[float]] = {}
+    for name, med in timings.items():
+        base = HEADLINE_BASELINE.get(name)
+        if base and med > BREACH_RATIO * base:
+            breach[name] = [*spreads[name], base]
+    for name in HEADLINE2:
+        base = HEADLINE2_BASELINE.get(name)
+        med = extra_timings.get(name)
+        if base and med and med > BREACH_RATIO * base:
+            breach[name] = [*extra_spreads[name], base]
+    breach_truncated = len(breach) > 10
+    if breach_truncated:
+        worst = sorted(
+            breach,
+            key=lambda q: -(
+                breach[q][1] / breach[q][2] if breach[q][2] else 0.0
+            ),
+        )[:10]
+        breach = {q: breach[q] for q in worst}
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -375,6 +489,7 @@ def main() -> int:
         "headline2": h2,
         "headline2_total": h2_total,
         "headline2_baseline": HEADLINE2_BASELINE,
+        "breach_spreads": breach,
         "n": iters,
         "sf": sf,
     }
@@ -390,19 +505,23 @@ def main() -> int:
     # …compact summary LAST so the recorder's stdout tail always holds
     # one complete JSON line (~1.2 KB with 44 medians — the size that
     # fit in rounds 1-3; spreads live in the detail line/file only).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "headline2_total": h2_total,
-                "n": iters,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "headline2_total": h2_total,
+        # [min, max, committed_baseline] ONLY for medians above
+        # BREACH_RATIO x baseline — usually empty, never more than 10
+        # rows, so the one-line stdout contract holds (see module
+        # docstring for the round-4 full-spreads truncation lesson)
+        "breach_spreads": breach,
+        "n": iters,
+        "sf": sf,
+    }
+    if breach_truncated:
+        summary["breach_truncated"] = True
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -2325,6 +2325,73 @@ def q_simhash_neardup_organic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_simhash_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-lifecycle persisted SimHash index, one graded row — the
+    index family's first driver-attested member (round-12 verdict
+    item 1's "one SimHash index search form"). Exercises the whole
+    CRUD surface against the planted corpus:
+
+    1. ``simhash_write_index``: clusters 0–3 (base + permutation) plus
+       the 35 disjoint-vocabulary fillers;
+    2. ``simhash_append_index``: cluster 4's base + permutation (the
+       append ≡ rebuild contract — fingerprints are per-document);
+    3. ``simhash_delete_index``: tombstone doc 101 (delete ≡ rebuild
+       for search results, pinned closed-form below);
+    4. ``simhash_search_index``: the five one-token-flip docs
+       (100c + 2) probe the index.
+
+    Expected matches are the planted pair set ``_SIMHASH_EXPECTED``
+    restricted to flip-doc rows, minus the tombstoned (102, 101) —
+    9 rows, every Hamming value pinned. A fresh temp dir per call
+    keeps runs hermetic (no cross-run index state)."""
+    import tempfile
+
+    from spatially_databricks_etl_spark.operators.dedup import (
+        simhash_append_index,
+        simhash_delete_index,
+        simhash_search_index,
+        simhash_write_index,
+    )
+
+    docs = _simhash_planted_docs()
+    path = tempfile.mkdtemp(prefix="spark_graft_simhash_idx_")
+    base = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 100 != 2 and not 400 <= i < 500],
+        "doc_id long, text string",
+    )
+    late = spark.createDataFrame(
+        [(i, t) for i, t in docs if i in (400, 401)], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame(
+        [(i, t) for i, t in docs if i % 100 == 2 and i < 1000],
+        "doc_id long, text string",
+    )
+    simhash_write_index(base, path)
+    simhash_append_index(late, path)
+    simhash_delete_index(
+        spark.createDataFrame([(101,)], "doc_id long"), path
+    )
+    out = simhash_search_index(probes, path, max_hamming=3)
+    return out.select(
+        "batch_id", "indexed_id", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+#: flip-doc rows of the planted pair set, minus the tombstoned 101:
+#: (batch=100c+2, indexed∈{100c, 100c+1}) at the pinned Hamming
+SQL_SIMHASH_SEARCH_INDEX = (
+    "SELECT CAST(batch_id AS BIGINT) AS batch_id, "
+    "CAST(indexed_id AS BIGINT) AS indexed_id, "
+    "CAST(hamming AS BIGINT) AS hamming FROM (VALUES "
+    + ", ".join(
+        f"({b}, {a}, {h})"
+        for a, b, h in _SIMHASH_EXPECTED
+        if b % 100 == 2 and a != 101
+    )
+    + ") AS t(batch_id, indexed_id, hamming)"
+)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets.
 
@@ -8255,20 +8322,47 @@ QUERIES: dict[str, QueryFn] = {
     # DuckDB oracle the cogroup form used; displaces
     # asof_join_cogroup, which stays at 51+ as the merge_asof
     # semantics pin together with asof_join_tolerance).
-    # ROTATION QUEUE for rounds 13+ (VERDICT r11 item 7; order =
-    # next-in): 1) event_transitions, 2) mutual_info, 3) grouped_ols,
+    # Round-13 rotation (VERDICT r12 item 1, exactly as prescribed):
+    # the nine round-12 operators judge-attested in the 0/190 run and
+    # three-scale-swept move INTO the prefix — ts_forecast (displacing
+    # ts_anomaly, seasonal-baseline family), label_propagation
+    # (displacing transitive_closure, iterative min-propagation),
+    # mixture_plan (displacing sample_mixture, its planning form),
+    # mmr_rerank (displacing ann_brute_topk — the verdict's "brute
+    # slot carries a recall/rank form"), embedding_quality (displacing
+    # quantize_embeddings), dbscan (displacing drift_embedding),
+    # bpe_train (displacing bigram_lm, corpus-trained text-model
+    # family), kcore (displacing triangle_count_dense), and the NEW
+    # simhash_search_index (displacing neardup_clusters) — the
+    # persisted-index family's first graded row: write / append /
+    # tombstone-delete / search in one closed-form-oracled query.
+    # PERMANENT CORE (VERDICT r12 item 5 — the graded-prefix endgame):
+    # the following ~40 prefix rows are the permanent core the
+    # rotation will NEVER displace, one row per family contract:
+    #   ref_pipeline + the 8 TPC-H rows (q1/q2/q7/q8/q9/q15/q16/q19),
+    #   rollup, ts_anomaly_detrended, ts_changepoint,
+    #   retrieval_metrics, fd_violations, window_topk, union_by_name,
+    #   resample_interpolate, scd2, asof_join_tolerance_window,
+    #   asof_join_nearest, json_fns, range_bin_join, pandas_sigmoid,
+    #   udaf_weighted_mean, dedup_exact, minhash_neardup, dedup_lines,
+    #   ann_lsh_recall, pii_redact, score_linear, hybrid3_topk,
+    #   decontaminate, curate_funnel, merge_upsert, cdc_apply,
+    #   snapshot_diff, incremental_rollup, tumbling_window,
+    #   stream_cdc_state, media_features, audio_energy  (= 41 rows).
+    # The ~9 remaining prefix slots are the ROTATION WINDOW; future
+    # rotations displace only window rows. Current window:
+    # ts_forecast, label_propagation, mixture_plan,
+    # simhash_search_index, mmr_rerank, embedding_quality, dbscan,
+    # bpe_train, kcore.
+    # ROTATION QUEUE for rounds 14+ (oldest-attested first):
+    # 1) event_transitions, 2) mutual_info, 3) grouped_ols,
     # 4) collocations, 5) candidate_keys, 6) repeated_spans,
     # 7) attribution_linear, 8) kmeans_outliers, 9) null_safe_join,
-    # 10) token_diversity, 11) column_entropy, 12) benford_audit —
-    # all judge-attested since round 9; each rotation displaces a
-    # driver-attested same-family twin, which stays fully oracled at
-    # 51+. Round-12 additions (label_propagation, embedding_quality,
-    # asof_join_tolerance_window's bench row, and the late bpe_train /
-    # bpe_token_freq / bpe_encode_docs / mmr_rerank / ts_forecast /
-    # mixture_plan / dbscan / kcore
-    # additions) land at 51+ first, per the standing
-    # attest-then-rotate discipline, and join the queue at positions
-    # 13-22 once judge-attested.
+    # 10) token_diversity, 11) column_entropy, 12) benford_audit,
+    # then the round-12 twins bpe_token_freq / bpe_encode_docs —
+    # all judge-attested; each rotation displaces a driver-attested
+    # same-family twin FROM THE WINDOW, which stays fully oracled at
+    # 51+.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -8281,13 +8375,13 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
-    "ts_anomaly": q_ts_anomaly,
+    "ts_forecast": q_ts_forecast,
     "ts_anomaly_detrended": q_ts_anomaly_detrended,
     "ts_changepoint": q_ts_changepoint,
     "retrieval_metrics": q_retrieval_metrics,
-    # -- sketches / sampling ----------------------------------------------
-    "transitive_closure": q_transitive_closure,
-    "sample_mixture": q_sample_mixture,
+    # -- graph / sampling --------------------------------------------------
+    "label_propagation": q_label_propagation,
+    "mixture_plan": q_mixture_plan,
     # -- data-quality / contract audits -----------------------------------
     "fd_violations": q_fd_violations,
     # -- window / set ops ------------------------------------------------
@@ -8310,21 +8404,21 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": q_minhash_neardup,
     "dedup_lines": q_dedup_lines,
-    "neardup_clusters": q_neardup_clusters,
+    "simhash_search_index": q_simhash_search_index,
     # -- similarity / ANN / embeddings / clustering -----------------------
-    "ann_brute_topk": q_ann_brute_topk,
-    "quantize_embeddings": q_quantize_embeddings,
+    "mmr_rerank": q_mmr_rerank,
+    "embedding_quality": q_embedding_quality,
     "ann_lsh_recall": q_ann_lsh_recall,
-    "drift_embedding": q_drift_embedding,
+    "dbscan": q_dbscan,
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
     "hybrid3_topk": q_hybrid3_topk,
     # -- corpus curation + graph -----------------------------------------
     "decontaminate": q_decontaminate,
-    "bigram_lm": q_bigram_lm,
+    "bpe_train": q_bpe_train,
     "curate_funnel": q_curate_funnel,
-    "triangle_count_dense": q_triangle_count_dense,
+    "kcore": q_kcore,
     # -- MERGE / incremental ---------------------------------------------
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
@@ -8428,39 +8522,35 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join_tolerance": q_asof_join_tolerance,
     "variant_fns": q_variant_fns,
     "ann_pq_recall": q_ann_pq_recall,
-    # round-12 additions (at 51+ per the attest-then-rotate
-    # discipline; rotation queue in the comment above): synchronous
-    # label-propagation communities (the graph family's community
-    # member, fully value-oracled via unrolled SQL) and the
-    # embedding-column hygiene profile (exact-integer RMS norm +
-    # ragged-dim/nonfinite/zero-vector counters)
-    "label_propagation": q_label_propagation,
-    "embedding_quality": q_embedding_quality,
-    # round-12 late additions (same discipline): BPE tokenizer
-    # training + the learned-vocabulary token frequencies — both
-    # fully value-oracled via 8-round unrolled SQL
-    "bpe_train": q_bpe_train,
+    # round-13 displaced twins (every one driver-attested in earlier
+    # rounds, still fully oracled + judge-checked here): ts_anomaly
+    # (→ ts_forecast took the seasonal-baseline slot; the detrended
+    # member keeps the anomaly family graded), transitive_closure
+    # (→ label_propagation, iterative min-propagation family),
+    # sample_mixture (→ mixture_plan, the planning form of the same
+    # op), ann_brute_topk (→ mmr_rerank; ann_lsh_recall keeps the
+    # exact-baseline comparison graded via its recall oracle),
+    # quantize_embeddings + drift_embedding (→ embedding_quality +
+    # dbscan; the hygiene profile is the embedding family's graded
+    # member), bigram_lm (→ bpe_train, corpus-trained text-model
+    # family), triangle_count_dense (→ kcore, graph-structure family;
+    # its standing perf adjudications live in SCALE.md),
+    # neardup_clusters (→ simhash_search_index, the persisted
+    # dedup-index family's first graded row)
+    "ts_anomaly": q_ts_anomaly,
+    "transitive_closure": q_transitive_closure,
+    "sample_mixture": q_sample_mixture,
+    "ann_brute_topk": q_ann_brute_topk,
+    "quantize_embeddings": q_quantize_embeddings,
+    "drift_embedding": q_drift_embedding,
+    "bigram_lm": q_bigram_lm,
+    "triangle_count_dense": q_triangle_count_dense,
+    "neardup_clusters": q_neardup_clusters,
+    # round-12 additions still at 51+ (attest-then-rotate): the
+    # learned-vocabulary frequencies and the tokenizer APPLY side
+    # (single-pass train+encode route), both value-oracled
     "bpe_token_freq": q_bpe_token_freq,
-    # round-12 late addition: MMR diversity re-rank — the greedy
-    # selection runs on exact integers, so all five picks are
-    # value-oracled via unrolled SQL
-    "mmr_rerank": q_mmr_rerank,
-    # round-12 late addition: the tokenizer APPLY side — per-document
-    # token arrays under the trained merges, array values oracled
     "bpe_encode_docs": q_bpe_encode_docs,
-    # round-12 late addition: seasonal-naive-with-drift forecast —
-    # the ts family's forecast member, e6-exact oracle
-    "ts_forecast": q_ts_forecast,
-    # round-12 late addition: per-domain mixture planning (targets /
-    # rates / oversampling epochs, exact integer div)
-    "mixture_plan": q_mixture_plan,
-    # round-12 late addition: DBSCAN density clustering (grid-blocked
-    # candidates, exact integer distances; per-point role + cluster
-    # label fully value-oracled via recursive-CTE reachability)
-    "dbscan": q_dbscan,
-    # round-12 late addition: k-core peeling — the graph family's
-    # degeneracy member, all four synchronous sweeps value-oracled
-    "kcore": q_kcore,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8605,6 +8695,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_PLANTED,
     "ann_pq_topk": SQL_ANN_PLANTED,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "simhash_search_index": SQL_SIMHASH_SEARCH_INDEX,
     "pca_project": SQL_PCA_PROJECT,
     "dedup_lines": SQL_DEDUP_LINES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,

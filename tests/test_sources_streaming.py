@@ -1521,6 +1521,81 @@ def test_index_ingest_sink_bm25_replay_skipped(spark, tmp_path):
     assert spark.read.parquet(f"{live}/_ingest_log").count() == 3
 
 
+def test_index_ingest_sink_streams_into_bm25_upsert_converges(spark, tmp_path):
+    """Streaming-ingest composition for BM25 (round-12 verdict item 6,
+    mirroring the SimHash pin): a REAL readStream drives foreachBatch →
+    index_ingest_sink(bm25_append_index) micro-batch appends onto a
+    base build, and search must equal ONE full rebuild (append ≡
+    rebuild). Then the UPSERT route (bm25_upsert_index — same
+    (batch_df, path) signature) composes through the sink: a
+    crash-window re-delivery (new batch id, identical content) still
+    converges to the same search results — generation-based
+    replacement makes re-delivery idempotent for search."""
+    from spatially_databricks_etl_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_search_index,
+        bm25_upsert_index,
+        bm25_write_index,
+    )
+    from spatially_databricks_etl_spark.streaming.stateful import index_ingest_sink
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 30")
+    )
+    base = docs.filter("doc_id < 15")
+    rest = docs.filter("doc_id >= 15")
+    qs = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash scan")],
+        "query_id int, query string",
+    )
+
+    live = str(tmp_path / "bm25_live")
+    bm25_write_index(base, live)
+    src = str(tmp_path / "bm25_src")
+    rest.repartition(3).write.parquet(src)
+    seen: list[tuple[int, list]] = []
+    inner = index_ingest_sink(live, bm25_append_index)
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.collect()))
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(capture).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(seen) >= 2
+
+    full = str(tmp_path / "bm25_full")
+    bm25_write_index(docs, full)
+    got = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    want = sorted(map(tuple, bm25_search_index(qs, full, k=10, quantize=6).collect()))
+    assert got == want and len(got) > 0
+
+    # replayed batch through the sink: ingest log unchanged, results
+    # unchanged (exactly-once)
+    log_before = spark.read.parquet(f"{live}/_ingest_log").count()
+    bid, batch_rows = seen[-1]
+    inner(spark.createDataFrame(batch_rows, schema=rest.schema), bid)
+    assert spark.read.parquet(f"{live}/_ingest_log").count() == log_before
+    after = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    assert after == want
+
+    # upsert route: crash-window re-delivery (log row lost → NEW batch
+    # ids, identical content) converges — generation replacement makes
+    # the second delivery a no-op for search results
+    up = index_ingest_sink(live, bm25_upsert_index)
+    up(spark.createDataFrame(batch_rows, schema=rest.schema), bid + 1000)
+    up(spark.createDataFrame(batch_rows, schema=rest.schema), bid + 1001)
+    again = sorted(map(tuple, bm25_search_index(qs, live, k=10, quantize=6).collect()))
+    assert again == want
+
+
 def test_read_parquet_evolved_aligns_schema_generations(spark, tmp_path):
     """Schema-drift-tolerant scan: two file generations with a type
     change (int -> string id), a dropped column and an added column
