@@ -228,6 +228,9 @@ EXTRA = [
     # round 12: k-core peeling (graph degeneracy member; all rounds
     # value-oracled via unrolled SQL)
     "kcore",
+    # round 13: the excision half of exact substring dedup (Lee et al.
+    # ACL 2022 strided form) — full rebuilt strings value-oracled
+    "remove_repeated_spans",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -7165,6 +7165,67 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span REMOVAL over the organic corpus
+    (Lee et al. ACL 2022 substring-dedup, strided form): every 64-char
+    stride-32 span occurring in ≥2 distinct docs keeps only its
+    corpus-wide canonical (smallest doc, pos) occurrence; removal
+    intervals merge per doc and the clean text is rebuilt — FULL
+    rebuilt strings face the oracle, which replays span extraction,
+    canonical row_number, island merge and segment reassembly."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        remove_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(
+        docs, id_col="doc_id", text_col="text", window=64, stride=32, min_docs=2
+    )
+
+
+SQL_REMOVE_REPEATED_SPANS = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+eligible AS (SELECT doc_id, text FROM docs WHERE length(text) >= 64),
+spans AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS pos,
+         substr(text, CAST(s AS INTEGER), 64) AS span
+  FROM eligible, unnest(range(1, length(text) - 62, 32)) AS g(s)),
+flagged AS (
+  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+  SELECT s.doc_id, s.pos,
+         row_number() OVER (PARTITION BY s.span ORDER BY s.doc_id, s.pos) AS rn
+  FROM spans s JOIN flagged f USING (span)),
+removals AS (
+  SELECT doc_id, pos AS s, pos + 63 AS e FROM occ WHERE rn > 1),
+ordered AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM removals),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered),
+merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM islands GROUP BY doc_id, isl),
+segs AS (
+  SELECT m.doc_id, m.s, m.e, d.text,
+         coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) AS prev_e
+  FROM merged m JOIN docs d USING (doc_id)),
+agg AS (
+  SELECT doc_id,
+         string_agg(substr(text, prev_e + 1, s - prev_e - 1), '' ORDER BY s)
+           || substr(min(text), max(e) + 1) AS clean_text,
+         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+  FROM segs GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, d.text) AS clean_text,
+       CAST(coalesce(a.removed_chars, 0) AS BIGINT) AS removed_chars
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch AND first-touch attribution of purchase conversions
     over per-user event journeys, unioned with a model tag — every
@@ -8551,6 +8612,10 @@ QUERIES: dict[str, QueryFn] = {
     # (single-pass train+encode route), both value-oracled
     "bpe_token_freq": q_bpe_token_freq,
     "bpe_encode_docs": q_bpe_encode_docs,
+    # round-13 addition (attest-then-rotate): the excision half of
+    # exact substring dedup — repeated_spans detects, this removes;
+    # full rebuilt strings value-oracled
+    "remove_repeated_spans": q_remove_repeated_spans,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8760,6 +8825,7 @@ ORACLES: dict[str, str] = {
     "collocations": SQL_COLLOCATIONS,
     "candidate_keys": SQL_CANDIDATE_KEYS,
     "repeated_spans": SQL_REPEATED_SPANS,
+    "remove_repeated_spans": SQL_REMOVE_REPEATED_SPANS,
     "attribution": SQL_ATTRIBUTION,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "kmeans_outliers": SQL_KMEANS_OUTLIERS,

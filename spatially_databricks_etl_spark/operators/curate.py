@@ -1294,6 +1294,117 @@ def repeated_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the excision half of
+    exact substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022: duplicated passages both
+    waste training compute and amplify memorization;
+    :func:`repeated_spans` detects them, this removes them). Strided
+    fixed windows stand in for their suffix-array scan (which has no
+    distributed analog) — same trade as the detector: a duplicate at
+    an unaligned offset can be missed; halve ``stride`` to tighten
+    recall at 2× the shuffle.
+
+    Semantics (fully deterministic, SQL-replayable):
+
+    - every ``window``-char span at 1-based starts {1, 1+stride, …}
+      occurring in ≥ ``min_docs`` DISTINCT documents is flagged;
+    - the CANONICAL occurrence — smallest (doc, pos) corpus-wide —
+      is kept; every other occurrence (including later same-doc
+      repeats) becomes a removal interval [pos, pos+window−1];
+    - per document, overlapping/adjacent intervals merge
+      (gaps-and-islands), and the kept complement segments
+      concatenate in order into ``clean_text``.
+
+    Returns (id_col, clean_text, removed_chars) — one row per input
+    document; untouched documents (including those shorter than
+    ``window``) pass through with removed_chars 0.
+
+    Scale shape: span extraction is array-native codegen (the
+    :func:`repeated_spans` plan); the flag is one hash aggregate with
+    map-side combine; canonical selection is one row_number window
+    partitioned by span (same key, Exchange reused); island-merge
+    windows partition by document over REMOVAL INTERVALS ONLY (orders
+    of magnitude smaller than the corpus); the rebuild is an
+    interval-sized aggregate joined back to the corpus — one
+    data-sized shuffle on doc id. At 100 TB, pre-hash
+    spans to xxhash64 keys and re-verify groups (the MinHash index
+    discipline) so the span shuffle carries 8 bytes, not ``window``
+    bytes, per occurrence."""
+    if window < 1 or stride < 1:
+        raise ValueError("remove_repeated_spans: window and stride must be >= 1")
+    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    spans = docs.filter(F.length("__t") >= window).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
+                f" s -> struct(s AS pos, substring(__t, s, {window}) AS span))"
+            )
+        ).alias("x"),
+    ).select("__id", F.col("x.pos").alias("pos"), F.col("x.span").alias("span"))
+    flagged = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span")
+    )
+    w_span = Window.partitionBy("span").orderBy("__id", "pos")
+    removals = (
+        spans.join(flagged, "span")
+        .withColumn("__rn", F.row_number().over(w_span))
+        .filter(F.col("__rn") > 1)
+        .select(
+            "__id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    w_doc = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        removals.withColumn(
+            "__new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("__id", "__isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__isls"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("__removed"),
+    )
+    return (
+        docs.join(per_doc, "__id", "left")
+        .withColumn(
+            "clean_text",
+            F.when(F.col("__isls").isNull(), F.col("__t")).otherwise(
+                F.expr(
+                    "aggregate(__isls, struct(0 AS le, '' AS acc), "
+                    "(st, x) -> struct(x.e AS le, concat(st.acc, "
+                    "substring(__t, st.le + 1, x.s - st.le - 1)) AS acc), "
+                    "st -> concat(st.acc, "
+                    "substring(__t, st.le + 1, length(__t) - st.le)))"
+                )
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "clean_text",
+            F.coalesce("__removed", F.lit(0)).cast("long").alias("removed_chars"),
+        )
+    )
+
+
 def token_diversity(
     df: DataFrame,
     *,

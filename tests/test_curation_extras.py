@@ -1105,3 +1105,120 @@ def test_bpe_exhaustion_stops_not_annihilates(spark):
     assert rows == [(1, "a", "b", 2), (2, "c", "d", 1)]
     got_enc = {r["doc_id"]: r["tokens"] for r in enc.collect()}
     assert got_enc == {1: ["ab", "ab", "cd"]}
+
+
+def _rrs_python_replay(texts, window, stride, min_docs):
+    """From-scratch replay of remove_repeated_spans semantics."""
+    spans = []  # (doc, pos, span)
+    for did in sorted(texts):
+        t = texts[did]
+        for p in range(1, len(t) - window + 2, stride):
+            spans.append((did, p, t[p - 1 : p - 1 + window]))
+    by_span = {}
+    for did, p, sp in spans:
+        by_span.setdefault(sp, []).append((did, p))
+    out = {}
+    removals = {did: [] for did in texts}
+    for sp, occ in by_span.items():
+        if len({d for d, _ in occ}) >= min_docs:
+            for did, p in sorted(occ)[1:]:
+                removals[did].append((p, p + window - 1))
+    for did, t in texts.items():
+        ivals = sorted(removals[did])
+        merged = []
+        for s, e in ivals:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        clean, last = [], 0
+        for s, e in merged:
+            clean.append(t[last : s - 1])
+            last = e
+        clean.append(t[last:])
+        out[did] = ("".join(clean), sum(e - s + 1 for s, e in merged))
+    return out
+
+
+def test_remove_repeated_spans_hand_and_replay(spark):
+    """Span removal ≡ a from-scratch Python replay on a corpus with a
+    shared boilerplate block, an unaligned repeat, same-doc repeats
+    and a short passthrough doc; the canonical (smallest doc, pos)
+    occurrence is kept."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        remove_repeated_spans,
+    )
+
+    boiler = "LICENSE HEADER COPYRIGHT 2026 ALL RIGHTS RESERVED END"
+    texts = {
+        1: boiler + " alpha bravo charlie delta echo foxtrot golf hotel india",
+        2: boiler + " juliet kilo lima mike november oscar papa quebec romeo",
+        # doc 3: the boiler at an UNALIGNED offset (pos 4 with stride
+        # 6) — the documented strided-window miss: no stride-aligned
+        # window here matches a stride-aligned window in docs 1/2/4,
+        # so doc 3 must pass through UNTOUCHED
+        3: "zz " + boiler + " sierra tango uniform victor whiskey xray yankee",
+        4: boiler + boiler + " extra tail content here to pad the document out",
+        5: "short doc",
+    }
+    window, stride, min_docs = 18, 6, 2
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_chars"])
+        for r in remove_repeated_spans(
+            spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            ),
+            id_col="doc_id",
+            text_col="text",
+            window=window,
+            stride=stride,
+            min_docs=min_docs,
+        ).collect()
+    }
+    want = _rrs_python_replay(texts, window, stride, min_docs)
+    assert got == want
+    # the shared boilerplate really was excised from non-canonical docs
+    assert boiler in got[1][0] or boiler in got[4][0]  # one canonical keeper
+    assert got[5] == ("short doc", 0)  # short doc passes through
+    assert got[2][1] > 0 and got[4][1] > 0  # aligned repeats excised
+    assert got[3] == (texts[3], 0)  # unaligned offset: documented miss
+
+
+def test_remove_repeated_spans_property(spark):
+    """Randomized corpora (seeded): Spark result ≡ Python replay, and
+    removed_chars == len(text) - len(clean_text) always."""
+    import random
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        remove_repeated_spans,
+    )
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        shared = "".join(rng.choices(vocab, k=rng.randint(8, 14)))
+        texts = {}
+        for did in range(8):
+            body = "".join(rng.choices(vocab, k=rng.randint(5, 30)))
+            if rng.random() < 0.6:
+                cut = rng.randint(0, len(body))
+                body = body[:cut] + shared + body[cut:]
+            texts[did] = body
+        window, stride = rng.choice([(8, 4), (10, 5), (12, 3)])
+        got = {
+            r["doc_id"]: (r["clean_text"], r["removed_chars"])
+            for r in remove_repeated_spans(
+                spark.createDataFrame(
+                    list(texts.items()), "doc_id long, text string"
+                ),
+                id_col="doc_id",
+                text_col="text",
+                window=window,
+                stride=stride,
+                min_docs=2,
+            ).collect()
+        }
+        want = _rrs_python_replay(texts, window, stride, 2)
+        assert got == want, (trial, window, stride)
+        for did, (clean, rem) in got.items():
+            assert rem == len(texts[did]) - len(clean)
