@@ -231,6 +231,10 @@ EXTRA = [
     # round 13: the excision half of exact substring dedup (Lee et al.
     # ACL 2022 strided form) — full rebuilt strings value-oracled
     "remove_repeated_spans",
+    # round 13: temperature-scaled mixture shares + snake-packed
+    # size-balanced shard assignment (both exact-oracled)
+    "mixture_temperature",
+    "shard_by_size",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

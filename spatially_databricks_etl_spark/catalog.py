@@ -7226,6 +7226,32 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_shard_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment of the documents fixture into 8
+    token-cost-balanced output shards (snake/boustrophedon packing
+    over the (n_chars DESC, doc_id) order). The engine computes ranks
+    DISTRIBUTED (range Exchange + per-partition row_number + offset
+    manifest — no single-partition window); the oracle replays the
+    identical assignment with a plain ROW_NUMBER because the result
+    depends only on the total order."""
+    from spatially_databricks_etl_spark.sinks.layout import shard_by_size
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_by_size(docs, id_col="doc_id", size_col="n_chars", n_shards=8)
+
+
+SQL_SHARD_BY_SIZE = """
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+  FROM documents)
+SELECT doc_id, size,
+       CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                 ELSE 7 - (rk % 8) END AS BIGINT) AS shard
+FROM r
+"""
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch AND first-touch attribution of purchase conversions
     over per-user event journeys, unioned with a model tag — every
@@ -8004,6 +8030,51 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (shares ∝ √avail, the α=0.5
+    point of the mT5/XLM-R low-resource up-weighting family) over the
+    documents fixture against a 500k-token budget. αᵅ quantizes to a
+    fixed-point 1e6 score the instant it's computed; every share /
+    target / rate / epoch after that is exact integer arithmetic —
+    and sqrt is IEEE-correctly-rounded, so the oracle replays the
+    whole result bit-for-bit."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        mixture_temperature,
+    )
+
+    return mixture_temperature(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang",
+        alpha=0.5,
+        total_tokens=500_000,
+    )
+
+
+SQL_MIXTURE_TEMPERATURE = """
+WITH agg AS (
+  SELECT lang AS "group",
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+')))
+              AS BIGINT) AS avail_tokens
+  FROM documents
+  GROUP BY 1),
+s AS (
+  SELECT *, CAST(floor(sqrt(avail_tokens) * 1000000.0) AS BIGINT) AS sc
+  FROM agg),
+t AS (SELECT CAST(sum(sc) AS HUGEINT) AS big_s FROM s)
+SELECT "group", n_docs, avail_tokens,
+       CAST((CAST(sc AS HUGEINT) * 1000000) // big_s AS BIGINT) AS weight_e6,
+       CAST((CAST(500000 AS HUGEINT) * sc) // big_s AS BIGINT) AS target_tokens,
+       CASE WHEN avail_tokens > 0 THEN
+         CAST((((CAST(500000 AS HUGEINT) * sc) // big_s) * 1000000)
+              // avail_tokens AS BIGINT) END AS sample_rate_e6,
+       CASE WHEN avail_tokens > 0 THEN
+         CAST(((CAST(500000 AS HUGEINT) * sc) // big_s + avail_tokens - 1)
+              // avail_tokens AS BIGINT) END AS epochs
+FROM s, t
+"""
+
+
 SQL_MIXTURE_PLAN = """
 WITH agg AS (
   SELECT lang AS "group",
@@ -8616,6 +8687,13 @@ QUERIES: dict[str, QueryFn] = {
     # exact substring dedup — repeated_spans detects, this removes;
     # full rebuilt strings value-oracled
     "remove_repeated_spans": q_remove_repeated_spans,
+    # round-13 addition: temperature-scaled mixture shares (∝ √avail,
+    # fixed-point-quantized then exact-integer — bit-exact oracle)
+    "mixture_temperature": q_mixture_temperature,
+    # round-13 addition: snake-packed size-balanced shard assignment
+    # (distributed ranking — range Exchange + offset manifest, no
+    # single-partition window; oracle replays via ROW_NUMBER)
+    "shard_by_size": q_shard_by_size,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8809,6 +8887,8 @@ ORACLES: dict[str, str] = {
     "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
     "ts_forecast": SQL_TS_FORECAST,
     "mixture_plan": SQL_MIXTURE_PLAN,
+    "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
+    "shard_by_size": SQL_SHARD_BY_SIZE,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

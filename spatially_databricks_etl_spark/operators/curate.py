@@ -1866,6 +1866,90 @@ def mixture_plan(
     )
 
 
+def mixture_temperature(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    total_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled training-mixture plan: per-domain sampling
+    shares ∝ availᵅ — the standard low-resource up-weighting for
+    multilingual / multi-domain corpora (mT5 uses α=0.3, XLM-R α=0.7;
+    α=1 is proportional, α→0 uniform). The DATA-DRIVEN sibling of
+    :func:`mixture_plan` (which takes explicit weights).
+
+    Determinism contract: the only transcendental is availᵅ, which is
+    immediately quantized to a 64-bit fixed-point score
+    ``floor(availᵅ · 1e6)``; every downstream number (shares, targets,
+    rates, epochs) is exact integer arithmetic on those scores —
+    float-summation order can never perturb the result, and the
+    DuckDB oracle replays it bit-for-bit. At the default α=0.5 the
+    power is ``sqrt``, which IEEE 754 requires to be CORRECTLY
+    ROUNDED, so even the score is bit-identical across engines
+    (general ``pow`` is not so guaranteed — catalog/oracle use 0.5).
+
+    Returns (group, n_docs, avail_tokens, weight_e6, target_tokens,
+    sample_rate_e6, epochs) — weight_e6 is the fixed-point mixture
+    share, the rest follow :func:`mixture_plan`'s contract.
+
+    Scale shape: ONE corpus scan into a |domains|-row hash aggregate;
+    the share denominator rides a broadcast 1-row total. At 100 TB:
+    one pass, shuffle carries |domains| rows."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))
+    )
+    agg = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("__t"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("avail_tokens"),
+        )
+    )
+    powed = (
+        F.sqrt(F.col("avail_tokens"))
+        if alpha == 0.5
+        else F.pow(F.col("avail_tokens"), F.lit(float(alpha)))
+    )
+    agg = agg.withColumn(
+        "__s", F.floor(powed * F.lit(1_000_000.0)).cast("long")
+    )
+    total = agg.agg(F.sum("__s").cast("long").alias("__stot"))
+    out = agg.crossJoin(F.broadcast(total))
+    out = out.withColumn(
+        "weight_e6",
+        F.expr("CAST((__s * CAST(1000000 AS BIGINT)) div __stot AS BIGINT)"),
+    ).withColumn(
+        "target_tokens",
+        F.expr(
+            f"CAST((CAST({int(total_tokens)} AS DECIMAL(38,0)) * __s)"
+            f" div __stot AS BIGINT)"
+        ),
+    )
+    rate = F.expr(
+        "CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000000)"
+        " div avail_tokens AS BIGINT)"
+    )
+    epochs = F.expr(
+        "CAST((target_tokens + avail_tokens - 1) div avail_tokens AS BIGINT)"
+    )
+    return out.select(
+        "group",
+        "n_docs",
+        "avail_tokens",
+        "weight_e6",
+        "target_tokens",
+        F.when(F.col("avail_tokens") > 0, rate).alias("sample_rate_e6"),
+        F.when(F.col("avail_tokens") > 0, epochs).alias("epochs"),
+    )
+
+
 def bpe_save_merges(merges: DataFrame, path: str) -> None:
     """Persist a trained BPE merge table (:func:`bpe_train`'s output)
     as a parquet artifact — the tokenizer is a PRODUCT: trained once

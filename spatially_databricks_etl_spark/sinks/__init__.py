@@ -1,5 +1,6 @@
 from spatially_databricks_etl_spark.sinks.layout import (
     compact_files,
+    shard_by_size,
     write_bucketed,
     write_range_sorted,
     write_similarity_clustered,
@@ -20,6 +21,7 @@ from spatially_databricks_etl_spark.sinks.writers import (
 __all__ = [
     "compact_files",
     "ctas",
+    "shard_by_size",
     "save_as_table",
     "write_bucketed",
     "write_parquet",

@@ -246,3 +246,83 @@ def write_similarity_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def shard_by_size(
+    df: DataFrame,
+    *,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Balanced output-shard assignment by size — the write-planning
+    stage ahead of a sharded training-data export (every shard should
+    cost a downstream reader the same: token-balanced shards keep
+    data-parallel trainer steps in lockstep; byte-balanced shards keep
+    object-store reads even). Classic LPT-flavored snake packing,
+    determinized: rows order globally by (size DESC, id ASC); rank r
+    goes to shard ``r % n`` on even blocks ``r div n`` and to the
+    mirrored shard on odd blocks (boustrophedon), so each full block
+    hands every shard exactly one row and consecutive blocks cancel
+    each other's within-block skew. Shard totals stay within one
+    max-row-size of each other for size-sorted input — the bound the
+    snake buys over plain round-robin.
+
+    Returns (id_col, size, shard) — shard in [0, n_shards).
+
+    Scale shape: NO single-partition window. The global order is a
+    range Exchange (repartitionByRange + sortWithinPartitions — the
+    same machinery as a distributed ORDER BY); global ranks are
+    per-partition row_numbers plus partition offsets from a
+    #partitions-row count manifest (bounded metadata, the classic
+    distributed-ranking construction). The only data-sized movement
+    is the one range shuffle. The oracle replays the identical
+    assignment with a plain ROW_NUMBER — the result depends only on
+    the total order, not on how it was computed."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(size_col).cast("long").alias("size")
+    )
+    nparts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    # eagerly checkpointed: the frame has TWO consumers (the count
+    # manifest and the final rank join), and repartitionByRange's
+    # boundary sampling is not guaranteed byte-stable across separate
+    # jobs — both consumers must observe the SAME physical
+    # partitioning or offsets and row_numbers could disagree
+    ranged = (
+        src.repartitionByRange(nparts, F.desc("size"), F.asc("__id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # bounded metadata: one row per partition -> cumulative offsets.
+    # repartitionByRange assigns ascending partition ids along the
+    # range order, so offsets accumulate in __pid order.
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(F.desc("size"), F.asc("__id"))
+    ranked = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "__rk", F.col("__off") + F.row_number().over(w) - F.lit(1)
+        )
+    )
+    n = int(n_shards)
+    shard = F.expr(
+        f"CAST(CASE WHEN (__rk div {n}) % 2 = 0 THEN __rk % {n} "
+        f"ELSE {n} - 1 - (__rk % {n}) END AS BIGINT)"
+    )
+    return ranked.select(
+        F.col("__id").alias(id_col), "size", shard.alias("shard")
+    )

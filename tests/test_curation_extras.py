@@ -1222,3 +1222,71 @@ def test_remove_repeated_spans_property(spark):
         assert got == want, (trial, window, stride)
         for did, (clean, rem) in got.items():
             assert rem == len(texts[did]) - len(clean)
+
+
+def test_mixture_temperature_exact_replay_and_flattening(spark):
+    """mixture_temperature ≡ an exact Python replay (sqrt is IEEE
+    correctly rounded, everything after is integer arithmetic), and
+    √-scaling FLATTENS the mixture: the dominant domain's share drops
+    vs proportional, the smallest domain's share rises."""
+    import math
+    import re
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        mixture_temperature,
+    )
+
+    texts = [
+        ("en", "alpha bravo charlie " * 50),
+        ("en", "delta echo foxtrot " * 40),
+        ("en", "golf hotel india " * 60),
+        ("de", "juliet kilo " * 10),
+        ("zh", "lima"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    total_tokens = 9_999
+    got = {
+        r["group"]: (
+            r["n_docs"],
+            r["avail_tokens"],
+            r["weight_e6"],
+            r["target_tokens"],
+            r["sample_rate_e6"],
+            r["epochs"],
+        )
+        for r in mixture_temperature(
+            docs, group_col="lang", alpha=0.5, total_tokens=total_tokens
+        ).collect()
+    }
+
+    avail: dict[str, int] = {}
+    ndocs: dict[str, int] = {}
+    for lang, t in texts:
+        n = len(re.findall("[a-z]+", t.lower()))
+        avail[lang] = avail.get(lang, 0) + n
+        ndocs[lang] = ndocs.get(lang, 0) + 1
+    sc = {g: math.floor(math.sqrt(n) * 1_000_000.0) for g, n in avail.items()}
+    stot = sum(sc.values())
+    want = {}
+    for g in avail:
+        target = total_tokens * sc[g] // stot
+        want[g] = (
+            ndocs[g],
+            avail[g],
+            sc[g] * 1_000_000 // stot,
+            target,
+            target * 1_000_000 // avail[g],
+            (target + avail[g] - 1) // avail[g],
+        )
+    assert got == want
+
+    # flattening: en dominates proportionally; sqrt shrinks its share
+    prop = {g: n / sum(avail.values()) for g, n in avail.items()}
+    sqrt_share = {g: sc[g] / stot for g in sc}
+    assert sqrt_share["en"] < prop["en"]
+    assert sqrt_share["zh"] > prop["zh"]
+    # tiny domain oversamples: epochs > 1
+    assert got["zh"][5] >= 2

@@ -442,3 +442,51 @@ def test_retry_versioned_write_loser_loop(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(V, "versioned_write", always_lose)
     with pytest.raises(V.ConcurrentWriteError):
         V.retry_versioned_write(df, path, retries=2)
+
+
+def test_shard_by_size_snake_replay_and_balance(spark):
+    """shard_by_size ≡ a Python snake-packing replay on the
+    (size DESC, id ASC) order; shard token totals stay tight (within
+    one max row size); every row assigned exactly once; n_shards=1
+    degenerates to all-zero."""
+    from spatially_databricks_etl_spark.sinks.layout import shard_by_size
+
+    rows = [(i, 7 + (i * 137) % 500) for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    n = 8
+    got = {
+        r["doc_id"]: (r["size"], r["shard"])
+        for r in shard_by_size(
+            df, id_col="doc_id", size_col="n_tok", n_shards=n
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {}
+    for rk, (did, sz) in enumerate(ordered):
+        off = rk % n
+        want[did] = (sz, off if (rk // n) % 2 == 0 else n - 1 - off)
+    assert got == want
+    totals = [0] * n
+    for sz, sh in got.values():
+        totals[sh] += sz
+    assert max(totals) - min(totals) <= max(sz for _, sz in rows)
+
+    one = shard_by_size(df, id_col="doc_id", size_col="n_tok", n_shards=1)
+    assert {r["shard"] for r in one.collect()} == {0}
+
+
+def test_shard_by_size_distributed_rank_consistency(spark):
+    """The distributed ranking (range Exchange + offset manifest) must
+    produce a PERMUTATION of 0..N-1 ranks — i.e. each (block, offset)
+    pair is hit exactly once — even with heavy duplicate sizes, where
+    only the id tiebreak orders rows."""
+    from spatially_databricks_etl_spark.sinks.layout import shard_by_size
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("sz")
+    )
+    out = shard_by_size(df, id_col="doc_id", size_col="sz", n_shards=7)
+    counts = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(7))
+    # 4096 = 7*585 + 1: six shards get 585, one gets 586
+    assert sorted(counts.values()) == [585] * 6 + [586]
