@@ -235,6 +235,9 @@ EXTRA = [
     # size-balanced shard assignment (both exact-oracled)
     "mixture_temperature",
     "shard_by_size",
+    # round 13: WordPiece training (likelihood arg-max, exact
+    # fixed-point scores, all rounds value-oracled)
+    "wordpiece_train",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

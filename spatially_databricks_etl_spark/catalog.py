@@ -7677,14 +7677,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), text_col="text", merges=8)
 
 
-def _bpe_oracle_ctes(merges: int) -> str:
-    """Shared unrolled-round CTE chain for the BPE oracles: one
-    corpus-scan word-frequency CTE, a character symbol table, then
+def _bpe_oracle_ctes(merges: int, scoring: str = "freq") -> str:
+    """Shared unrolled-round CTE chain for the BPE/WordPiece oracles:
+    one corpus-scan word-frequency CTE, a character symbol table, then
     per round pair-count → 1-row arg-max → gaps-and-islands greedy
     merge (islands = maximal runs of consecutive matching positions;
     merge the odd offsets; ``lag(head)`` drops consumed rows) —
     textually identical semantics to ``operators/curate.py:
-    _bpe_apply_merge``."""
+    _bpe_apply_merge``. ``scoring='likelihood'`` swaps the arg-max for
+    WordPiece's exact fixed-point (cnt·10¹⁸) // (cnt_a·cnt_b) in
+    HUGEINT, matching the engine's DECIMAL(38,0) `div`."""
     head = """
 WITH words AS (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
@@ -7697,19 +7699,41 @@ s0 AS (
   FROM (SELECT word, freq, unnest(range(1, length(word)+1)) AS pos FROM words)
 )"""
     steps = []
+    # likelihood rounds reference x{r}/s{r} three ways each — without
+    # materialization DuckDB re-inlines the whole recursive CTE tree
+    # and the oracle goes exponential (measured 385 s at sf0.001)
+    mat = " MATERIALIZED" if scoring == "likelihood" else ""
     for r in range(1, merges + 1):
-        steps.append(
-            f""",
-x{r} AS (
-  SELECT word, freq, pos, sym,
-         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-  FROM s{r - 1}
+        if scoring == "likelihood":
+            argmax = f"""
+u{r} AS MATERIALIZED (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS u FROM x{r} GROUP BY 1
 ),
+t{r} AS (
+  SELECT a, b, cnt, sc FROM (
+    SELECT p.sym AS a, p.nxt AS b, p.cnt,
+           CAST((CAST(p.cnt AS HUGEINT) * 1000000000000000000)
+                // (CAST(ua.u AS HUGEINT) * ub.u) AS BIGINT) AS sc
+    FROM (SELECT sym, nxt, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM x{r} WHERE nxt IS NOT NULL GROUP BY 1, 2) p
+    JOIN u{r} ua ON ua.sym = p.sym
+    JOIN u{r} ub ON ub.sym = p.nxt
+  ) ORDER BY sc DESC, cnt DESC, a, b LIMIT 1
+),"""
+        else:
+            argmax = f"""
 t{r} AS (
   SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
   FROM x{r} WHERE nxt IS NOT NULL
   GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
-),
+),"""
+        steps.append(
+            f""",
+x{r} AS{mat} (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM s{r - 1}
+),{argmax}
 g{r} AS (
   SELECT x.word, x.freq, x.pos, x.sym, x.nxt,
          coalesce(x.sym = t.a AND x.nxt = t.b, FALSE) AS m
@@ -7732,7 +7756,7 @@ y{r} AS (
          lag(head) OVER (PARTITION BY word ORDER BY pos) AS prev_head
   FROM h{r}
 ),
-s{r} AS (
+s{r} AS{mat} (
   SELECT word, freq,
          row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
          CASE WHEN head THEN sym || nxt ELSE sym END AS sym
@@ -7752,6 +7776,36 @@ def _bpe_train_oracle_sql(merges: int) -> str:
 
 
 SQL_BPE_TRAIN = _bpe_train_oracle_sql(8)
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (likelihood arg-max — BERT's
+    selection rule) over the full corpus, 6 merge rounds, every round
+    value-oracled as unrolled SQL: the score is the exact fixed-point
+    (cnt·10¹⁸) div (cnt_left·cnt_right) on DECIMAL(38,0), which the
+    oracle replays with HUGEINT `//` — no float anywhere in either
+    engine."""
+    from spatially_databricks_etl_spark.operators.curate import wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_train(docs, merges=6)
+
+
+def _wordpiece_train_oracle_sql(merges: int) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count, sc AS score FROM t{r}"
+        for r in range(1, merges + 1)
+    )
+    return (
+        _bpe_oracle_ctes(merges, scoring="likelihood")
+        + "\nSELECT * FROM (\n"
+        + union
+        + "\n)"
+    )
+
+
+SQL_WORDPIECE_TRAIN = _wordpiece_train_oracle_sql(6)
 
 
 def q_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8694,6 +8748,9 @@ QUERIES: dict[str, QueryFn] = {
     # (distributed ranking — range Exchange + offset manifest, no
     # single-partition window; oracle replays via ROW_NUMBER)
     "shard_by_size": q_shard_by_size,
+    # round-13 addition: WordPiece training (likelihood arg-max, BERT
+    # rule) — exact fixed-point scores, all rounds value-oracled
+    "wordpiece_train": q_wordpiece_train,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8889,6 +8946,7 @@ ORACLES: dict[str, str] = {
     "mixture_plan": SQL_MIXTURE_PLAN,
     "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     "shard_by_size": SQL_SHARD_BY_SIZE,
+    "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

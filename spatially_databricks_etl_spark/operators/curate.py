@@ -1550,6 +1550,7 @@ def _bpe_rounds(
     merges: int,
     pattern: str,
     lowercase: bool,
+    scoring: str = "freq",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared BPE trainer: returns (merge table, final symbol table).
 
@@ -1566,9 +1567,21 @@ def _bpe_rounds(
     truncates lineage per round (the :func:`pagerank` /
     :func:`label_propagation` discipline); the 1-row arg-max frame is
     checkpointed so its two consumers (merge table, merge apply)
-    don't recompute the aggregate."""
+    don't recompute the aggregate.
+
+    ``scoring`` selects the arg-max rule: ``"freq"`` is classic BPE
+    (highest pair count); ``"likelihood"`` is WordPiece (Schuster &
+    Nakajima 2012; used by BERT) — highest cnt(pair)/(cnt(a)·cnt(b)),
+    computed as the exact fixed-point integer
+    ``(cnt·10¹⁸) div (cnt_a·cnt_b)`` on DECIMAL(38,0) so the arg-max
+    (ties → count DESC, left, right) is deterministic and replayable
+    as unrolled SQL with HUGEINT arithmetic — no float anywhere. The
+    unigram table is one extra vocabulary-sized aggregate per round;
+    the asymptotics don't change."""
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
+    if scoring not in ("freq", "likelihood"):
+        raise ValueError(f"scoring must be 'freq' or 'likelihood', got {scoring!r}")
     words = _bpe_words(docs, text_col=text_col, pattern=pattern, lowercase=lowercase)
     syms = (
         words.select(
@@ -1602,17 +1615,45 @@ def _bpe_rounds(
             .groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("cnt"))
         )
+        if scoring == "likelihood":
+            uni = syms.groupBy("sym").agg(F.sum("freq").alias("__u"))
+            counts = (
+                counts.join(
+                    uni.select("sym", F.col("__u").alias("__ua")), "sym"
+                )
+                .join(
+                    uni.select(
+                        F.col("sym").alias("nxt"), F.col("__u").alias("__ub")
+                    ),
+                    "nxt",
+                )
+                .withColumn(
+                    "__sc",
+                    F.expr(
+                        "CAST((CAST(cnt AS DECIMAL(38,0))"
+                        " * 1000000000000000000)"
+                        " div (CAST(__ua AS DECIMAL(38,0)) * __ub)"
+                        " AS BIGINT)"
+                    ),
+                )
+            )
+            order = [F.col("__sc").desc(), F.col("cnt").desc(), "sym", "nxt"]
+            score_col = F.col("__sc")
+        else:
+            order = [F.col("cnt").desc(), "sym", "nxt"]
+            score_col = F.col("cnt").cast("long")
         # eagerly checkpointed: the 1-row arg-max has two consumers
         # (merge table, merge apply) — leaving it lazy re-runs the
         # count aggregate inside every consumer's job and measured
         # ~1.6x SLOWER locally than paying the one extra barrier
         top = (
-            counts.orderBy(F.col("cnt").desc(), "sym", "nxt")
+            counts.orderBy(*order)
             .limit(1)
             .select(
                 F.col("sym").alias("__a"),
                 F.col("nxt").alias("__b"),
                 F.col("cnt").cast("long").alias("__cnt"),
+                score_col.cast("long").alias("__score"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1631,6 +1672,7 @@ def _bpe_rounds(
                 F.col("__a").alias("left_sym"),
                 F.col("__b").alias("right_sym"),
                 F.col("__cnt").alias("pair_count"),
+                F.col("__score").alias("score"),
             )
         )
         syms = (
@@ -1643,7 +1685,8 @@ def _bpe_rounds(
         # empty merge table with the contract schema, symbols intact
         empty = docs.sparkSession.createDataFrame(
             [],
-            "round long, left_sym string, right_sym string, pair_count long",
+            "round long, left_sym string, right_sym string,"
+            " pair_count long, score long",
         )
         return empty, syms
     merges_df = merge_frames[0]
@@ -1683,6 +1726,42 @@ def bpe_train(
     round-trip, no O(corpus) step after the first scan."""
     return _bpe_rounds(
         docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
+    )[0].select("round", "left_sym", "right_sym", "pair_count")
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    merges: int = 8,
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Train a WordPiece merge table (Schuster & Nakajima 2012, the
+    BERT tokenizer's training rule): per round, merge the pair
+    maximizing the LIKELIHOOD score cnt(pair)/(cnt(left)·cnt(right))
+    rather than raw frequency — frequency favors merging two already-
+    common symbols; likelihood favors pairs that co-occur far more
+    than their parts predict, yielding morpheme-like units earlier.
+
+    Returns (round, left_sym, right_sym, pair_count, score) where
+    score is the exact fixed-point integer
+    ``(cnt·10¹⁸) div (cnt_left·cnt_right)`` — no float anywhere, so
+    the full training run (arg-max ties → count DESC, left, right)
+    replays as unrolled SQL with HUGEINT arithmetic, like
+    :func:`bpe_train`.
+
+    Shares :func:`bpe_train`'s single-corpus-scan shape; the unigram
+    table adds one vocabulary-sized aggregate per round. The merge
+    rules feed :func:`bpe_encode` unchanged (application semantics
+    are identical — only the selection rule differs)."""
+    return _bpe_rounds(
+        docs,
+        text_col=text_col,
+        merges=merges,
+        pattern=pattern,
+        lowercase=lowercase,
+        scoring="likelihood",
     )[0]
 
 
@@ -2007,6 +2086,7 @@ def bpe_train_encode(
     merges_df, syms = _bpe_rounds(
         docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
     )
+    merges_df = merges_df.select("round", "left_sym", "right_sym", "pair_count")
     word_toks = syms.groupBy("word").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "sym"))),

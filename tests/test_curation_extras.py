@@ -1290,3 +1290,81 @@ def test_mixture_temperature_exact_replay_and_flattening(spark):
     assert sqrt_share["zh"] > prop["zh"]
     # tiny domain oversamples: epochs > 1
     assert got["zh"][5] >= 2
+
+
+def _wordpiece_python_replay(texts, merges):
+    """From-scratch WordPiece trainer: likelihood arg-max with the
+    exact fixed-point score, greedy leftmost-non-overlapping apply."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[w] += 1
+    syms = {w: list(w) for w in words}
+    out = []
+    for rnd in range(1, merges + 1):
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for a in s:
+                uc[a] += f
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        def score(p):
+            return (pc[p] * 10**18) // (uc[p[0]] * uc[p[1]])
+        best = min(pc, key=lambda p: (-score(p), -pc[p], p[0], p[1]))
+        a, b = best
+        out.append((rnd, a, b, pc[best], score(best)))
+        for w in syms:
+            s, ns, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+    return out
+
+
+def test_wordpiece_train_matches_python_replay(spark):
+    """wordpiece_train ≡ the Python likelihood replay, and diverges
+    from bpe_train where frequency and likelihood disagree: 'qu'
+    co-occurs perfectly (likelihood picks it) while a commoner but
+    promiscuous pair wins on raw frequency."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_train,
+        wordpiece_train,
+    )
+
+    texts = [
+        "queen quick quilt quote",          # q->u always, u only after q
+        "rat rot rut tar tor art " * 3,     # r,t promiscuous but frequent
+        "rate rite rote " * 2,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"], r["score"])
+        for r in wordpiece_train(docs, merges=4).orderBy("round").collect()
+    ]
+    want = _wordpiece_python_replay(texts, 4)
+    assert got == want
+    # divergence: round-1 picks differ between the two rules
+    bpe_first = bpe_train(docs, merges=1).collect()[0]
+    assert (got[0][1], got[0][2]) != (
+        bpe_first["left_sym"],
+        bpe_first["right_sym"],
+    )
+    # the likelihood rule picks a perfectly-predictive rare pair
+    # (c,k occur ONLY as 'ck' in 'quick': score 1e18) over the
+    # frequent-but-promiscuous pairs raw frequency would pick
+    assert (got[0][1], got[0][2]) == ("c", "k")
+    assert got[0][4] == 10**18
