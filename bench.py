@@ -238,6 +238,9 @@ EXTRA = [
     # round 13: WordPiece training (likelihood arg-max, exact
     # fixed-point scores, all rounds value-oracled)
     "wordpiece_train",
+    # round 13: exact-count stratified split (per-group floor-boundary
+    # proportions, engine-agnostic multiplicative hash)
+    "stratified_split",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -7226,6 +7226,47 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified 8/1/1 split of the documents fixture by
+    language (salt 7): within every language the train/val/test counts
+    hit the floor(n·cum/10) boundaries exactly. The permutation hash
+    is multiplicative mod 2^61−1 in DECIMAL(38,0)/HUGEINT — both
+    engines replay it bit-for-bit (no xxhash64 dependence)."""
+    from spatially_databricks_etl_spark.operators.curate import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split(
+        docs, id_col="doc_id", group_col="lang", weights=(8, 1, 1), salt=7
+    )
+
+
+def _stratified_split_oracle_sql() -> str:
+    from spatially_databricks_etl_spark.operators.curate import (
+        _STRAT_A,
+        _STRAT_M,
+    )
+
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((CAST(doc_id AS HUGEINT) + 7) * {_STRAT_A}) % {_STRAT_M},
+                    doc_id
+         ) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rn < (n * 8) // 10 THEN 'train'
+            WHEN rn < (n * 9) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+SQL_STRATIFIED_SPLIT = _stratified_split_oracle_sql()
+
+
 def q_shard_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced shard assignment of the documents fixture into 8
     token-cost-balanced output shards (snake/boustrophedon packing
@@ -8751,6 +8792,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: WordPiece training (likelihood arg-max, BERT
     # rule) — exact fixed-point scores, all rounds value-oracled
     "wordpiece_train": q_wordpiece_train,
+    # round-13 addition: exact-count stratified split (per-group
+    # floor-boundary proportions; engine-agnostic multiplicative hash)
+    "stratified_split": q_stratified_split,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8947,6 +8991,7 @@ ORACLES: dict[str, str] = {
     "mixture_temperature": SQL_MIXTURE_TEMPERATURE,
     "shard_by_size": SQL_SHARD_BY_SIZE,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -288,6 +288,91 @@ def score_linear(
     return scored.withColumn(out_col, score).drop("__fidx")
 
 
+#: multiplicative-hash constants for :func:`stratified_split` —
+#: Knuth's 64-bit MMIX multiplier reduced mod the Mersenne prime
+#: 2^61−1; id·A ≤ 2^63·2^61 ≈ 2.1e37 stays inside DECIMAL(38,0) /
+#: HUGEINT, so BOTH engines evaluate the hash exactly
+_STRAT_A = 6364136223846793005 % ((1 << 61) - 1)
+_STRAT_M = (1 << 61) - 1
+
+
+def stratified_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    weights: tuple[int, ...] = (8, 1, 1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: int = 0,
+) -> DataFrame:
+    """EXACT-count stratified train/val/test split: within every
+    group, assignments hit the integer-weight proportions exactly
+    (group of n rows → floor(n·cum_i/W) boundaries — the strongest
+    guarantee a split can make; :func:`hash_split` is the map-only
+    probabilistic sibling whose per-group proportions only converge).
+    Use this when per-stratum balance is a contract (eval sets, small
+    languages) and the extra shuffle is affordable.
+
+    Determinism: rows order within a group by a multiplicative hash
+    ``(id·A + salt) mod (2^61−1)`` evaluated in DECIMAL(38,0) — exact
+    in any engine (no xxhash64 dependence), so the oracle replays the
+    permutation, the row_number and the boundaries verbatim. Same
+    (id, salt) → same split forever, independent of row order and
+    partitioning.
+
+    Returns (id_col, group_col, split).
+
+    Scale shape: one shuffle on the group key; per-group row_number +
+    count windows share that Exchange. A single giant stratum makes
+    the window partition hot — the standard caveat for any per-group
+    rank; shard such groups upstream or accept hash_split's
+    probabilistic form there."""
+    if len(weights) != len(labels) or not weights:
+        raise ValueError("weights and labels must align and be non-empty")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError(f"weights must be non-negative, sum > 0: {weights}")
+    big_w = int(sum(weights))
+    # salt enters BEFORE the multiply: (id + salt)·A mod M. An
+    # additive post-multiply salt shifts every hash by the same
+    # constant, which preserves the order (so a new salt would NOT
+    # re-deal the split); pre-multiply salting re-permutes thoroughly.
+    h = F.expr(
+        f"pmod((CAST({id_col} AS DECIMAL(38,0)) + {int(salt)}) * {_STRAT_A},"
+        f" {_STRAT_M})"
+    )
+    wg = Window.partitionBy("__g").orderBy("__h", "__id")
+    ranked = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            h.alias("__h"),
+        )
+        .withColumn("__rn", F.row_number().over(wg) - F.lit(1))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        )
+    )
+    cum = 0
+    split = None
+    for w, lbl in zip(weights[:-1], labels[:-1]):
+        cum += int(w)
+        edge = F.expr(f"CAST((__n * {cum}) div {big_w} AS BIGINT)")
+        cond = F.col("__rn") < edge
+        split = (
+            F.when(cond, F.lit(lbl)) if split is None else split.when(cond, F.lit(lbl))
+        )
+    split = (
+        F.lit(labels[-1])
+        if split is None
+        else split.otherwise(F.lit(labels[-1]))
+    )
+    return ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        split.alias("split"),
+    )
+
+
 def hash_split_edges(splits: dict[str, float]) -> list[tuple[str, str]]:
     """(name, exclusive upper hex edge) pairs for the md5 method —
     exported so oracle SQL can be built from the same arithmetic."""

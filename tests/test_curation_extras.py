@@ -1368,3 +1368,64 @@ def test_wordpiece_train_matches_python_replay(spark):
     # frequent-but-promiscuous pairs raw frequency would pick
     assert (got[0][1], got[0][2]) == ("c", "k")
     assert got[0][4] == 10**18
+
+
+def test_stratified_split_exact_counts_and_replay(spark):
+    """stratified_split hits floor-boundary counts EXACTLY per group,
+    matches a Python replay of the multiplicative-hash permutation,
+    is disjoint+complete, and is stable under row-order shuffles."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        _STRAT_A,
+        _STRAT_M,
+        stratified_split,
+    )
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(301)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_split(
+        df, id_col="doc_id", group_col="lang", weights=(8, 1, 1), salt=7
+    ).collect()
+    got = {(r["doc_id"]): (r["lang"], r["split"]) for r in out}
+    assert len(got) == 301  # complete, one row per input
+
+    # python replay
+    by_g: dict = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    want = {}
+    for g, ids in by_g.items():
+        perm = sorted(ids, key=lambda i: (((i + 7) * _STRAT_A) % _STRAT_M, i))
+        n = len(perm)
+        b1, b2 = n * 8 // 10, n * 9 // 10
+        for rn, i in enumerate(perm):
+            want[i] = (g, "train" if rn < b1 else "val" if rn < b2 else "test")
+    assert got == want
+
+    # exact per-group counts
+    from collections import Counter
+
+    for g, ids in by_g.items():
+        n = len(ids)
+        c = Counter(split for i, (gg, split) in got.items() if gg == g)
+        assert c["train"] == n * 8 // 10
+        assert c["val"] == n * 9 // 10 - n * 8 // 10
+        assert c["test"] == n - n * 9 // 10
+
+    # order-independence: shuffled input → identical assignment
+    out2 = stratified_split(
+        df.orderBy(F.rand(99)),
+        id_col="doc_id",
+        group_col="lang",
+        weights=(8, 1, 1),
+        salt=7,
+    ).collect()
+    assert {(r["doc_id"]): (r["lang"], r["split"]) for r in out2} == got
+
+    # a different salt permutes assignments
+    out3 = stratified_split(
+        df, id_col="doc_id", group_col="lang", weights=(8, 1, 1), salt=8
+    ).collect()
+    moved = sum(
+        1 for r in out3 if got[r["doc_id"]][1] != r["split"]
+    )
+    assert moved > 10
