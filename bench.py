@@ -241,6 +241,10 @@ EXTRA = [
     # round 13: exact-count stratified split (per-group floor-boundary
     # proportions, engine-agnostic multiplicative hash)
     "stratified_split",
+    # round 13: crawl-pipeline URL canonicalization key + quality-
+    # aware near-dup survivor selection (keep the longest copy)
+    "url_canonical_dedup",
+    "dedup_keep_best",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

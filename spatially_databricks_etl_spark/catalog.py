@@ -3506,6 +3506,63 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivors: MinHash pairs (J≥0.7, full
+    recall on this corpus — see q_neardup_clusters' oracle assumption)
+    → connected components → per cluster keep the LONGEST copy
+    (n_chars DESC, doc_id ASC tiebreak; exact integers, no float
+    boundary). The oracle recomputes exact-Jaccard pairs
+    quadratically, closes them with a RECURSIVE CTE and replays the
+    same arg-max — the distributed path is checked against an
+    independent graph algorithm."""
+    from spatially_databricks_etl_spark.operators.curate import dedup_keep_best
+    from spatially_databricks_etl_spark.operators.dedup import minhash_near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dedup(d, threshold=0.7, shingle_size=5)
+    kept = dedup_keep_best(d, pairs, id_col="doc_id", score_col="n_chars")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH RECURSIVE
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                      i -> substr(lower(text), i, 5))) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+),
+edges AS (SELECT ida AS src, idb AS dst FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         coalesce(l.component, d.doc_id) AS c
+  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM clustered
+)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width 20-bin histogram of l_extendedprice. The bucket
     expression is plain floor arithmetic over the column min/max, so
@@ -7226,6 +7283,90 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+#: planted URL corpus for the canonicalization oracle: five dup
+#: groups (tracking params / case / default ports / fragments /
+#: trailing slash / param order) + non-URL passthroughs
+_URL_FIXTURE: list[tuple[int, str]] = [
+    (1, "HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag"),
+    (2, "http://example.com/Path?a=1&b=2"),
+    (3, "https://Example.com:443/page/"),
+    (4, "https://example.com/page"),
+    (5, "https://example.com/page?gclid=abc&fbclid=z"),
+    (6, "https://example.com/page?z=1&a=2"),
+    (7, "https://example.com/page?a=2&z=1&utm_medium=email"),
+    (8, "http://example.com:8080/x"),
+    (9, "https://other.org/deep/path?id=9#section-2"),
+    (10, "not a url at all"),
+    (11, "ftp://Files.example.net:21/pub/"),
+    (12, "https://example.com/"),
+]
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup over the planted fixture
+    — the key every crawl-scale pipeline groups on before content
+    dedup. Returns (url_id, canon_url, dup_group_size): the canonical
+    form of each URL plus how many fixture URLs collapse onto it.
+    Pure codegen string/array ops; the oracle replays every transform
+    (fragment strip, scheme/host lowercase, default-port strip,
+    tracking-param removal, param sort, trailing-slash fold) with
+    DuckDB regex + list functions."""
+    from spatially_databricks_etl_spark.functions.text import canonicalize_url
+
+    u = spark.createDataFrame(_URL_FIXTURE, "url_id long, url string")
+    c = u.select("url_id", canonicalize_url("url").alias("canon_url"))
+    sizes = c.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_group_size")
+    )
+    return c.join(sizes, "canon_url").select(
+        "url_id", "canon_url", "dup_group_size"
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = (
+    "WITH u AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{s}')" for i, s in _URL_FIXTURE)
+    + """) t(url_id, url)),
+s1 AS (SELECT url_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+s2 AS (SELECT url_id,
+  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+s3 AS (SELECT url_id, scheme, rest,
+  regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM s2),
+s4 AS (SELECT url_id, scheme,
+  CASE WHEN scheme = 'http' AND ends_with(lower(hostport), ':80')
+         THEN substr(lower(hostport), 1, length(hostport) - 3)
+       WHEN scheme = 'https' AND ends_with(lower(hostport), ':443')
+         THEN substr(lower(hostport), 1, length(hostport) - 4)
+       ELSE lower(hostport) END AS host,
+  substr(rest, length(hostport) + 1) AS tail FROM s3),
+s5 AS (SELECT url_id, scheme, host,
+  regexp_extract(tail, '^([^?]*)', 1) AS path,
+  CASE WHEN contains(tail, '?')
+       THEN regexp_replace(tail, '^[^?]*\\?', '') ELSE '' END AS query
+  FROM s4),
+s6 AS (SELECT url_id, scheme, host,
+  CASE WHEN length(path) > 1 AND ends_with(path, '/')
+       THEN substr(path, 1, length(path) - 1) ELSE path END AS canon_path,
+  array_to_string(list_sort(list_filter(string_split(query, '&'),
+    p -> length(p) > 0 AND NOT regexp_matches(p,
+      '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)='))),
+    '&') AS canon_query
+  FROM s5),
+c AS (SELECT url_id,
+  (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END) || host ||
+  canon_path ||
+  (CASE WHEN length(canon_query) > 0 THEN '?' || canon_query ELSE '' END)
+    AS canon_url
+  FROM s6)
+SELECT c.url_id, c.canon_url,
+       CAST(g.n AS BIGINT) AS dup_group_size
+FROM c JOIN (SELECT canon_url, count(*) AS n FROM c GROUP BY 1) g
+  USING (canon_url)
+"""
+)
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified 8/1/1 split of the documents fixture by
     language (salt 7): within every language the train/val/test counts
@@ -8795,6 +8936,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: exact-count stratified split (per-group
     # floor-boundary proportions; engine-agnostic multiplicative hash)
     "stratified_split": q_stratified_split,
+    # round-13 addition: URL canonicalization + URL-keyed dedup
+    # (crawl-pipeline pre-dedup key; every transform oracle-replayed)
+    "url_canonical_dedup": q_url_canonical_dedup,
+    # round-13 addition: quality-aware near-dup survivors (keep the
+    # longest copy per cluster; independent recursive-CTE oracle)
+    "dedup_keep_best": q_dedup_keep_best,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -8992,6 +9139,8 @@ ORACLES: dict[str, str] = {
     "shard_by_size": SQL_SHARD_BY_SIZE,
     "wordpiece_train": SQL_WORDPIECE_TRAIN,
     "stratified_split": SQL_STRATIFIED_SPLIT,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -223,3 +223,78 @@ def rolling_fingerprint_dual(
     r0 = rolling_fingerprint(col, modulus=moduli[0], base=base)
     r1 = rolling_fingerprint(col, modulus=moduli[1], base=base)
     return (r0 * F.lit(1 << 31) + r1).alias("fingerprint128")
+
+
+#: query params that never affect content identity — the standard
+#: tracking families stripped by every major crawler/dedup pipeline
+_TRACKING_PARAM_RE = (
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)="
+)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL form for URL-keyed dedup — the key every
+    crawl-scale corpus pipeline groups on BEFORE content dedup (same
+    page fetched via tracking links / mixed-case hosts / default
+    ports must collapse to one key). Pure codegen string/array ops —
+    no UDF, map-only at any scale; the whole transform is replayable
+    in any engine with regex + list functions (the DuckDB oracle
+    does). Steps, in order:
+
+    1. lowercase the scheme and host (path/query stay case-sensitive
+       per RFC 3986);
+    2. strip default ports (:80 on http, :443 on https);
+    3. drop the fragment (``#…`` never reaches the server);
+    4. remove tracking query params (utm_*, gclid, fbclid, …);
+    5. sort surviving query params byte-wise (order is not identity);
+    6. drop a trailing ``/`` on non-root paths and an empty ``?``.
+
+    Returns NULL for NULL input; non-URL strings pass through these
+    transforms unchanged where components don't match (best-effort,
+    never raises)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split off fragment first
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.lower(hostport)
+    host = (
+        F.when(
+            (scheme == "http") & host.endswith(":80"),
+            F.substring(host, 1, F.length(host) - 3),
+        )
+        .when(
+            (scheme == "https") & host.endswith(":443"),
+            F.substring(host, 1, F.length(host) - 4),
+        )
+        .otherwise(host)
+    )
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(
+        tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    # strip tracking params, sort the rest
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    canon_query = F.array_join(kept, "&")
+    # trailing slash on non-root paths
+    canon_path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    out = F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        host,
+        canon_path,
+        F.when(F.length(canon_query) > 0, F.concat(F.lit("?"), canon_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)

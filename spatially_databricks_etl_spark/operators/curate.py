@@ -784,6 +784,41 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: cluster the given
+    near-dup ``pairs`` (from any generator — MinHash, SimHash,
+    embedding-cosine) with connected components, then per cluster
+    KEEP the arg-max by (score DESC, id ASC) — e.g. the longest or
+    highest-quality copy of a page, rather than :func:`curate_corpus`'s
+    smallest-id rule (which keeps whichever copy happened to be
+    crawled first). Unclustered documents keep themselves. Returns
+    the kept rows of ``docs`` with original columns.
+
+    Use an EXACT (integer) score for a deterministic boundary; ties
+    fall to the smaller id. Scale shape: the CC runs on the pair
+    graph (orders of magnitude smaller than the corpus); survivor
+    selection is one row_number window over docs partitioned by
+    cluster label — a single corpus-sized shuffle."""
+    comp = connected_components(pairs)
+    scored = docs.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("__c", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("__c").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__c", "component")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     *,

@@ -1429,3 +1429,57 @@ def test_stratified_split_exact_counts_and_replay(spark):
         1 for r in out3 if got[r["doc_id"]][1] != r["split"]
     )
     assert moved > 10
+
+
+def test_canonicalize_url_cases(spark):
+    """URL canonicalization hand cases: tracking params stripped,
+    params sorted, scheme/host lowercased, default ports dropped,
+    fragments cut, trailing slash folded on non-root paths; non-URLs
+    and NULL pass through; non-default ports survive."""
+    from spatially_databricks_etl_spark.functions.text import canonicalize_url
+
+    cases = {
+        "HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag":
+            "http://example.com/Path?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com/page/": "https://example.com/page",
+        "https://example.com/page?gclid=abc": "https://example.com/page",
+        "https://example.com/page?z=1&a=2&fbclid=zz&ref=tw":
+            "https://example.com/page?a=2&z=1",
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "not a url at all": "not a url at all",
+        "https://Example.com/CaseSensitive/Path":
+            "https://example.com/CaseSensitive/Path",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got == cases
+    nul = spark.createDataFrame([(None,)], "url string")
+    assert nul.select(canonicalize_url("url").alias("c")).first()["c"] is None
+
+
+def test_dedup_keep_best_longest_survivor(spark):
+    """Per-cluster survivor = (score DESC, id ASC): the longest copy
+    wins, score ties fall to the smaller id, singletons survive, and
+    chained pairs (a-b, b-c) form ONE cluster with one survivor."""
+    from spatially_databricks_etl_spark.operators.curate import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100), (2, 300), (3, 200),   # cluster {1,2,3}: keep 2
+            (10, 50), (11, 50),             # cluster {10,11}: tie -> 10
+            (99, 10),                       # singleton: kept
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, score_col="n_chars").collect()
+    }
+    assert kept == {2, 10, 99}
