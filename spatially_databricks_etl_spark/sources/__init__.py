@@ -1,6 +1,7 @@
 from spatially_databricks_etl_spark.sources.files import (
     read_csv,
     read_json,
+    read_jsonl_docs,
     read_parquet,
     read_parquet_evolved,
 )
@@ -14,6 +15,7 @@ from spatially_databricks_etl_spark.sources.rest import (
 __all__ = [
     "read_csv",
     "read_json",
+    "read_jsonl_docs",
     "read_parquet",
     "read_parquet_evolved",
     "fetch_paginated_to_df",

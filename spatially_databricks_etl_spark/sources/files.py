@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_csv(
@@ -52,6 +52,60 @@ def read_parquet(spark: SparkSession, path: str, *columns: str) -> DataFrame:
     call site (ReadSchema shrinks to the requested columns)."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-tolerant JSONL document scan — the ingestion reality of
+    crawl-scale corpora (a 100 TB JSONL drop ALWAYS contains truncated
+    lines, stray encodings, half-written records; a scan that either
+    dies on line one or silently drops them is unusable). PERMISSIVE
+    mode with an explicit schema + corrupt-record column, split into
+    (clean, quarantine):
+
+    - ``clean``: rows parsing fully under ``schema`` (corrupt column
+      null), corrupt column dropped;
+    - ``quarantine``: the raw offending line in ``corrupt_col`` for
+      forensics/replay — same contract as
+      ``operators/quality.py:split_quarantine``.
+
+    An explicit schema is REQUIRED: schema inference both costs an
+    extra full pass at scale and changes shape under drift. Spark's
+    PERMISSIVE caveat applies — a malformed row surfaces only the raw
+    line; fields stay null. Both frames are plain projections of ONE
+    scan (Catalyst shares it) — map-only, no shuffle."""
+    st = schema if isinstance(schema, StructType) else _parse_schema(schema)
+    if corrupt_col not in [f.name for f in st.fields]:
+        st = StructType(
+            [*st.fields, StructField(corrupt_col, StringType(), True)]
+        )
+    df = (
+        spark.read.schema(st)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        # PERMISSIVE quirk: referencing ONLY the corrupt column from a
+        # raw scan is disallowed (Spark requires a cached/complete
+        # frame) — cache once, both splits share the parse
+        .cache()
+    )
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, quarantine
+
+
+def _parse_schema(ddl: str) -> StructType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(ddl)
+    if not isinstance(st, StructType):
+        raise ValueError(f"schema must be a struct, got {st}")
+    return st
 
 
 def read_parquet_evolved(

@@ -1921,3 +1921,31 @@ def test_embedding_drift_monitor_sink_matches_batch_operator(spark, tmp_path):
     assert {k: tuple(v) for k, v in after.items()} == {
         k: tuple(v) for k, v in rows.items()
     }
+
+
+def test_read_jsonl_docs_splits_corrupt_lines(spark, tmp_path):
+    """Corrupt-tolerant JSONL ingest: good lines parse under the
+    explicit schema, truncated/malformed/half-typed lines land in the
+    quarantine frame with the raw text preserved, nothing is silently
+    dropped, and both frames come from one cached scan."""
+    from spatially_databricks_etl_spark.sources.files import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "bravo"}',
+        '{"doc_id": 3, "text": "tru',          # truncated mid-string
+        "not json at all",                      # garbage
+        '{"doc_id": "x4", "text": "typed"}',   # doc_id wrong type
+        '{"doc_id": 5, "text": "echo"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = read_jsonl_docs(
+        spark, str(p), "doc_id long, text string"
+    )
+    good = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert good == {1: "alpha", 2: "bravo", 5: "echo"}
+    bad = {r["_corrupt_record"] for r in quarantine.collect()}
+    assert bad == {lines[2], lines[3], lines[4]}
+    # complete: every input line accounted for exactly once
+    assert clean.count() + quarantine.count() == len(lines)
