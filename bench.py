@@ -245,6 +245,8 @@ EXTRA = [
     # aware near-dup survivor selection (keep the longest copy)
     "url_canonical_dedup",
     "dedup_keep_best",
+    # round 13: per-doc trigram novelty (memorization-risk audit)
+    "ngram_novelty",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

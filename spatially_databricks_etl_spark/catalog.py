@@ -3506,6 +3506,43 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty over the organic corpus: the
+    fraction of a doc's distinct word 3-grams appearing in no other
+    document (exact integers; ratio as e6 integer div). The planted
+    near-dup docs score near 0, unique docs near 1e6 — the
+    memorization-risk audit."""
+    from spatially_databricks_etl_spark.operators.curate import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 2], ' ') AS gram
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+') AS toks
+          FROM documents),
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+  )
+),
+dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN dfreq USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN (p.n_novel * 1000000) // p.n_ngrams END AS novelty_e6
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup survivors: MinHash pairs (J≥0.7, full
     recall on this corpus — see q_neardup_clusters' oracle assumption)
@@ -8942,6 +8979,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: quality-aware near-dup survivors (keep the
     # longest copy per cluster; independent recursive-CTE oracle)
     "dedup_keep_best": q_dedup_keep_best,
+    # round-13 addition: per-doc trigram novelty (memorization-risk
+    # audit; exact integer ratio)
+    "ngram_novelty": q_ngram_novelty,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9141,6 +9181,7 @@ ORACLES: dict[str, str] = {
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

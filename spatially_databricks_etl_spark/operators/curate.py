@@ -1525,6 +1525,74 @@ def remove_repeated_spans(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word n-grams that appear in NO other document — the
+    memorization-risk / templating audit (a low-novelty document is
+    mostly recombined corpus boilerplate; near-1 novelty marks unique
+    content worth keeping; the doc-level complement of
+    :func:`repeated_spans`' span view). Tokens are the corpus-standard
+    lowercased ``[a-z]+`` extraction; n-grams are space-joined word
+    windows.
+
+    Returns (id_col, n_ngrams, n_novel, novelty_e6) — novelty_e6 =
+    ``(n_novel·10⁶) div n_ngrams``, exact integers end to end.
+    Documents with fewer than ``n`` tokens emit n_ngrams 0 and a NULL
+    ratio (no silent 0-vs-undefined conflation).
+
+    Scale shape: one corpus scan explodes distinct (doc, ngram) pairs;
+    ONE hash aggregate computes per-ngram document frequency
+    (map-side combine); a second counts novel vs total per doc. The
+    n-gram strings shuffle once — at 100 TB, pre-hash them to 64-bit
+    keys (xxhash64) exactly like :func:`repeated_spans`' scale note."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tok_sql = f"regexp_extract_all(lower(`{text_col}`), '[a-z]+', 0)"
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(
+                # sequence(1, 0) DESCENDS in Spark — short docs need
+                # an explicit empty-array branch, not a 0 upper bound
+                f"CASE WHEN size({tok_sql}) >= {n} THEN"
+                f" transform(sequence(1, size({tok_sql}) - {n - 1}),"
+                f" i -> array_join(slice({tok_sql}, i, {n}), ' '))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    dfreq = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    per_doc = (
+        grams.join(dfreq, "gram")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.expr("CAST((n_novel * 1000000) div n_ngrams AS BIGINT)"),
+            ).alias("novelty_e6"),
+        )
+    )
+
+
 def token_diversity(
     df: DataFrame,
     *,

@@ -1483,3 +1483,30 @@ def test_dedup_keep_best_longest_survivor(spark):
         for r in dedup_keep_best(docs, pairs, score_col="n_chars").collect()
     }
     assert kept == {2, 10, 99}
+
+
+def test_ngram_novelty_hand_case(spark):
+    """Novelty hand case: a fully-shared doc scores 0, a fully-unique
+    doc scores 1e6, a half-shared doc the exact integer ratio; docs
+    with < n tokens emit 0 grams and a NULL ratio."""
+    from spatially_databricks_etl_spark.operators.curate import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta"),   # grams: ab c, b c d
+            (2, "alpha bravo charlie delta"),   # exact copy -> novelty 0
+            (3, "echo foxtrot golf hotel"),     # unique -> 1e6
+            (4, "alpha bravo charlie xray"),    # shares 'a b c' only
+            (5, "too short"),                   # < 3 tokens -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"], r["novelty_e6"])
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (2, 0, 0)
+    assert got[3] == (2, 2, 1_000_000)
+    assert got[4] == (2, 1, 500_000)
+    assert got[5] == (0, 0, None)
