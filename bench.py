@@ -247,6 +247,8 @@ EXTRA = [
     "dedup_keep_best",
     # round 13: per-doc trigram novelty (memorization-risk audit)
     "ngram_novelty",
+    # round 13: RAKE keyphrase extraction (deg/freq fixed-point)
+    "rake_keyphrases",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

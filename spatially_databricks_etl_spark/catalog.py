@@ -3506,6 +3506,60 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (Rose et al. 2010) over the organic corpus:
+    top-3 phrases per document by the deg/freq content-word score.
+    Fixed-point e6 word scores → exact integer phrase scores →
+    deterministic (score DESC, phrase) ranking; the oracle replays
+    tokenization, stopword/punct breaks, gaps-and-islands phrase
+    assembly, both aggregates and the ranking."""
+    from spatially_databricks_etl_spark.operators.curate import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+SQL_RAKE_KEYPHRASES = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[^a-z\s]+') AS ts
+        FROM documents),
+       unnest(range(1, len(ts) + 1)) AS t(i)
+),
+nonb AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM toks
+  WHERE tok NOT IN """
+    + _SW_SQL
+    + r""" AND regexp_matches(tok, '^[a-z]+$')
+),
+plen AS (SELECT doc_id, isl, count(*) AS plen FROM nonb GROUP BY 1, 2),
+pw AS (SELECT n.*, p.plen FROM nonb n JOIN plen p USING (doc_id, isl)),
+wstats AS (SELECT doc_id, tok, count(*) AS freq, sum(plen) AS deg
+           FROM pw GROUP BY 1, 2),
+scored AS (SELECT pw.doc_id, pw.isl, pw.pos, pw.tok,
+                  (w.deg * 1000000) // w.freq AS wscore
+           FROM pw JOIN wstats w USING (doc_id, tok)),
+phrases AS (
+  SELECT doc_id, isl,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         sum(wscore) AS score_e6
+  FROM scored GROUP BY 1, 2),
+dist AS (SELECT doc_id, phrase, max(score_e6) AS score_e6
+         FROM phrases GROUP BY 1, 2),
+ranked AS (SELECT doc_id, phrase, score_e6,
+                  row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score_e6 DESC, phrase) AS rnk
+           FROM dist)
+SELECT doc_id, phrase, CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+)
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty over the organic corpus: the
     fraction of a doc's distinct word 3-grams appearing in no other
@@ -8982,6 +9036,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: per-doc trigram novelty (memorization-risk
     # audit; exact integer ratio)
     "ngram_novelty": q_ngram_novelty,
+    # round-13 addition: RAKE keyphrase extraction (deg/freq content-
+    # word scores, fixed-point exact, fully oracle-replayed)
+    "rake_keyphrases": q_rake_keyphrases,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9182,6 +9239,7 @@ ORACLES: dict[str, str] = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

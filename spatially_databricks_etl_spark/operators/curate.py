@@ -1525,6 +1525,93 @@ def remove_repeated_spans(
     )
 
 
+def rake_keyphrases(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    "Automatic Keyword Extraction from Individual Documents") — the
+    keyphrase member of the text-analysis family. Candidate phrases
+    are maximal runs of content words between breaks (stopwords or
+    punctuation); each word scores deg/freq over the document's
+    candidates (deg = Σ length of phrases containing it, freq = its
+    occurrence count) and a phrase scores the sum of its words'
+    scores — long multi-word phrases of co-occurring content words
+    win, the RAKE signature.
+
+    Exactness: word scores are fixed-point ``(deg·10⁶) div freq``
+    integers, phrase scores their exact integer sums, ranking ties
+    break (score DESC, phrase ASC) — the whole extraction is
+    SQL-replayable, no float. Returns (id_col, phrase, score_e6,
+    rank) — the top_k distinct phrases per document.
+
+    Scale shape: tokenization explodes map-side; islands are one
+    per-doc window (gaps-and-islands on token position); word stats
+    and phrase assembly are per-doc hash aggregates — everything
+    partitions by document id, so ONE Exchange on the doc key is
+    reused end to end. No dictionary, no model, no Python."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from spatially_databricks_etl_spark.functions.text import STOPWORDS
+
+    sw = tuple(stopwords) if stopwords is not None else STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(lower(`{text_col}`),"
+                f" '[a-z]+|[^a-z\\\\s]+', 0)"
+            )
+        ).alias("pos", "tok"),
+    )
+    is_break = F.col("tok").isin(*sw) | ~F.col("tok").rlike("^[a-z]+$")
+    w_doc = Window.partitionBy("__id").orderBy("pos")
+    nonb = toks.filter(~is_break).withColumn(
+        "__isl", F.col("pos") - F.row_number().over(w_doc)
+    )
+    plen = nonb.groupBy("__id", "__isl").agg(
+        F.count(F.lit(1)).alias("__plen")
+    )
+    pw = nonb.join(plen, ["__id", "__isl"])
+    wstats = pw.groupBy("__id", "tok").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    scored = pw.join(wstats, ["__id", "tok"]).withColumn(
+        "__wscore", F.expr("CAST((__deg * 1000000) div __freq AS BIGINT)")
+    )
+    phrases = scored.groupBy("__id", "__isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("__wscore").cast("long").alias("score_e6"),
+    )
+    # identical phrase text within a doc scores identically (word
+    # scores are doc-level) — keep one candidate per distinct phrase
+    dist = phrases.groupBy("__id", "phrase").agg(
+        F.max("score_e6").alias("score_e6")
+    )
+    wr = Window.partitionBy("__id").orderBy(F.col("score_e6").desc(), "phrase")
+    return (
+        dist.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            "phrase",
+            "score_e6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     *,

@@ -1510,3 +1510,34 @@ def test_ngram_novelty_hand_case(spark):
     assert got[3] == (2, 2, 1_000_000)
     assert got[4] == (2, 1, 500_000)
     assert got[5] == (0, 0, None)
+
+
+def test_rake_keyphrases_textbook_case(spark):
+    """RAKE hand case: the long co-occurring content-word phrase wins
+    (the RAKE signature); stopwords and punctuation break candidates;
+    scores are the exact deg/freq fixed-point sums."""
+    from spatially_databricks_etl_spark.operators.curate import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "Deep learning of deep neural networks, and the deep"
+                " neural network training.",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["phrase"], r["score_e6"])
+        for r in rake_keyphrases(docs, top_k=5).orderBy("rank").collect()
+    ]
+    # word stats: deep f=3 deg=2+3+4=9; learning f=1 deg=2;
+    # neural f=2 deg=7; networks f=1 deg=3; network f=1 deg=4;
+    # training f=1 deg=4
+    # "deep neural network training" = 3e6 + 3.5e6 + 4e6 + 4e6 = 14.5e6
+    assert got == [
+        (1, "deep neural network training", 14_500_000),
+        (2, "deep neural networks", 9_500_000),
+        (3, "deep learning", 5_000_000),
+    ]
