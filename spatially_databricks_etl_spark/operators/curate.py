@@ -1461,6 +1461,10 @@ def remove_repeated_spans(
     bytes, per occurrence."""
     if window < 1 or stride < 1:
         raise ValueError("remove_repeated_spans: window and stride must be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
+
     docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     spans = docs.filter(F.length("__t") >= window).select(
         "__id",
@@ -1471,6 +1475,9 @@ def remove_repeated_spans(
             )
         ).alias("x"),
     ).select("__id", F.col("x.pos").alias("pos"), F.col("x.span").alias("span"))
+    # two consumers (the flag aggregate and the canonical-pick join) —
+    # persist once or the corpus re-extracts per consumer
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
     flagged = (
         spans.groupBy("span")
         .agg(F.countDistinct("__id").alias("__nd"))
@@ -1503,7 +1510,7 @@ def remove_repeated_spans(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__isls"),
         F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("__removed"),
     )
-    return (
+    out = (
         docs.join(per_doc, "__id", "left")
         .withColumn(
             "clean_text",
@@ -1523,6 +1530,7 @@ def remove_repeated_spans(
             F.coalesce("__removed", F.lit(0)).cast("long").alias("removed_chars"),
         )
     )
+    return register_persists(out, [spans])
 
 
 def rake_keyphrases(
@@ -1550,12 +1558,18 @@ def rake_keyphrases(
     rank) — the top_k distinct phrases per document.
 
     Scale shape: tokenization explodes map-side; islands are one
-    per-doc window (gaps-and-islands on token position); word stats
-    and phrase assembly are per-doc hash aggregates — everything
-    partitions by document id, so ONE Exchange on the doc key is
-    reused end to end. No dictionary, no model, no Python."""
+    per-doc window (gaps-and-islands on token position). The
+    phrase-word frame feeds THREE consumers (phrase lengths, word
+    stats, phrase assembly), so it is persisted once — without the
+    persist Catalyst re-tokenizes the corpus per consumer (4 scans,
+    verified in the plan). Word stats and phrase assembly are per-doc
+    hash aggregates on the persisted frame. No dictionary, no model,
+    no Python."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.storagelevel import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
     from spatially_databricks_etl_spark.functions.text import STOPWORDS
 
     sw = tuple(stopwords) if stopwords is not None else STOPWORDS
@@ -1570,8 +1584,10 @@ def rake_keyphrases(
     )
     is_break = F.col("tok").isin(*sw) | ~F.col("tok").rlike("^[a-z]+$")
     w_doc = Window.partitionBy("__id").orderBy("pos")
-    nonb = toks.filter(~is_break).withColumn(
-        "__isl", F.col("pos") - F.row_number().over(w_doc)
+    nonb = (
+        toks.filter(~is_break)
+        .withColumn("__isl", F.col("pos") - F.row_number().over(w_doc))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     plen = nonb.groupBy("__id", "__isl").agg(
         F.count(F.lit(1)).alias("__plen")
@@ -1600,7 +1616,7 @@ def rake_keyphrases(
         F.max("score_e6").alias("score_e6")
     )
     wr = Window.partitionBy("__id").orderBy(F.col("score_e6").desc(), "phrase")
-    return (
+    out = (
         dist.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= top_k)
         .select(
@@ -1610,6 +1626,7 @@ def rake_keyphrases(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+    return register_persists(out, [nonb])
 
 
 def ngram_novelty(
@@ -1640,6 +1657,10 @@ def ngram_novelty(
     keys (xxhash64) exactly like :func:`repeated_spans`' scale note."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.storagelevel import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
+
     tok_sql = f"regexp_extract_all(lower(`{text_col}`), '[a-z]+', 0)"
     grams = df.select(
         F.col(id_col).alias("__id"),
@@ -1654,6 +1675,9 @@ def ngram_novelty(
             )
         ).alias("gram"),
     ).distinct()
+    # two consumers (doc frequency, per-doc counts) — persist once or
+    # Catalyst re-explodes the corpus per consumer (plan-verified)
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
@@ -1665,7 +1689,7 @@ def ngram_novelty(
             F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_novel"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("__id"))
         .join(per_doc, "__id", "left")
         .select(
@@ -1678,6 +1702,7 @@ def ngram_novelty(
             ).alias("novelty_e6"),
         )
     )
+    return register_persists(out, [grams])
 
 
 def token_diversity(
