@@ -249,6 +249,8 @@ EXTRA = [
     "ngram_novelty",
     # round 13: RAKE keyphrase extraction (deg/freq fixed-point)
     "rake_keyphrases",
+    # round 13: sentence-aware greedy chunking (array-native fold)
+    "chunk_sentences",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -3506,6 +3506,58 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware greedy chunking over the organic corpus,
+    sentified deterministically first (the fixture text has no
+    punctuation): tokens group 5-per-sentence with '. ' joins — a
+    transform both engines replay — then chunks pack whole sentences
+    greedily to ≤12 tokens. The oracle replays sentification and
+    walks the SAME greedy fold as a recursive CTE advancing one
+    sentence per step; full chunk texts value-checked."""
+    from spatially_databricks_etl_spark.operators.curate import chunk_sentences
+
+    toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    sent = (
+        f"array_join(transform(sequence(1, CAST(ceil(size({toks})/5.0) AS INT)),"
+        f" i -> array_join(slice({toks}, (i-1)*5+1, 5), ' ')), '. ')"
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(f"size({toks}) > 0"))
+        .select("doc_id", F.expr(sent).alias("text"))
+    )
+    return chunk_sentences(d, max_tokens=12)
+
+
+SQL_CHUNK_SENTENCES = """
+WITH RECURSIVE
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+  FROM documents),
+sents AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sidx,
+         array_to_string(ts[(i-1)*5+1 : least((i-1)*5+5, len(ts))], ' ') AS sent,
+         least((i-1)*5+5, len(ts)) - (i-1)*5 AS stoks
+  FROM tk, unnest(range(1, CAST(ceil(len(ts)/5.0) AS BIGINT) + 1)) t(i)
+  WHERE len(ts) > 0),
+walk AS (
+  SELECT doc_id, sidx, CAST(0 AS BIGINT) AS chunk, stoks AS used
+  FROM sents WHERE sidx = 1
+  UNION ALL
+  SELECT w.doc_id, s.sidx,
+         CASE WHEN w.used + s.stoks <= 12 THEN w.chunk ELSE w.chunk + 1 END,
+         CASE WHEN w.used + s.stoks <= 12 THEN w.used + s.stoks
+              ELSE s.stoks END
+  FROM walk w JOIN sents s ON s.doc_id = w.doc_id AND s.sidx = w.sidx + 1)
+SELECT s.doc_id, CAST(w.chunk AS BIGINT) AS chunk,
+       string_agg(s.sent, ' ' ORDER BY s.sidx) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(s.stoks) AS BIGINT) AS n_tokens
+FROM walk w JOIN sents s USING (doc_id, sidx)
+GROUP BY 1, 2
+"""
+
+
 def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrases (Rose et al. 2010) over the organic corpus:
     top-3 phrases per document by the deg/freq content-word score.
@@ -9039,6 +9091,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: RAKE keyphrase extraction (deg/freq content-
     # word scores, fixed-point exact, fully oracle-replayed)
     "rake_keyphrases": q_rake_keyphrases,
+    # round-13 addition: sentence-aware greedy chunking (whole
+    # sentences, array-native fold; recursive-CTE oracle)
+    "chunk_sentences": q_chunk_sentences,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9240,6 +9295,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
+    "chunk_sentences": SQL_CHUNK_SENTENCES,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -470,6 +470,103 @@ def tfidf_top_terms(
     )
 
 
+def chunk_sentences(
+    docs: DataFrame,
+    *,
+    max_tokens: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware greedy chunking — the RAG-prep member that never
+    splits mid-sentence (:func:`chunk_documents` slides fixed token
+    windows, which cuts sentences and degrades retrieval/embedding
+    quality; this packs WHOLE sentences greedily). Sentences split on
+    ``[.!?]+\\s*`` runs (RE2-safe — no lookbehind, so any engine
+    replays it); each sentence joins the current chunk while the
+    chunk's token total stays ≤ ``max_tokens``, else starts a new
+    chunk. A single sentence longer than ``max_tokens`` becomes its
+    own oversized chunk (never silently truncated). Tokens are the
+    corpus-standard lowercased ``[a-z]+`` count.
+
+    Returns (id_col, chunk, chunk_text, n_sentences, n_tokens) —
+    chunk is 0-based per document; chunk_text joins its sentences
+    with a single space.
+
+    Determinism: the greedy fold is a per-document ``aggregate`` over
+    the ordered sentence array — sequential by construction, exact
+    integers only, and replayable as a recursive CTE advancing one
+    sentence per step. Scale shape: sentence splitting and the fold
+    are ARRAY-NATIVE per-row codegen (no explode before the fold —
+    the corpus never shuffles for chunk ASSIGNMENT); only the final
+    per-chunk regroup explodes, one hash aggregate on (doc, chunk)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    sent_sql = (
+        f"filter(transform(split(`{text_col}`, '[.!?]+\\\\s*'), x -> trim(x)),"
+        f" x -> length(x) > 0)"
+    )
+    # fold: acc = (used tokens in current chunk, current chunk id,
+    # array of per-sentence chunk ids)
+    fold = f"""
+aggregate(
+  {sent_sql},
+  struct(CAST(0 AS LONG) AS used, CAST(0 AS LONG) AS chunk,
+         CAST(array() AS ARRAY<LONG>) AS ids, CAST(TRUE AS BOOLEAN) AS first),
+  (st, x) -> CASE
+    WHEN st.first OR st.used + size(regexp_extract_all(lower(x), '[a-z]+', 0))
+         <= {int(max_tokens)}
+    THEN struct(st.used + size(regexp_extract_all(lower(x), '[a-z]+', 0)) AS used,
+                st.chunk AS chunk,
+                concat(st.ids, array(st.chunk)) AS ids,
+                FALSE AS first)
+    ELSE struct(CAST(size(regexp_extract_all(lower(x), '[a-z]+', 0)) AS LONG) AS used,
+                st.chunk + 1 AS chunk,
+                concat(st.ids, array(st.chunk + 1)) AS ids,
+                FALSE AS first)
+  END,
+  st -> st.ids)
+"""
+    exploded = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.expr(
+                f"zip_with({sent_sql}, {fold},"
+                f" (s, c) -> struct(s AS sentence, c AS chunk))"
+            )
+        ).alias("__sidx", "__z"),
+    ).select(
+        "__id",
+        "__sidx",
+        F.col("__z.sentence").alias("__sent"),
+        F.col("__z.chunk").alias("chunk"),
+    )
+    return (
+        exploded.groupBy("__id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__sidx", "__sent"))),
+                    lambda s: s["__sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(
+                F.expr("size(regexp_extract_all(lower(__sent), '[a-z]+', 0))")
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("chunk").cast("long").alias("chunk"),
+            "chunk_text",
+            "n_sentences",
+            "n_tokens",
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     *,

@@ -1541,3 +1541,34 @@ def test_rake_keyphrases_textbook_case(spark):
         (2, "deep neural networks", 9_500_000),
         (3, "deep learning", 5_000_000),
     ]
+
+
+def test_chunk_sentences_greedy_and_oversized(spark):
+    """Greedy sentence packing: sentences fill a chunk to max_tokens
+    then roll over; an oversized single sentence becomes its own
+    chunk untruncated; empty docs emit nothing; chunk ids are dense
+    0-based per doc and token counts are exact."""
+    from spatially_databricks_etl_spark.operators.curate import chunk_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three. four five! six seven eight nine? ten."),
+            (2, "a b c d e f g h. i j. k."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk"]): (
+            r["chunk_text"],
+            r["n_sentences"],
+            r["n_tokens"],
+        )
+        for r in chunk_sentences(docs, max_tokens=5).collect()
+    }
+    assert got == {
+        (1, 0): ("one two three four five", 2, 5),
+        (1, 1): ("six seven eight nine ten", 2, 5),
+        (2, 0): ("a b c d e f g h", 1, 8),   # oversized, own chunk
+        (2, 1): ("i j k", 2, 3),
+    }
