@@ -251,6 +251,9 @@ EXTRA = [
     "rake_keyphrases",
     # round 13: sentence-aware greedy chunking (array-native fold)
     "chunk_sentences",
+    # round 13: Matryoshka truncation recall (16-of-64-dim prefix
+    # exact retrieval vs full-dim truth)
+    "ann_matryoshka_recall",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5716,6 +5716,99 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): recall@10 of exact
+    retrieval using only the FIRST 16 of 64 dimensions against the
+    full-dimension exact truth — the "how much index do 4× smaller
+    vectors buy" measurement that precedes any dimension-truncation
+    deployment. Both sides are exact brute-force cosine (the planted
+    ANN members pin plumbing; this pins the quality of the
+    REPRESENTATION prefix), 20 query vectors, recall as e6 integer.
+    The oracle recomputes both top-10 lists with list cosine and
+    counts intersections."""
+    from spatially_databricks_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def trunc(df):
+        return df.select(
+            "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+        )
+
+    q_full = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    q_trunc = (
+        trunc(_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20))
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    approx = brute_force_topk(
+        trunc(_t(spark, sf_dir, "embeddings")), q_trunc, k=10
+    )
+    truth = brute_force_topk(_t(spark, sf_dir, "embeddings"), q_full, k=10)
+    both = (
+        approx.select("query_id", "neighbor_id")
+        .unionByName(truth.select("query_id", "neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_q = (
+        both.filter(F.col("__n") == 2)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return qids.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.floor(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_e6"),
+    )
+
+
+SQL_ANN_MATRYOSHKA_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qt
+      FROM e WHERE vec_id < 20),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.v[1:16], q.qt) DESC,
+                      e.vec_id) AS rnk
+    FROM e CROSS JOIN q) WHERE rnk <= 10),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                      e.vec_id) AS rnk
+    FROM e CROSS JOIN q) WHERE rnk <= 10),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN truth t USING (query_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) / 10.0 * 1000000.0 + 0.5) AS BIGINT)
+         AS recall_e6
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 SQL_ANN_RECALL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 comp AS (SELECT vec_id, j - 1 AS cell, v[j] AS sim
@@ -9094,6 +9187,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: sentence-aware greedy chunking (whole
     # sentences, array-native fold; recursive-CTE oracle)
     "chunk_sentences": q_chunk_sentences,
+    # round-13 addition: Matryoshka truncation eval — recall@10 of
+    # 16-dim-prefix exact retrieval vs full-dim truth
+    "ann_matryoshka_recall": q_ann_matryoshka_recall,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9296,6 +9392,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "chunk_sentences": SQL_CHUNK_SENTENCES,
+    "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
