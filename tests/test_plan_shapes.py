@@ -120,7 +120,13 @@ def test_no_catalog_query_plans_a_smell(spark):
         "ann_recall",
         "ann_lsh_recall",
         "ann_pq_recall",
+        # truncation eval: BOTH sides are deliberate brute-force exact
+        # baselines (broadcast query set against the corpus scan)
+        "ann_matryoshka_recall",
         "retrieval_metrics",
+        # one-row Σ√avail denominator frame via broadcast cross join —
+        # the accepted scalar-join pattern
+        "mixture_temperature",
         # one-row contingency-totals frame via broadcast cross join —
         # the accepted scalar-join pattern
         "drift_chi2",
