@@ -254,6 +254,9 @@ EXTRA = [
     # round 13: Matryoshka truncation recall (16-of-64-dim prefix
     # exact retrieval vs full-dim truth)
     "ann_matryoshka_recall",
+    # round 13: the persisted-index family's graded row (write ->
+    # append -> tombstone-delete -> search, planted corpus)
+    "simhash_search_index",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one
