@@ -257,6 +257,8 @@ EXTRA = [
     # round 13: the persisted-index family's graded row (write ->
     # append -> tombstone-delete -> search, planted corpus)
     "simhash_search_index",
+    # round 13: per-dim fixed-point embedding standardization
+    "embedding_standardize",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5716,6 +5716,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization of the embeddings fixture —
+    exact e6 fixed-point components, DECIMAL(38,0) corpus sums,
+    integer mean/std, zero-variance dims emit 0. The first 30 vectors
+    keep the compare small; the oracle replays quantization, the
+    per-dim stats and the z arithmetic with HUGEINT."""
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        embedding_standardize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_standardize(emb).filter(F.col("vec_id") < 30)
+
+
+SQL_EMBEDDING_STANDARDIZE = """
+WITH comp AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+         CAST(floor(CAST(v[i] AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT) AS xe6
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       unnest(range(1, len(v) + 1)) AS t(i)),
+stats AS (
+  SELECT d, count(*) AS n, sum(xe6) AS sx, sum(xe6 * xe6) AS sxx
+  FROM comp GROUP BY 1),
+st2 AS (
+  SELECT d, sx // n AS mean_e6,
+         CAST(floor(sqrt(CAST((n * sxx - sx * sx) // (n * n) AS DOUBLE)))
+              AS HUGEINT) AS std_e6
+  FROM stats),
+z AS (
+  SELECT c.vec_id, c.d,
+         CASE WHEN s.std_e6 > 0
+              THEN CAST(((c.xe6 - s.mean_e6) * 1000000) // s.std_e6 AS BIGINT)
+              ELSE 0 END AS ze6
+  FROM comp c JOIN st2 s USING (d))
+SELECT vec_id, array_agg(ze6 ORDER BY d) AS z
+FROM z WHERE vec_id < 30 GROUP BY vec_id
+"""
+
+
 def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation eval (Kusupati et al. 2022,
     "Matryoshka Representation Learning"): recall@10 of exact
@@ -9190,6 +9229,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: Matryoshka truncation eval — recall@10 of
     # 16-dim-prefix exact retrieval vs full-dim truth
     "ann_matryoshka_recall": q_ann_matryoshka_recall,
+    # round-13 addition: per-dim fixed-point standardization of the
+    # embedding column (whitening-lite; exact e6 longs out)
+    "embedding_standardize": q_embedding_standardize,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9393,6 +9435,7 @@ ORACLES: dict[str, str] = {
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "chunk_sentences": SQL_CHUNK_SENTENCES,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
+    "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -621,3 +621,86 @@ def kmeans_outliers(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def embedding_standardize(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus standardization of an embedding column —
+    the whitening-lite retrieval prep (centering kills the "hubness"
+    of a biased dimension; unit per-dim variance stops one loud
+    dimension from dominating every cosine/L2). Deterministic and
+    EXACT by fixed-point quantization (the repo's e6 idiom, same as
+    :func:`~spatially_databricks_etl_spark.operators.profile.embedding_quality`):
+
+    - components quantize once to e6 integers
+      (``floor(x·10⁶ + 0.5)`` — per-row, order-free);
+    - per-dim sums Σx and Σx² accumulate in DECIMAL(38,0) — exact,
+      so float summation order can never perturb the stats;
+    - ``mean_e6 = Σx div n``; population variance in e12 via
+      ``(n·Σx² − (Σx)²) div n²``; ``std_e6 = floor(sqrt(var_e12))``
+      (sqrt of an exact integer — IEEE correctly rounded);
+    - standardized component ``z_e6 = ((x_e6 − mean_e6)·10⁶) div
+      std_e6``; zero-variance dimensions emit 0 (not a NULL hole and
+      not a division error).
+
+    Returns (id_col, z) with z an ``array<bigint>`` of e6-scaled
+    standardized components — exact longs, directly value-oracle-able.
+
+    Scale shape: one explode → a |dims|-row hash aggregate (map-side
+    combine absorbs everything); the per-dim stats broadcast back
+    into a map-side zip — the corpus shuffles ONCE (the re-assembly
+    groupBy on the id). At 100 TB the stats frame is 64 rows."""
+    dims = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+    ).withColumn(
+        "__xe6",
+        F.floor(F.col("__x").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long"),
+    )
+    stats = (
+        dims.groupBy("__d")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(F.col("__xe6").cast("decimal(38,0)")).alias("__sx"),
+            F.sum(
+                (
+                    F.col("__xe6").cast("decimal(38,0)")
+                    * F.col("__xe6").cast("decimal(38,0)")
+                )
+            ).alias("__sxx"),
+        )
+        .withColumn("__mean_e6", F.expr("CAST(__sx div __n AS BIGINT)"))
+        .withColumn(
+            "__var_e12",
+            F.expr("CAST((__n * __sxx - __sx * __sx) div (__n * __n) AS BIGINT)"),
+        )
+        .withColumn(
+            "__std_e6",
+            F.floor(F.sqrt(F.col("__var_e12").cast("double"))).cast("long"),
+        )
+        .select("__d", "__mean_e6", "__std_e6")
+    )
+    z = F.when(
+        F.col("__std_e6") > 0,
+        F.expr(
+            "CAST(((__xe6 - __mean_e6) * CAST(1000000 AS BIGINT))"
+            " div __std_e6 AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        dims.join(F.broadcast(stats), "__d")
+        .withColumn("__z", z)
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__z"))),
+                lambda s: s["__z"],
+            ).alias("z")
+        )
+        .select(F.col("__id").alias(id_col), "z")
+    )

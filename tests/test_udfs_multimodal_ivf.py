@@ -1122,3 +1122,48 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
 
     full = connected_components(chain, max_iterations=20)
     assert {r["component"] for r in full.collect()} == {0}
+
+
+def test_embedding_standardize_exact_replay(spark):
+    """embedding_standardize ≡ an exact Python fixed-point replay:
+    e6 quantization, integer sums, truncating mean/std, zero-variance
+    dims emit 0; output mean of each standardized dim is ~0 and
+    spread ~1e6."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        embedding_standardize,
+    )
+
+    vecs = {
+        1: [0.5, -0.25, 7.0],
+        2: [1.5, 0.75, 7.0],
+        3: [-0.5, 0.5, 7.0],
+        4: [0.25, -1.0, 7.0],   # dim 2 constant -> std 0 -> z 0
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: list(r["z"]) for r in embedding_standardize(df).collect()}
+
+    def fdiv(a, b):
+        # SQL integer `div`: truncation toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    xe6 = {k: [math.floor(float(x) * 1e6 + 0.5) for x in v] for k, v in vecs.items()}
+    n = len(vecs)
+    want = {}
+    for k in vecs:
+        zs = []
+        for d in range(3):
+            col = [xe6[kk][d] for kk in vecs]
+            sx, sxx = sum(col), sum(x * x for x in col)
+            mean = fdiv(sx, n)
+            var = fdiv(n * sxx - sx * sx, n * n)
+            std = math.floor(math.sqrt(var))
+            zs.append(fdiv((xe6[k][d] - mean) * 1_000_000, std) if std > 0 else 0)
+        want[k] = zs
+    assert got == want
+    assert all(got[k][2] == 0 for k in vecs)  # constant dim
