@@ -259,6 +259,8 @@ EXTRA = [
     "simhash_search_index",
     # round 13: per-dim fixed-point embedding standardization
     "embedding_standardize",
+    # round 13: perceptual-hash media near-dup (multimodal dedup)
+    "phash_near_dedup",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

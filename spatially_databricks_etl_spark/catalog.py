@@ -5716,6 +5716,47 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup over the corpus-as-payloads
+    fixture (text bytes stand in for image bytes, the media_features
+    convention) unioned with exact copies of the first 50 docs at
+    id + 1000000. The deterministic fake decoder has avalanche, so
+    the ≤3-Hamming pair set is EXACTLY the equal-payload pairs — all
+    at Hamming 0 — which the oracle states as an equality self-join
+    (this also absorbs the organic exact-duplicate texts that appear
+    at sf0.1). P(two distinct payloads land within Hamming 3) ≈
+    2.4e-15 per pair — ~1e-8 over the sf0.1 pair count. Ids compare
+    as strings on BOTH sides (the media item_id contract)."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        phash_near_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.select("doc_id", "text").unionByName(copies)
+    src = corpus.select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = phash_near_dedup(src, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_PHASH_NEAR_DEDUP = """
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR), text
+  FROM documents WHERE doc_id < 50)
+SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM c a JOIN c b ON a.text = b.text AND a.id < b.id
+"""
+
+
 def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension standardization of the embeddings fixture —
     exact e6 fixed-point components, DECIMAL(38,0) corpus sums,
@@ -9232,6 +9273,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: per-dim fixed-point standardization of the
     # embedding column (whitening-lite; exact e6 longs out)
     "embedding_standardize": q_embedding_standardize,
+    # round-13 addition: perceptual-hash media near-dup (multimodal
+    # dedup member; shares the SimHash pigeonhole core)
+    "phash_near_dedup": q_phash_near_dedup,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9436,6 +9480,7 @@ ORACLES: dict[str, str] = {
     "chunk_sentences": SQL_CHUNK_SENTENCES,
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
+    "phash_near_dedup": SQL_PHASH_NEAR_DEDUP,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

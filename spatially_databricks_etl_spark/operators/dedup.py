@@ -572,6 +572,32 @@ def simhash_near_dedup(
     chunk_value) — a sparse shuffle — then verified with
     ``bit_count(a XOR b)``. Returns (id_a, id_b, hamming).
     """
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
+    )
+    base = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
+    return hamming_near_dedup_codes(
+        base, max_hamming=max_hamming, chunks=chunks
+    )
+
+
+def hamming_near_dedup_codes(
+    codes: DataFrame,
+    *,
+    id_col: str = "__id",
+    code_col: str = "__sh",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Hamming-distance pair join over PRE-COMPUTED 64-bit codes —
+    the fingerprint-agnostic core :func:`simhash_near_dedup` and the
+    multimodal pHash dedup share (any 64-bit locality-preserving code
+    plugs in). Pigeonhole banding: split the code into ``chunks``
+    equal chunks; any pair within Hamming d < chunks shares ≥1 exact
+    chunk, so candidates come from equality joins on (chunk_idx,
+    chunk_value) — one sparse shuffle — then verify with
+    ``bit_count(a XOR b)``. COMPLETE, not approximate, for
+    ``max_hamming < chunks``. Returns (id_a, id_b, hamming)."""
     if 64 % chunks != 0:
         raise ValueError(f"chunks ({chunks}) must divide 64 evenly")
     if max_hamming >= chunks:
@@ -582,10 +608,9 @@ def simhash_near_dedup(
         )
     width = 64 // chunks
     mask = (1 << width) - 1
-    src = ensure_parallelism(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
+    base = codes.select(
+        F.col(id_col).alias("__id"), F.col(code_col).alias("__sh")
     )
-    base = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
     chunk_structs = F.array(
         *[
             F.struct(

@@ -271,3 +271,98 @@ def audio_window_energy(
             yield pd.DataFrame({"item_id": ids, "window_idx": widx, "rms": rms})
 
     return src.mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def fake_pixel_bytes(payload: bytes, n: int = 64) -> "list[int]":
+    """Deterministic stand-in for decode-to-grayscale-8x8: derives
+    ``n`` pseudo-pixel BYTES (0–255, the uint8 contract every real
+    grayscale decoder emits) from a sha256 chain over the payload.
+    Replace with a real decode + downscale (PIL/opencv) in production
+    — signature unchanged. NOTE the fake has avalanche, not locality:
+    only IDENTICAL payloads produce nearby hashes, so tests/oracles
+    plant exact-duplicate payloads; with a real decoder, visually
+    similar images land within small Hamming distance."""
+    import hashlib
+
+    out: list[int] = []
+    i = 0
+    while len(out) < n:
+        h = hashlib.sha256((payload or b"") + bytes([i])).digest()
+        out.extend(h)
+        i += 1
+    return out[:n]
+
+
+PHASH_SCHEMA = "item_id string, phash long"
+
+
+def media_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    pixels_fn: Callable[[bytes], "list[int]"] = fake_pixel_bytes,
+) -> DataFrame:
+    """64-bit average-hash (aHash — Krawetz's perceptual-hash family)
+    of a binary media column: decode to 64 uint8 pseudo-pixels, bit
+    i = (n·pixel_i ≥ Σpixels) — the mean compare done in EXACT
+    integer arithmetic (no float tie hazard; replayable in any
+    engine). Arrow-batched ``mapInPandas`` — only (id, payload) ship
+    into Python; the hash is 8 bytes out per item, so the expensive
+    pixels never shuffle. Returns (item_id, phash long)."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes = []
+            for p in batch["payload"]:
+                px = pixels_fn(p if p is not None else b"")
+                n, total = len(px), sum(px)
+                code = 0
+                for i, v in enumerate(px):
+                    if n * v >= total:
+                        code |= 1 << i
+                if code >= 1 << 63:  # wrap to signed int64
+                    code -= 1 << 64
+                hashes.append(code)
+            yield pd.DataFrame({"item_id": batch["item_id"], "phash": hashes})
+
+    return src.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    pixels_fn: Callable[[bytes], "list[int]"] = fake_pixel_bytes,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs by perceptual-hash Hamming distance
+    — the multimodal member of the dedup family (exact byte dedup
+    misses re-encoded/resized copies; a perceptual hash is stable
+    under those, so Hamming ≤ d finds them). Rides the SAME pigeonhole
+    chunk-blocking core as SimHash text dedup
+    (:func:`~spatially_databricks_etl_spark.operators.dedup.hamming_near_dedup_codes`
+    — complete for max_hamming < chunks, one sparse shuffle on
+    (chunk, value), 8-byte codes only; payloads never shuffle).
+    Returns (id_a, id_b, hamming)."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        hamming_near_dedup_codes,
+    )
+
+    codes = media_phash(
+        df, id_col=id_col, payload_col=payload_col, pixels_fn=pixels_fn
+    )
+    return hamming_near_dedup_codes(
+        codes,
+        id_col="item_id",
+        code_col="phash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+    )

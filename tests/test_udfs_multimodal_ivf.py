@@ -1167,3 +1167,48 @@ def test_embedding_standardize_exact_replay(spark):
         want[k] = zs
     assert got == want
     assert all(got[k][2] == 0 for k in vecs)  # constant dim
+
+
+def test_media_phash_and_near_dedup(spark):
+    """aHash determinism + the pigeonhole pair join on media codes:
+    identical payloads hash identically (hamming 0 pairs found);
+    distinct payloads under the avalanche fake land far apart (no
+    false pairs at <=3); null payloads behave like empty bytes; the
+    integer mean-compare is replayed from raw bytes."""
+    import hashlib
+
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        fake_pixel_bytes,
+        media_phash,
+        phash_near_dedup,
+    )
+
+    items = [
+        ("a1", b"payload-one"),
+        ("a2", b"payload-one"),       # exact dup of a1
+        ("b1", b"payload-two"),
+        ("c1", b"something else"),
+        ("n1", None),
+        ("n2", b""),                  # None ≡ empty bytes
+    ]
+    df = spark.createDataFrame(items, "item_id string, payload binary")
+    codes = {r["item_id"]: r["phash"] for r in media_phash(df).collect()}
+    assert codes["a1"] == codes["a2"]
+    assert codes["n1"] == codes["n2"]
+    assert codes["a1"] != codes["b1"]
+
+    # python replay of the integer aHash
+    def replay(p):
+        px = fake_pixel_bytes(p or b"")
+        n, tot = len(px), sum(px)
+        code = sum(1 << i for i, v in enumerate(px) if n * v >= tot)
+        return code - (1 << 64) if code >= 1 << 63 else code
+
+    for iid, p in items:
+        assert codes[iid] == replay(p), iid
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dedup(df, max_hamming=3).collect()
+    }
+    assert pairs == {("a1", "a2"): 0, ("n1", "n2"): 0}
