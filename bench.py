@@ -261,6 +261,8 @@ EXTRA = [
     "embedding_standardize",
     # round 13: perceptual-hash media near-dup (multimodal dedup)
     "phash_near_dedup",
+    # round 13: canonical text normalization (planted typography)
+    "normalize_text",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5716,6 +5716,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: planted normalization fixture: accents, curly quotes, em-dashes,
+#: NBSP, mixed case, whitespace runs, and clean passthroughs
+_NORMALIZE_FIXTURE: list[tuple[int, str]] = [
+    (1, "Café — “Déjà Vu” — RÉSUMÉ"),
+    (2, "  Ünïcode\tNoise\n\nhere  "),
+    (3, "L’éléphant  naïf — über—cool"),
+    (4, "plain ascii stays put"),
+    (5, ""),
+    (6, "ÀÁÂÃÄÅ àáâãäå ÇÑ çñ ÈÉÊË èéêë"),
+]
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization over the planted typography
+    fixture: typographic folds (curly quotes/dashes/NBSP), fixed-table
+    Latin accent fold, lowercase, whitespace collapse. The oracle is
+    the IDENTICAL translate/lower/regexp_replace composition in
+    DuckDB — zero divergence surface."""
+    from spatially_databricks_etl_spark.functions.text import normalize_text
+
+    d = spark.createDataFrame(_NORMALIZE_FIXTURE, "text_id long, text string")
+    return d.select("text_id", normalize_text("text").alias("normalized"))
+
+
+def _normalize_oracle_sql() -> str:
+    from spatially_databricks_etl_spark.functions.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+        _TYPO_DST,
+        _TYPO_SRC,
+    )
+
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _NORMALIZE_FIXTURE
+    )
+    return f"""
+WITH u AS (SELECT * FROM (VALUES {vals}) t(text_id, url)),
+f AS (SELECT text_id,
+             translate(translate(url, '{_TYPO_SRC}', '{_TYPO_DST.replace("'", "''")}'),
+                       '{_ACCENT_SRC}', '{_ACCENT_DST}') AS x
+      FROM u)
+SELECT CAST(text_id AS BIGINT) AS text_id,
+       trim(regexp_replace(lower(x), '\\s+', ' ', 'g')) AS normalized
+FROM f
+"""
+
+
+SQL_NORMALIZE_TEXT = _normalize_oracle_sql()
+
+
 def q_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media near-dup over the corpus-as-payloads
     fixture (text bytes stand in for image bytes, the media_features
@@ -9276,6 +9326,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: perceptual-hash media near-dup (multimodal
     # dedup member; shares the SimHash pigeonhole core)
     "phash_near_dedup": q_phash_near_dedup,
+    # round-13 addition: canonical text normalization (typographic +
+    # accent folds; oracle = identical expression)
+    "normalize_text": q_normalize_text,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9481,6 +9534,7 @@ ORACLES: dict[str, str] = {
     "ann_matryoshka_recall": SQL_ANN_MATRYOSHKA_RECALL,
     "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
     "phash_near_dedup": SQL_PHASH_NEAR_DEDUP,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

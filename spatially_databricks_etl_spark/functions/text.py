@@ -298,3 +298,40 @@ def canonicalize_url(col: Column | str) -> Column:
         ),
     )
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+#: typographic folds: curly quotes → straight, en/em dashes → '-',
+#: NBSP → space (1:1 char map — `translate` semantics in any engine)
+_TYPO_SRC = "‘’“”–— "
+_TYPO_DST = "''\"\"-- "
+
+#: Latin-1/Latin-Extended accent fold (the high-frequency set; extend
+#: the pair of constants to widen coverage — lengths must stay equal)
+_ACCENT_SRC = (
+    "áàâãäåçéèêëíìîïñóòôõöúùûüýÿ"
+    "ÁÀÂÃÄÅÇÉÈÊËÍÌÎÏÑÓÒÔÕÖÚÙÛÜÝ"
+)
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyy" "AAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for matching/dedup keys — the
+    cleanup pass every crawl corpus needs before exact or fuzzy
+    matching (curly quotes, em-dashes, NBSP and accents otherwise
+    split what a human reads as the same string):
+
+    1. fold typographic characters (curly quotes → straight,
+       en/em dash → ``-``, NBSP → space);
+    2. fold Latin accents (1:1 ``translate`` over the high-frequency
+       set — deliberately a FIXED table, not locale-dependent NFKD,
+       so any engine replays it byte-identically);
+    3. lowercase;
+    4. collapse whitespace runs to one space and trim.
+
+    Pure codegen (translate + lower + regexp_replace) — map-only at
+    any scale, NULL passes through."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(
+        F.translate(c, _TYPO_SRC, _TYPO_DST), _ACCENT_SRC, _ACCENT_DST
+    )
+    return F.trim(F.regexp_replace(F.lower(folded), r"\s+", " "))

@@ -121,3 +121,26 @@ def test_haversine_known_distance(spark):
         in_bbox(F.col("lat2"), F.col("lon2"), south=40, west=-75, north=41, east=-73).alias("b"),
     ).first()
     assert box["a"] is True and box["b"] is False
+
+
+def test_normalize_text_folds(spark):
+    """Typographic + accent folds, lowercase, whitespace collapse;
+    plain ASCII passes through; NULL stays NULL; empty stays empty."""
+    from spatially_databricks_etl_spark.functions.text import normalize_text
+
+    cases = {
+        "Café — “Déjà Vu”": 'cafe - "deja vu"',
+        "L’éléphant  naïf": "l'elephant naif",
+        "  A\tB\n\nC  ": "a b c",
+        "plain ascii stays put": "plain ascii stays put",
+        "ÀÇÑÈ àçñè": "acne acne",
+        "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "t string")
+    got = {
+        r["t"]: r["n"]
+        for r in df.select("t", normalize_text("t").alias("n")).collect()
+    }
+    assert got == cases
+    nul = spark.createDataFrame([(None,)], "t string")
+    assert nul.select(normalize_text("t").alias("n")).first()["n"] is None
