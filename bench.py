@@ -263,6 +263,8 @@ EXTRA = [
     "phash_near_dedup",
     # round 13: canonical text normalization (planted typography)
     "normalize_text",
+    # round 13: Heaps'-law vocabulary-growth curve
+    "vocab_growth",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -5728,6 +5728,40 @@ _NORMALIZE_FIXTURE: list[tuple[int, str]] = [
 ]
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over the organic corpus in
+    doc-id order, 10 checkpoints — distinct tokens seen after each
+    tenth of the corpus. The engine ranks documents with the
+    distributed-row-number construction (no single-partition window);
+    the oracle replays the curve with a plain ROW_NUMBER — the result
+    depends only on the document order."""
+    from spatially_databricks_etl_spark.operators.curate import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), checkpoints=10)
+
+
+SQL_VOCAB_GROWTH = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents),
+tk AS (
+  SELECT tok, min(r.rk) AS first_rk
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents) t
+  JOIN r USING (doc_id) GROUP BY tok),
+n AS (SELECT count(*) AS nt FROM documents),
+cps AS (SELECT CAST(k AS BIGINT) AS checkpoint,
+               CAST((k * nt) // 10 AS BIGINT) AS n_docs
+        FROM generate_series(1, 10) g(k), n)
+SELECT c.checkpoint, c.n_docs,
+       CAST(coalesce(
+         (SELECT count(*) FROM tk t WHERE t.first_rk < c.n_docs), 0)
+         AS BIGINT) AS vocab
+FROM cps c
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization over the planted typography
     fixture: typographic folds (curly quotes/dashes/NBSP), fixed-table
@@ -9329,6 +9363,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: canonical text normalization (typographic +
     # accent folds; oracle = identical expression)
     "normalize_text": q_normalize_text,
+    # round-13 addition: Heaps'-law vocabulary-growth curve
+    # (distributed doc ranking; ROW_NUMBER oracle)
+    "vocab_growth": q_vocab_growth,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9535,6 +9572,7 @@ ORACLES: dict[str, str] = {
     "embedding_standardize": SQL_EMBEDDING_STANDARDIZE,
     "phash_near_dedup": SQL_PHASH_NEAR_DEDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "vocab_growth": SQL_VOCAB_GROWTH,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

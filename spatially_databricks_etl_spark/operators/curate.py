@@ -1802,6 +1802,88 @@ def ngram_novelty(
     return register_persists(out, [grams])
 
 
+def vocab_growth(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct-token count
+    after each 1/``checkpoints`` fraction of the corpus, in document
+    order — the corpus-health audit that separates healthy prose
+    (vocabulary keeps growing sublinearly) from templated/stamped
+    corpora (the curve flatlines early) and quantifies what another
+    crawl dump would actually add. Tokens are the corpus-standard
+    lowercased ``[a-z]+`` extraction; document order is ascending
+    ``id_col``.
+
+    Returns (checkpoint, n_docs, vocab): for checkpoint k,
+    ``n_docs = (k·N) div checkpoints`` and ``vocab`` = distinct
+    tokens appearing in the first n_docs documents. Exact integers.
+
+    Scale shape: one corpus scan explodes distinct (token, doc)
+    pairs; first occurrence per token is one hash aggregate (min doc
+    rank); document ranks come from
+    :func:`~spatially_databricks_etl_spark.operators.relational.distributed_row_number`
+    over the ID FRAME ONLY (no payloads; no single-partition window);
+    the closing counts are a |checkpoints|-row broadcast join."""
+    if checkpoints < 1:
+        raise ValueError(f"checkpoints must be >= 1, got {checkpoints}")
+    from spatially_databricks_etl_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    ids = distributed_row_number(
+        df.select(F.col(id_col).alias("__id")), [F.asc("__id")], rank_col="__r"
+    )
+    n_total = ids.count()
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(`{text_col}`), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("__id").alias("__first_id"))
+    )
+    first_rank = toks.join(
+        ids.select(F.col("__id").alias("__first_id"), F.col("__r")), "__first_id"
+    )
+    bounds = [
+        (k, (k * n_total) // int(checkpoints))
+        for k in range(1, int(checkpoints) + 1)
+    ]
+    # literal checkpoint array explodes map-side — no join, no BNLJ
+    cp_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("checkpoint"),
+                F.lit(nd).cast("long").alias("n_docs"),
+            )
+            for k, nd in bounds
+        ]
+    )
+    counts = (
+        first_rank.select("__r", F.explode(cp_arr).alias("__cp"))
+        .filter(F.col("__r") < F.col("__cp.n_docs"))
+        .groupBy(
+            F.col("__cp.checkpoint").alias("checkpoint"),
+            F.col("__cp.n_docs").alias("n_docs"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    cps = df.sparkSession.createDataFrame(bounds, "checkpoint long, n_docs long")
+    return cps.join(
+        counts.select("checkpoint", "vocab"), "checkpoint", "left"
+    ).select(
+        "checkpoint",
+        "n_docs",
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+    )
+
+
 def token_diversity(
     df: DataFrame,
     *,

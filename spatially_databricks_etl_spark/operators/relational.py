@@ -1030,3 +1030,52 @@ def snapshot_diff(
             F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
         )
     return j.filter(~in_old | ~in_new | changed).select(*out_cols)
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    *,
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Global 0-based row numbers WITHOUT a single-partition window —
+    the classic distributed-ranking construction (a plain
+    ``row_number() OVER (ORDER BY …)`` funnels the whole frame through
+    ONE task, the canonical driver-shaped scale killer):
+
+    1. range-repartition + sort within partitions on ``order_cols``
+       (the same machinery as a distributed ORDER BY);
+    2. eagerly checkpoint — the frame has two consumers and
+       repartitionByRange's boundary sampling is not guaranteed
+       byte-stable across separate jobs;
+    3. collect the #partitions-row count manifest (bounded metadata)
+       into cumulative offsets;
+    4. global rank = partition offset + per-partition row_number
+       (partition-local window — no cross-partition sort).
+
+    The ``order_cols`` total order must be UNIQUE (add an id
+    tiebreak) or ranks within ties are partition-placement-dependent.
+    Returns ``df``'s columns plus ``rank_col``."""
+    nparts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(w) - F.lit(1))
+        .drop("__pid", "__off")
+    )

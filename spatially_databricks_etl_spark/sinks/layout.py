@@ -281,42 +281,15 @@ def shard_by_size(
     the total order, not on how it was computed."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    from pyspark.sql import Window
+    from spatially_databricks_etl_spark.operators.relational import (
+        distributed_row_number,
+    )
 
     src = df.select(
         F.col(id_col).alias("__id"), F.col(size_col).cast("long").alias("size")
     )
-    nparts = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    # eagerly checkpointed: the frame has TWO consumers (the count
-    # manifest and the final rank join), and repartitionByRange's
-    # boundary sampling is not guaranteed byte-stable across separate
-    # jobs — both consumers must observe the SAME physical
-    # partitioning or offsets and row_numbers could disagree
-    ranged = (
-        src.repartitionByRange(nparts, F.desc("size"), F.asc("__id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # bounded metadata: one row per partition -> cumulative offsets.
-    # repartitionByRange assigns ascending partition ids along the
-    # range order, so offsets accumulate in __pid order.
-    counts = sorted(
-        (r["__pid"], r["n"])
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
-    w = Window.partitionBy("__pid").orderBy(F.desc("size"), F.asc("__id"))
-    ranked = (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            "__rk", F.col("__off") + F.row_number().over(w) - F.lit(1)
-        )
+    ranked = distributed_row_number(
+        src, [F.desc("size"), F.asc("__id")], rank_col="__rk"
     )
     n = int(n_shards)
     shard = F.expr(

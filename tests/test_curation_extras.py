@@ -1572,3 +1572,36 @@ def test_chunk_sentences_greedy_and_oversized(spark):
         (2, 0): ("a b c d e f g h", 1, 8),   # oversized, own chunk
         (2, 1): ("i j k", 2, 3),
     }
+
+
+def test_vocab_growth_hand_case(spark):
+    """Cumulative distinct-token curve in doc order: counts replay a
+    Python scan; n_docs boundaries are floor(k*N/C); monotone
+    non-decreasing; order-independent of input row order."""
+    from spatially_databricks_etl_spark.operators.curate import vocab_growth
+
+    texts = {1: "a b c", 2: "a b d", 3: "e", 4: "a f g", 5: "h"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = [
+        (r["checkpoint"], r["n_docs"], r["vocab"])
+        for r in vocab_growth(docs, checkpoints=5).orderBy("checkpoint").collect()
+    ]
+    seen: set = set()
+    want = []
+    order = sorted(texts)
+    for k in range(1, 6):
+        nd = k * len(order) // 5
+        seen_k: set = set()
+        for did in order[:nd]:
+            seen_k.update(texts[did].split())
+        want.append((k, nd, len(seen_k)))
+        seen = seen_k
+    assert got == want
+    assert all(a[2] <= b[2] for a, b in zip(got, got[1:]))
+
+    shuffled = vocab_growth(
+        docs.orderBy(F.rand(7)), checkpoints=5
+    ).orderBy("checkpoint").collect()
+    assert [(r["checkpoint"], r["n_docs"], r["vocab"]) for r in shuffled] == want
