@@ -389,6 +389,60 @@ HEADLINE2_BASELINE = {
     "q2_min_cost_supplier": 0.757,
 }  # baseline total: 39.139
 
+# Per-query baselines for the EXTRA rows added after the headline2
+# freeze (rounds 10-13) — committed so the breach_spreads machinery
+# covers every measured row, not just the two frozen gates (VERDICT
+# r13 item 6). Provenance: the round-13 driver bench medians
+# (BENCH_DETAILS.json as committed at 70deedd; n=5, sf0.1, local[32])
+# — the same provenance class as HEADLINE2_BASELINE. Exceptions:
+# dedup_keep_best's r13 median (11.04 s) predates the round-14
+# rewrite (losers-anti-join survivor selection — the corpus no longer
+# shuffles), so its baseline is the round-14 n=11 isolation median
+# recorded in SCALE.md. These are trend-line denominators, not a
+# frozen gate total — membership may grow as rounds add operators.
+EXTRA_BASELINE = {
+    "ann_lsh_recall": 1.292,
+    "ann_pq_recall": 0.789,
+    "ts_anomaly": 0.629,
+    "ts_anomaly_daily": 0.71,
+    "ts_changepoint": 0.725,
+    "retrieval_metrics": 1.204,
+    "variant_fns": 0.398,
+    "asof_join_cogroup": 12.815,
+    "transitive_closure": 2.054,
+    "ts_anomaly_detrended": 0.766,
+    "asof_join_tolerance": 12.308,
+    "asof_join_nearest": 0.29,
+    "drift_embedding": 0.608,
+    "asof_join_tolerance_window": 0.328,
+    "label_propagation": 1.003,
+    "embedding_quality": 0.306,
+    "bpe_train": 3.84,
+    "bpe_token_freq": 3.916,
+    "mmr_rerank": 0.669,
+    "bpe_encode_docs": 4.307,
+    "ts_forecast": 0.802,
+    "mixture_plan": 0.271,
+    "dbscan": 4.939,
+    "kcore": 1.746,
+    "remove_repeated_spans": 0.418,
+    "mixture_temperature": 0.35,
+    "shard_by_size": 0.819,
+    "wordpiece_train": 3.639,
+    "stratified_split": 0.175,
+    "url_canonical_dedup": 0.982,
+    "dedup_keep_best": 5.465,
+    "ngram_novelty": 0.232,
+    "rake_keyphrases": 1.542,
+    "chunk_sentences": 2.41,
+    "ann_matryoshka_recall": 0.894,
+    "simhash_search_index": 15.19,
+    "embedding_standardize": 0.408,
+    "phash_near_dedup": 0.971,
+    "normalize_text": 0.401,
+    "vocab_growth": 1.694,
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -502,6 +556,14 @@ def main() -> int:
             breach[name] = [*spreads[name], base]
     for name in HEADLINE2:
         base = HEADLINE2_BASELINE.get(name)
+        med = extra_timings.get(name)
+        if base and med and med > BREACH_RATIO * base:
+            breach[name] = [*extra_spreads[name], base]
+    # extras-class rows with committed baselines (rounds 10-13
+    # additions) get the same self-adjudication; these are trend
+    # lines, not a gate, but a breach row in the artifact saves the
+    # n=11 isolation round-trip when a verdict asks "noise or real?"
+    for name, base in EXTRA_BASELINE.items():
         med = extra_timings.get(name)
         if base and med and med > BREACH_RATIO * base:
             breach[name] = [*extra_spreads[name], base]

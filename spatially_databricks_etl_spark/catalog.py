@@ -62,6 +62,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(label: str) -> str:
+    """Fresh per-call scratch dir under ONE per-process root that is
+    removed at interpreter exit. Index-building catalog queries
+    (``q_simhash_search_index``, WordPiece round-trip, ...) need a
+    hermetic on-disk dir per call; bench runs each query 5-13 times
+    per round, so bare ``mkdtemp`` leaked written index dirs — the
+    shared root bounds that to one tree, reclaimed atexit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_catalog_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"{label}_", dir=_SCRATCH_ROOT)
+
+
+_SCRATCH_ROOT: str | None = None
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface queries (SURVEY.md §2a)
 # ---------------------------------------------------------------------------
@@ -2342,10 +2365,10 @@ def q_simhash_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Expected matches are the planted pair set ``_SIMHASH_EXPECTED``
     restricted to flip-doc rows, minus the tombstoned (102, 101) —
-    9 rows, every Hamming value pinned. A fresh temp dir per call
-    keeps runs hermetic (no cross-run index state)."""
-    import tempfile
-
+    9 rows, every Hamming value pinned. A fresh scratch dir per call
+    keeps runs hermetic (no cross-run index state); the shared
+    atexit-reclaimed root keeps repeated bench runs from leaking
+    written index dirs."""
     from spatially_databricks_etl_spark.operators.dedup import (
         simhash_append_index,
         simhash_delete_index,
@@ -2354,7 +2377,7 @@ def q_simhash_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _simhash_planted_docs()
-    path = tempfile.mkdtemp(prefix="spark_graft_simhash_idx_")
+    path = _scratch_dir("simhash_idx")
     base = spark.createDataFrame(
         [(i, t) for i, t in docs if i % 100 != 2 and not 400 <= i < 500],
         "doc_id long, text string",
@@ -3575,7 +3598,8 @@ SQL_RAKE_KEYPHRASES = (
 WITH toks AS (
   SELECT doc_id, i AS pos, ts[i] AS tok
   FROM (SELECT doc_id,
-               regexp_extract_all(lower(text), '[a-z]+|[^a-z\s]+') AS ts
+               regexp_extract_all(lower(text),
+                                  '[a-z]+|[^a-z \t\n\f\r]+') AS ts
         FROM documents),
        unnest(range(1, len(ts) + 1)) AS t(i)
 ),
@@ -9118,19 +9142,51 @@ QUERIES: dict[str, QueryFn] = {
     #   snapshot_diff, incremental_rollup, tumbling_window,
     #   stream_cdc_state, media_features, audio_energy  (= 41 rows).
     # The ~9 remaining prefix slots are the ROTATION WINDOW; future
-    # rotations displace only window rows. Current window:
-    # ts_forecast, label_propagation, mixture_plan,
-    # simhash_search_index, mmr_rerank, embedding_quality, dbscan,
-    # bpe_train, kcore.
-    # ROTATION QUEUE for rounds 14+ (oldest-attested first):
+    # rotations displace only window rows.
+    # Round-14 rotation (VERDICT r13 item 1, exactly as prescribed):
+    # the full round-13 window rotates out (all nine were driver-
+    # attested in CORRECTNESS_r13.json) and the nine highest-value
+    # never-attested round-13 operators rotate in, one per family
+    # contract: wordpiece_train (tokenizer training's second member,
+    # ← bpe_train), remove_repeated_spans (substring-dedup — the
+    # excision form subsumes the detector, ← kcore), phash_near_dedup
+    # (multimodal dedup's first graded row, ← embedding_quality),
+    # stratified_split (← mixture_plan), chunk_sentences
+    # (← ts_forecast), ann_matryoshka_recall (← mmr_rerank),
+    # url_canonical_dedup (← simhash_search_index), ngram_novelty
+    # (← label_propagation), rake_keyphrases (← dbscan).
+    # Current window: wordpiece_train, remove_repeated_spans,
+    # phash_near_dedup, stratified_split, chunk_sentences,
+    # ann_matryoshka_recall, url_canonical_dedup, ngram_novelty,
+    # rake_keyphrases.
+    # ROTATION QUEUE for rounds 15+ (oldest-attested first):
     # 1) event_transitions, 2) mutual_info, 3) grouped_ols,
-    # 4) collocations, 5) candidate_keys, 6) repeated_spans,
-    # 7) attribution_linear, 8) kmeans_outliers, 9) null_safe_join,
-    # 10) token_diversity, 11) column_entropy, 12) benford_audit,
-    # then the round-12 twins bpe_token_freq / bpe_encode_docs —
-    # all judge-attested; each rotation displaces a driver-attested
-    # same-family twin FROM THE WINDOW, which stays fully oracled at
-    # 51+.
+    # 4) collocations, 5) candidate_keys, 6) attribution_linear,
+    # 7) kmeans_outliers, 8) null_safe_join, 9) token_diversity,
+    # 10) column_entropy, 11) benford_audit, then the round-12 twins
+    # bpe_token_freq / bpe_encode_docs, then the remaining round-13
+    # additions never driver-graded: mixture_temperature,
+    # shard_by_size, dedup_keep_best, embedding_standardize,
+    # normalize_text, vocab_growth — then round-14 additions.
+    # (repeated_spans left the queue: its graded representation is
+    # remove_repeated_spans, which recomputes detection internally.)
+    #
+    # ATTESTATION-DEBT TERMINAL STATE (VERDICT r13 item 4 decision):
+    # the catalog (206+ rows) outgrows a 50-row graded prefix by
+    # design — same-family variants exist to pin semantics (exact
+    # baselines, cogroup twins, displaced forms), not to each earn a
+    # driver slot. The committed terminal state is FAMILY-LEVEL
+    # attestation: every operator FAMILY in VERDICT's §2b/LLM tables
+    # must have ≥1 driver-attested member (all do as of round 14);
+    # individual variants beyond that are accepted as judge-only
+    # attestation (full-catalog diffcheck 0/N + pytest), which runs
+    # the IDENTICAL compare at sf0.001 that the driver runs at
+    # sf0.01. The rotation continues at 9/round prioritizing (a) any
+    # family's FIRST driver row, (b) members whose semantics differ
+    # materially from their graded sibling (the queue above is so
+    # ordered); it is a coverage-deepening process, not a debt to
+    # zero out. Should the driver widen the prefix (e.g. 100 rows),
+    # the queue seeds the widened window in order.
     # -- reference pipeline + TPC-H core ---------------------------------
     "ref_pipeline": q_ref_pipeline,
     "q1_pricing_summary": q1_pricing_summary,
@@ -9143,13 +9199,13 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     # -- aggregation + profiling family ----------------------------------
     "rollup": q_rollup,
-    "ts_forecast": q_ts_forecast,
+    "chunk_sentences": q_chunk_sentences,
     "ts_anomaly_detrended": q_ts_anomaly_detrended,
     "ts_changepoint": q_ts_changepoint,
     "retrieval_metrics": q_retrieval_metrics,
-    # -- graph / sampling --------------------------------------------------
-    "label_propagation": q_label_propagation,
-    "mixture_plan": q_mixture_plan,
+    # -- curation / splits -------------------------------------------------
+    "ngram_novelty": q_ngram_novelty,
+    "stratified_split": q_stratified_split,
     # -- data-quality / contract audits -----------------------------------
     "fd_violations": q_fd_violations,
     # -- window / set ops ------------------------------------------------
@@ -9172,21 +9228,21 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": q_minhash_neardup,
     "dedup_lines": q_dedup_lines,
-    "simhash_search_index": q_simhash_search_index,
+    "url_canonical_dedup": q_url_canonical_dedup,
     # -- similarity / ANN / embeddings / clustering -----------------------
-    "mmr_rerank": q_mmr_rerank,
-    "embedding_quality": q_embedding_quality,
+    "ann_matryoshka_recall": q_ann_matryoshka_recall,
+    "phash_near_dedup": q_phash_near_dedup,
     "ann_lsh_recall": q_ann_lsh_recall,
-    "dbscan": q_dbscan,
+    "rake_keyphrases": q_rake_keyphrases,
     # -- text analysis / featurization / retrieval -----------------------
     "pii_redact": q_pii_redact,
     "score_linear": q_score_linear,
     "hybrid3_topk": q_hybrid3_topk,
     # -- corpus curation + graph -----------------------------------------
     "decontaminate": q_decontaminate,
-    "bpe_train": q_bpe_train,
+    "wordpiece_train": q_wordpiece_train,
     "curate_funnel": q_curate_funnel,
-    "kcore": q_kcore,
+    "remove_repeated_spans": q_remove_repeated_spans,
     # -- MERGE / incremental ---------------------------------------------
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
@@ -9319,10 +9375,29 @@ QUERIES: dict[str, QueryFn] = {
     # (single-pass train+encode route), both value-oracled
     "bpe_token_freq": q_bpe_token_freq,
     "bpe_encode_docs": q_bpe_encode_docs,
-    # round-13 addition (attest-then-rotate): the excision half of
-    # exact substring dedup — repeated_spans detects, this removes;
-    # full rebuilt strings value-oracled
-    "remove_repeated_spans": q_remove_repeated_spans,
+    # round-14 displaced twins (every one driver-attested in round
+    # 13, still fully oracled + judge-checked here): the round-13
+    # window rotated out wholesale to seat the nine round-13
+    # additions the driver had never graded — each outgoing row's
+    # family keeps driver attestation via the permanent core or the
+    # incoming member (ts_forecast → ts_anomaly_detrended/
+    # ts_changepoint stay graded; label_propagation/kcore → graph
+    # family attested rounds 13; mixture_plan → stratified_split
+    # takes the sampling/splits slot; simhash_search_index →
+    # url_canonical_dedup keeps a dedup-family graded row while the
+    # index family stays pinned by pytest + judge; mmr_rerank →
+    # ann_matryoshka_recall keeps a rank/recall-oracle row;
+    # embedding_quality → phash_near_dedup; dbscan → rake_keyphrases;
+    # bpe_train → wordpiece_train keeps the tokenizer-training slot).
+    "ts_forecast": q_ts_forecast,
+    "label_propagation": q_label_propagation,
+    "mixture_plan": q_mixture_plan,
+    "simhash_search_index": q_simhash_search_index,
+    "mmr_rerank": q_mmr_rerank,
+    "embedding_quality": q_embedding_quality,
+    "dbscan": q_dbscan,
+    "bpe_train": q_bpe_train,
+    "kcore": q_kcore,
     # round-13 addition: temperature-scaled mixture shares (∝ √avail,
     # fixed-point-quantized then exact-integer — bit-exact oracle)
     "mixture_temperature": q_mixture_temperature,
@@ -9330,36 +9405,12 @@ QUERIES: dict[str, QueryFn] = {
     # (distributed ranking — range Exchange + offset manifest, no
     # single-partition window; oracle replays via ROW_NUMBER)
     "shard_by_size": q_shard_by_size,
-    # round-13 addition: WordPiece training (likelihood arg-max, BERT
-    # rule) — exact fixed-point scores, all rounds value-oracled
-    "wordpiece_train": q_wordpiece_train,
-    # round-13 addition: exact-count stratified split (per-group
-    # floor-boundary proportions; engine-agnostic multiplicative hash)
-    "stratified_split": q_stratified_split,
-    # round-13 addition: URL canonicalization + URL-keyed dedup
-    # (crawl-pipeline pre-dedup key; every transform oracle-replayed)
-    "url_canonical_dedup": q_url_canonical_dedup,
     # round-13 addition: quality-aware near-dup survivors (keep the
     # longest copy per cluster; independent recursive-CTE oracle)
     "dedup_keep_best": q_dedup_keep_best,
-    # round-13 addition: per-doc trigram novelty (memorization-risk
-    # audit; exact integer ratio)
-    "ngram_novelty": q_ngram_novelty,
-    # round-13 addition: RAKE keyphrase extraction (deg/freq content-
-    # word scores, fixed-point exact, fully oracle-replayed)
-    "rake_keyphrases": q_rake_keyphrases,
-    # round-13 addition: sentence-aware greedy chunking (whole
-    # sentences, array-native fold; recursive-CTE oracle)
-    "chunk_sentences": q_chunk_sentences,
-    # round-13 addition: Matryoshka truncation eval — recall@10 of
-    # 16-dim-prefix exact retrieval vs full-dim truth
-    "ann_matryoshka_recall": q_ann_matryoshka_recall,
     # round-13 addition: per-dim fixed-point standardization of the
     # embedding column (whitening-lite; exact e6 longs out)
     "embedding_standardize": q_embedding_standardize,
-    # round-13 addition: perceptual-hash media near-dup (multimodal
-    # dedup member; shares the SimHash pigeonhole core)
-    "phash_near_dedup": q_phash_near_dedup,
     # round-13 addition: canonical text normalization (typographic +
     # accent folds; oracle = identical expression)
     "normalize_text": q_normalize_text,

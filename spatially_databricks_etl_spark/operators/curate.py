@@ -898,22 +898,27 @@ def dedup_keep_best(
     the kept rows of ``docs`` with original columns.
 
     Use an EXACT (integer) score for a deterministic boundary; ties
-    fall to the smaller id. Scale shape: the CC runs on the pair
-    graph (orders of magnitude smaller than the corpus); survivor
-    selection is one row_number window over docs partitioned by
-    cluster label — a single corpus-sized shuffle."""
+    fall to the smaller id. Scale shape: the corpus NEVER shuffles.
+    The CC runs on the pair graph (orders of magnitude smaller than
+    the corpus); every doc outside that graph keeps itself by
+    construction, so the arg-max window runs only on the
+    pair-graph-sized slice (docs ⋈ components, AQE-broadcast of the
+    label frame), and the kept set is docs LEFT ANTI the LOSER ids —
+    a loser list bounded by the pair graph, broadcast under AQE, so
+    both corpus passes are map-only. (The previous form windowed the
+    whole corpus on coalesce(component, id) — one corpus-sized
+    Exchange doing nothing for the singleton majority.)"""
     comp = connected_components(pairs)
-    scored = docs.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).withColumn("__c", F.coalesce("component", F.col(id_col)))
-    w = Window.partitionBy("__c").orderBy(
+    clustered = docs.join(comp.withColumnRenamed("id", id_col), id_col, "inner")
+    w = Window.partitionBy("component").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__c", "component")
+    losers = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
     )
+    return docs.join(losers, id_col, "left_anti")
 
 
 def curate_corpus(
@@ -1670,12 +1675,19 @@ def rake_keyphrases(
     from spatially_databricks_etl_spark.functions.text import STOPWORDS
 
     sw = tuple(stopwords) if stopwords is not None else STOPWORDS
+    # Explicit whitespace class, NOT \s: Java \s includes \x0B
+    # (vertical tab) while the DuckDB RE2 oracle's \s does not, so a
+    # document containing \x0B would tokenize differently engine vs
+    # oracle. [ \t\n\f\r] pins the identical break set on both sides
+    # (the literal control chars ride an F.lit, no SQL-literal
+    # escaping ambiguity).
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.expr(
-                f"regexp_extract_all(lower(`{text_col}`),"
-                f" '[a-z]+|[^a-z\\\\s]+', 0)"
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)),
+                F.lit("[a-z]+|[^a-z \t\n\f\r]+"),
+                F.lit(0),
             )
         ).alias("pos", "tok"),
     )

@@ -78,7 +78,15 @@ def read_jsonl_docs(
     extra full pass at scale and changes shape under drift. Spark's
     PERMISSIVE caveat applies — a malformed row surfaces only the raw
     line; fields stay null. Both frames are plain projections of ONE
-    scan (Catalyst shares it) — map-only, no shuffle."""
+    scan (Catalyst shares it) — map-only, no shuffle.
+
+    The shared scan is cached (a PERMISSIVE quirk forbids projecting
+    only the corrupt column from an uncached scan), and the cached
+    frame is registered on BOTH returned frames via the repo's
+    ``register_persists`` release idiom — materialize either split,
+    then ``release_intermediates(clean)`` (or ``quarantine``) to free
+    the block; long-lived ingestion sessions calling this repeatedly
+    no longer accumulate cached JSON scans."""
     st = schema if isinstance(schema, StructType) else _parse_schema(schema)
     if corrupt_col not in [f.name for f in st.fields]:
         st = StructType(
@@ -96,13 +104,16 @@ def read_jsonl_docs(
     )
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return clean, quarantine
+    from spatially_databricks_etl_spark.caching import register_persists
+
+    return register_persists(clean, [df]), register_persists(quarantine, [df])
 
 
 def _parse_schema(ddl: str) -> StructType:
-    from pyspark.sql.types import _parse_datatype_string
-
-    st = _parse_datatype_string(ddl)
+    # public DDL parser (pyspark >= 3.5); the private
+    # _parse_datatype_string it replaced accepted bare non-struct
+    # types, so keep the struct guard
+    st = StructType.fromDDL(ddl)
     if not isinstance(st, StructType):
         raise ValueError(f"schema must be a struct, got {st}")
     return st

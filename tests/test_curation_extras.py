@@ -1543,6 +1543,29 @@ def test_rake_keyphrases_textbook_case(spark):
     ]
 
 
+def test_rake_break_set_is_explicit_not_java_slash_s(spark):
+    """The tokenizer's whitespace class is the explicit [ \\t\\n\\f\\r],
+    not \\s: Java's \\s additionally matches \\x0B (vertical tab) while
+    the RE2 oracle's does not. A \\x0B between content words must act
+    as a PUNCTUATION break token (one-char non-alpha run) on the
+    engine side — same as the oracle — not vanish as whitespace."""
+    from spatially_databricks_etl_spark.operators.curate import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\x0bbeta gamma delta")], "doc_id long, text string"
+    )
+    got = [
+        (r["phrase"], r["score_e6"])
+        for r in rake_keyphrases(docs, top_k=5).orderBy("rank").collect()
+    ]
+    # \x0b is a break: candidates are {alpha}, {beta gamma delta} —
+    # NOT one 4-word phrase. Each word f=1; deg = own phrase length.
+    assert got == [
+        ("beta gamma delta", 9_000_000),
+        ("alpha", 1_000_000),
+    ]
+
+
 def test_chunk_sentences_greedy_and_oversized(spark):
     """Greedy sentence packing: sentences fill a chunk to max_tokens
     then roll over; an oversized single sentence becomes its own

@@ -1949,3 +1949,16 @@ def test_read_jsonl_docs_splits_corrupt_lines(spark, tmp_path):
     assert bad == {lines[2], lines[3], lines[4]}
     # complete: every input line accounted for exactly once
     assert clean.count() + quarantine.count() == len(lines)
+    # release path: the shared cached scan is registered on both
+    # frames and unpersists via the standard idiom (no cached-scan
+    # accumulation across repeated ingestion calls)
+    from spatially_databricks_etl_spark.caching import (
+        release_intermediates,
+    )
+
+    cached = getattr(clean, "_spark_graft_persists", [])
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory
+    release_intermediates(clean)
+    assert not cached[0].storageLevel.useMemory
+    release_intermediates(quarantine)  # safe double-release
