@@ -1464,6 +1464,7 @@ def repeated_spans(
     window: int = 64,
     stride: int = 32,
     min_docs: int = 2,
+    span_hash: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-passage (boilerplate) detection: slide
     a fixed character window over every document at ``stride`` and
@@ -1483,37 +1484,85 @@ def repeated_spans(
     span duplicated at an unaligned offset can be missed — halve the
     stride to tighten recall at 2× the shuffle.
 
-    Scale shape: span extraction is array-native codegen (sequence →
-    transform(substring) → explode — no per-doc shuffle, no Python);
-    ONE hash aggregate on the span string with map-side combine does
-    the rest, and the ≥min_docs filter runs reduce-side. The shuffle
-    carries ~window/stride bytes per input byte (2× at the defaults);
-    at corpus scale, pre-hash spans to 64-bit keys (xxhash64) and
-    re-verify matched groups — the MinHash index discipline — to
-    shrink it to ~8 bytes per span.
+    Scale shape (``span_hash=True``, the default): span extraction is
+    array-native codegen (sequence → transform(substring) → explode →
+    xxhash64 — no per-doc shuffle, no Python), and the corpus-wide
+    flag aggregate groups on the 8-BYTE hash, so its Exchange carries
+    8 bytes per occurrence, not ``window``-char strings (~2× corpus
+    bytes at the defaults — the round-13 soft spot). Hash groups
+    passing the ≥min_docs pre-filter are then RE-VERIFIED on the
+    actual text — the MinHash index discipline: the flagged-hash list
+    (boilerplate-sized) broadcasts back against the extraction, and
+    the exact per-TEXT distinct-doc count filters again on that
+    candidate-sized slice, so an xxhash64 collision can only ever ADD
+    a candidate the verify step then drops — results are
+    bit-identical to the direct path. Span text itself appears only
+    in the local persist and the candidate-sized verify shuffle.
+    ``span_hash=False`` keeps the direct single-aggregate plan (text
+    in the shuffle) for A/B and debugging.
     """
     if window < 1 or stride < 1:
         raise ValueError("repeated_spans: window and stride must be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    from spatially_databricks_etl_spark.caching import register_persists
+
     docs = df.filter(F.length(F.col(text_col)) >= window).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
-    spans = docs.select(
+    if not span_hash:
+        spans = docs.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
+                    f" s -> substring(__t, s, {window}))"
+                )
+            ).alias("span"),
+        )
+        return (
+            spans.groupBy("span")
+            .agg(
+                F.countDistinct("__id").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+    spans_h = docs.select(
         "__id",
         F.explode(
             F.expr(
                 f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
-                f" s -> substring(__t, s, {window}))"
+                f" s -> struct(substring(__t, s, {window}) AS span))"
             )
-        ).alias("span"),
+        ).alias("x"),
+    ).select(
+        "__id", F.col("x.span").alias("span"), F.xxhash64("x.span").alias("h")
     )
-    return (
-        spans.groupBy("span")
+    # two consumers (hash pre-filter + candidate pick) — persist once
+    # or the corpus re-extracts per consumer. The span TEXT lives only
+    # in this LOCAL cache and the candidate-sized verify below; the
+    # corpus-wide aggregate's Exchange carries h alone (column
+    # pruning), which is the scale-relevant byte count. At true
+    # corpus scale prefer recompute over a 2×-corpus cache: drop the
+    # persist and pay two map-only extraction scans instead.
+    spans_h = spans_h.persist(StorageLevel.MEMORY_AND_DISK)
+    flagged_h = (
+        spans_h.groupBy("h")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    out = (
+        spans_h.join(flagged_h, "h")
+        .groupBy("span")
         .agg(
             F.countDistinct("__id").cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+    return register_persists(out, [spans_h])
 
 
 def remove_repeated_spans(
@@ -1524,6 +1573,7 @@ def remove_repeated_spans(
     window: int = 64,
     stride: int = 32,
     min_docs: int = 2,
+    span_hash: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-span REMOVAL — the excision half of
     exact substring dedup (Lee et al., "Deduplicating Training Data
@@ -1550,17 +1600,25 @@ def remove_repeated_spans(
     document; untouched documents (including those shorter than
     ``window``) pass through with removed_chars 0.
 
-    Scale shape: span extraction is array-native codegen (the
-    :func:`repeated_spans` plan); the flag is one hash aggregate with
-    map-side combine; canonical selection is one row_number window
-    partitioned by span (same key, Exchange reused); island-merge
-    windows partition by document over REMOVAL INTERVALS ONLY (orders
-    of magnitude smaller than the corpus); the rebuild is an
-    interval-sized aggregate joined back to the corpus — one
-    data-sized shuffle on doc id. At 100 TB, pre-hash
-    spans to xxhash64 keys and re-verify groups (the MinHash index
-    discipline) so the span shuffle carries 8 bytes, not ``window``
-    bytes, per occurrence."""
+    Scale shape (``span_hash=True``, the default, per the 100 TB
+    discipline this docstring used to only spec): span extraction is
+    array-native codegen emitting (pos, span, xxhash64(span)) — the
+    corpus-wide flag aggregate groups on the 8-byte hash, so its
+    Exchange carries 8-BYTE keys with map-side combine, never the
+    ``window``-char strings (which cost ~2× corpus bytes at the
+    defaults). Hash groups passing the ≥min_docs pre-filter RE-VERIFY
+    on actual text — the MinHash index discipline: the flagged-hash
+    list (boilerplate-sized) broadcasts back against the extraction,
+    and the exact per-TEXT distinct-doc count + canonical pick run on
+    that candidate-sized slice — an xxhash64 collision can only ADD
+    a candidate the verify step then drops, so results are
+    bit-identical to ``span_hash=False`` (the direct text-in-shuffle
+    plan, kept for A/B). Span text appears only in the local persist
+    and the candidate-sized verify shuffle. Canonical selection
+    is one row_number window partitioned by span over candidates;
+    island-merge windows partition by document over REMOVAL INTERVALS
+    ONLY; the rebuild is an interval-sized aggregate broadcast back
+    to the corpus — the corpus itself never shuffles."""
     if window < 1 or stride < 1:
         raise ValueError("remove_repeated_spans: window and stride must be >= 1")
     from pyspark.storagelevel import StorageLevel
@@ -1568,35 +1626,80 @@ def remove_repeated_spans(
     from spatially_databricks_etl_spark.caching import register_persists
 
     docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    spans = docs.filter(F.length("__t") >= window).select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
-                f" s -> struct(s AS pos, substring(__t, s, {window}) AS span))"
-            )
-        ).alias("x"),
-    ).select("__id", F.col("x.pos").alias("pos"), F.col("x.span").alias("span"))
-    # two consumers (the flag aggregate and the canonical-pick join) —
-    # persist once or the corpus re-extracts per consumer
-    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
-    flagged = (
-        spans.groupBy("span")
-        .agg(F.countDistinct("__id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("span")
-    )
-    w_span = Window.partitionBy("span").orderBy("__id", "pos")
-    removals = (
-        spans.join(flagged, "span")
-        .withColumn("__rn", F.row_number().over(w_span))
-        .filter(F.col("__rn") > 1)
-        .select(
+    if span_hash:
+        spans = docs.filter(F.length("__t") >= window).select(
             "__id",
-            F.col("pos").alias("s"),
-            (F.col("pos") + F.lit(window - 1)).alias("e"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
+                    f" s -> struct(s AS pos, substring(__t, s, {window}) AS span))"
+                )
+            ).alias("x"),
+        ).select(
+            "__id",
+            F.col("x.pos").alias("pos"),
+            F.col("x.span").alias("span"),
+            F.xxhash64("x.span").alias("h"),
         )
-    )
+        # two consumers (the flag aggregate and the candidate join) —
+        # persist once or the corpus re-extracts per consumer. The
+        # span TEXT lives only in this LOCAL cache and the
+        # candidate-sized verify; the corpus-wide flag aggregate's
+        # Exchange carries h alone (column pruning). At true corpus
+        # scale prefer recompute over a 2×-corpus cache: drop the
+        # persist and pay two map-only extraction scans instead.
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+        flagged_h = (
+            spans.groupBy("h")
+            .agg(F.countDistinct("__id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("h")
+        )
+        cand = spans.join(flagged_h, "h")
+        w_txt = Window.partitionBy("span")
+        verified = cand.withColumn(
+            "__nd", F.size(F.collect_set("__id").over(w_txt))
+        ).filter(F.col("__nd") >= min_docs)
+        w_span = Window.partitionBy("span").orderBy("__id", "pos")
+        removals = (
+            verified.withColumn("__rn", F.row_number().over(w_span))
+            .filter(F.col("__rn") > 1)
+            .select(
+                "__id",
+                F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(window - 1)).alias("e"),
+            )
+        )
+    else:
+        spans = docs.filter(F.length("__t") >= window).select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {window - 1}, {stride}),"
+                    f" s -> struct(s AS pos, substring(__t, s, {window}) AS span))"
+                )
+            ).alias("x"),
+        ).select("__id", F.col("x.pos").alias("pos"), F.col("x.span").alias("span"))
+        # two consumers (the flag aggregate and the canonical-pick join) —
+        # persist once or the corpus re-extracts per consumer
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+        flagged = (
+            spans.groupBy("span")
+            .agg(F.countDistinct("__id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("span")
+        )
+        w_span = Window.partitionBy("span").orderBy("__id", "pos")
+        removals = (
+            spans.join(flagged, "span")
+            .withColumn("__rn", F.row_number().over(w_span))
+            .filter(F.col("__rn") > 1)
+            .select(
+                "__id",
+                F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(window - 1)).alias("e"),
+            )
+        )
     w_doc = Window.partitionBy("__id").orderBy("s", "e")
     prev_max = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
     merged = (

@@ -1224,6 +1224,52 @@ def test_remove_repeated_spans_property(spark):
             assert rem == len(texts[did]) - len(clean)
 
 
+def test_span_hash_parity_and_8byte_shuffle_keys(spark):
+    """span_hash=True (the default, 8-byte xxhash64 keys in the
+    corpus-wide shuffle + candidate-sized text re-verify) is
+    bit-identical to span_hash=False (text in the shuffle) on both
+    span operators, and the hashed plans really do hash: xxhash64
+    appears in the optimized plan, and the heavy first aggregate
+    groups on the LongType key, not the span string."""
+    import random
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    rng = random.Random(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    shared = "".join(rng.choices(vocab, k=12))
+    texts = {}
+    for did in range(10):
+        body = "".join(rng.choices(vocab, k=rng.randint(6, 28)))
+        if rng.random() < 0.7:
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + shared + body[cut:]
+        texts[did] = body
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", window=8, stride=4, min_docs=2)
+
+    det_h = repeated_spans(df, **kw, span_hash=True)
+    det_d = repeated_spans(df, **kw, span_hash=False)
+    assert sorted(map(tuple, det_h.collect())) == sorted(
+        map(tuple, det_d.collect())
+    )
+    rem_h = remove_repeated_spans(df, **kw, span_hash=True)
+    rem_d = remove_repeated_spans(df, **kw, span_hash=False)
+    assert sorted(map(tuple, rem_h.collect())) == sorted(
+        map(tuple, rem_d.collect())
+    )
+
+    for hashed, direct in ((det_h, det_d), (rem_h, rem_d)):
+        plan_h = hashed._jdf.queryExecution().optimizedPlan().toString()
+        plan_d = direct._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan_h
+        assert "xxhash64" not in plan_d
+    spark.catalog.clearCache()
+
+
 def test_mixture_temperature_exact_replay_and_flattening(spark):
     """mixture_temperature ≡ an exact Python replay (sqrt is IEEE
     correctly rounded, everything after is integer arithmetic), and
