@@ -265,6 +265,9 @@ EXTRA = [
     "normalize_text",
     # round 13: Heaps'-law vocabulary-growth curve
     "vocab_growth",
+    # round 14: WordPiece single-pass train+encode + persisted
+    # merge-table round-trip (the tokenizer family's lifecycle row)
+    "wordpiece_train_encode",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one
@@ -444,6 +447,10 @@ EXTRA_BASELINE = {
     "phash_near_dedup": 0.971,
     "normalize_text": 0.401,
     "vocab_growth": 1.694,
+    # round-14 additions (n=5+ isolation medians at commit time —
+    # lifecycle rows carry their full CRUD cost, the
+    # simhash_search_index class)
+    "wordpiece_train_encode": 10.847,
 }
 
 

@@ -8617,6 +8617,69 @@ GROUP BY dw.doc_id
 )
 
 
+def q_wordpiece_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece production lifecycle in one graded row (VERDICT r13
+    item 5 — the second tokenizer family gets :func:`bpe_train`'s
+    full lifecycle): train 6 likelihood-rule merges on the FULL
+    corpus through the SINGLE-PASS train+encode route
+    (`operators/curate.py: wordpiece_train_encode`), SAVE the merge
+    table (score column included) through the multi-writer-arbitrated
+    artifact path, LOAD it back, and RE-ENCODE the first 30 documents
+    by applying the loaded rules via `bpe_encode` (merge application
+    is selection-rule-agnostic and corpus-independent per word).
+    Output joins both encodings — (doc_id, tokens, tokens_rt) — and
+    the oracle emits the SAME re-derived array for both columns, so
+    any divergence between the single-pass route and the
+    saved-artifact route is a hash mismatch, not just a test skip."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_encode,
+        bpe_load_merges,
+        bpe_save_merges,
+        wordpiece_train_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges_df, encoded = wordpiece_train_encode(docs, merges=6)
+    path = _scratch_dir("wordpiece_merges")
+    bpe_save_merges(merges_df, path)
+    rules = bpe_load_merges(spark, path)
+    small = docs.filter(F.col("doc_id") < 30)
+    rt = bpe_encode(small, rules).withColumnRenamed("tokens", "tokens_rt")
+    return (
+        encoded.filter(F.col("doc_id") < 30)
+        .join(rt, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "tokens",
+            "tokens_rt",
+        )
+    )
+
+
+SQL_WORDPIECE_TRAIN_ENCODE = (
+    _bpe_oracle_ctes(6, scoring="likelihood")
+    + """
+, wt AS (
+  SELECT word, array_agg(sym ORDER BY pos) AS wtoks FROM s6 GROUP BY word
+),
+dw AS (
+  SELECT doc_id, wp, w AS word
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'),
+                                   1) AS wp
+        FROM documents)
+)
+SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       flatten(array_agg(wt.wtoks ORDER BY dw.wp)) AS tokens,
+       flatten(array_agg(wt.wtoks ORDER BY dw.wp)) AS tokens_rt
+FROM dw JOIN wt ON wt.word = dw.word
+WHERE dw.doc_id < 30
+GROUP BY dw.doc_id
+"""
+)
+
+
 def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive-with-drift forecast (hourly buckets, period 24,
     12 horizons) per event_type over the events fixture — the
@@ -9417,6 +9480,11 @@ QUERIES: dict[str, QueryFn] = {
     # round-13 addition: Heaps'-law vocabulary-growth curve
     # (distributed doc ranking; ROW_NUMBER oracle)
     "vocab_growth": q_vocab_growth,
+    # round-14 addition (attest-then-rotate): the WordPiece
+    # production lifecycle — single-pass train+encode, persisted
+    # merge-table save/load behind the writer arbitration, and
+    # loaded-rule re-encode parity, all in one value-oracled row
+    "wordpiece_train_encode": q_wordpiece_train_encode,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9624,6 +9692,7 @@ ORACLES: dict[str, str] = {
     "phash_near_dedup": SQL_PHASH_NEAR_DEDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "wordpiece_train_encode": SQL_WORDPIECE_TRAIN_ENCODE,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -2624,14 +2624,17 @@ def mixture_temperature(
 
 
 def bpe_save_merges(merges: DataFrame, path: str) -> None:
-    """Persist a trained BPE merge table (:func:`bpe_train`'s output)
-    as a parquet artifact — the tokenizer is a PRODUCT: trained once
-    on the corpus, then applied by every downstream encode job, so it
-    gets the same multi-writer arbitration the persisted-index family
-    has (`operators/indexstore.py`): version snapshot at entry,
-    atomic claim before the visible overwrite — two racing trainers
-    cannot silently interleave; the loser raises
-    ``ConcurrentIndexWriteError`` having written nothing."""
+    """Persist a trained merge table (:func:`bpe_train`'s or
+    :func:`wordpiece_train`'s output) as a parquet artifact — the
+    tokenizer is a PRODUCT: trained once on the corpus, then applied
+    by every downstream encode job, so it gets the same multi-writer
+    arbitration the persisted-index family has
+    (`operators/indexstore.py`): version snapshot at entry, atomic
+    claim before the visible overwrite — two racing trainers cannot
+    silently interleave; the loser raises
+    ``ConcurrentIndexWriteError`` having written nothing. A WordPiece
+    table's likelihood ``score`` column rides along when present, so
+    both tokenizer families round-trip losslessly."""
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -2639,12 +2642,15 @@ def bpe_save_merges(merges: DataFrame, path: str) -> None:
 
     ver = begin_index_mutation(path)
     commit_index_mutation(path, ver)
-    merges.select(
+    cols = [
         F.col("round").cast("long").alias("round"),
         F.col("left_sym").cast("string").alias("left_sym"),
         F.col("right_sym").cast("string").alias("right_sym"),
         F.col("pair_count").cast("long").alias("pair_count"),
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ]
+    if "score" in merges.columns:
+        cols.append(F.col("score").cast("long").alias("score"))
+    merges.select(*cols).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def bpe_load_merges(spark, path: str) -> list[tuple[str, str]]:
@@ -2681,6 +2687,31 @@ def bpe_train_encode(
         docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
     )
     merges_df = merges_df.select("round", "left_sym", "right_sym", "pair_count")
+    encoded = _encode_from_syms(
+        docs,
+        syms,
+        id_col=id_col,
+        text_col=text_col,
+        pattern=pattern,
+        lowercase=lowercase,
+    )
+    return merges_df, encoded
+
+
+def _encode_from_syms(
+    docs: DataFrame,
+    syms: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    lowercase: bool,
+) -> DataFrame:
+    """Re-assemble per-document token arrays from a trainer's final
+    symbol table (the single-pass encode tail shared by
+    :func:`bpe_train_encode` and :func:`wordpiece_train_encode`):
+    the vocabulary-sized word→tokens table broadcasts into the
+    corpus word sequence; one doc-id shuffle re-assembles order."""
     word_toks = syms.groupBy("word").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "sym"))),
@@ -2696,7 +2727,7 @@ def bpe_train_encode(
             "__wp", "word"
         ),
     )
-    encoded = (
+    return (
         doc_words.join(F.broadcast(word_toks), "word")
         .groupBy("__did")
         .agg(
@@ -2708,6 +2739,50 @@ def bpe_train_encode(
             ).alias("tokens")
         )
         .select(F.col("__did").alias(id_col), "tokens")
+    )
+
+
+def wordpiece_train_encode(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 8,
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Train WordPiece and encode the SAME corpus in one pass — the
+    likelihood-rule twin of :func:`bpe_train_encode`, giving the
+    second tokenizer family the same production lifecycle as the
+    first (VERDICT r13 item 5): the trainer's final symbol table
+    already IS every distinct word's encoding, so no second
+    merge-application sweep runs. Returns (merge table incl. the
+    exact fixed-point ``score`` column, encoded docs (id_col,
+    tokens)). The merge table round-trips through
+    :func:`bpe_save_merges` / :func:`bpe_load_merges` (score column
+    preserved; multi-writer arbitration applies) and the loaded rules
+    re-encode identically through :func:`bpe_encode` — application
+    semantics are selection-rule-agnostic.
+
+    Scale shape = :func:`bpe_train_encode`: corpus scanned exactly
+    twice (word counts; word-sequence re-assembly), all rounds
+    vocabulary-sized, plus WordPiece's one unigram aggregate per
+    round."""
+    merges_df, syms = _bpe_rounds(
+        docs,
+        text_col=text_col,
+        merges=merges,
+        pattern=pattern,
+        lowercase=lowercase,
+        scoring="likelihood",
+    )
+    encoded = _encode_from_syms(
+        docs,
+        syms,
+        id_col=id_col,
+        text_col=text_col,
+        pattern=pattern,
+        lowercase=lowercase,
     )
     return merges_df, encoded
 

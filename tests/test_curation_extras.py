@@ -1038,6 +1038,48 @@ def test_bpe_train_encode_matches_separate_route(spark):
     }
 
 
+def test_wordpiece_train_encode_single_pass_and_persisted_roundtrip(
+    spark, tmp_path
+):
+    """wordpiece_train_encode (single-pass, likelihood rule) ≡
+    wordpiece_train + bpe_encode on the same corpus; the persisted
+    merge table round-trips through bpe_save_merges/bpe_load_merges
+    with the exact fixed-point score column preserved, and the loaded
+    rules re-encode identically — the second tokenizer family's full
+    production lifecycle."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_encode,
+        bpe_load_merges,
+        bpe_save_merges,
+        wordpiece_train,
+        wordpiece_train_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newer lowest"), (3, "NO lowercase?")],
+        ["doc_id", "text"],
+    )
+    m1, enc1 = wordpiece_train_encode(docs, merges=3)
+    m2 = wordpiece_train(docs, merges=3)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+    path = str(tmp_path / "wp_merges")
+    bpe_save_merges(m1, path)
+    saved = spark.read.parquet(path)
+    assert "score" in saved.columns  # likelihood scores round-trip
+    assert sorted(map(tuple, saved.select(*m1.columns).collect())) == sorted(
+        map(tuple, m1.collect())
+    )
+    rules = bpe_load_merges(spark, path)
+    assert rules == [
+        (r["left_sym"], r["right_sym"]) for r in m1.orderBy("round").collect()
+    ]
+    enc2 = bpe_encode(docs, rules)
+    assert {r["doc_id"]: r["tokens"] for r in enc1.collect()} == {
+        r["doc_id"]: r["tokens"] for r in enc2.collect()
+    }
+
+
 def test_kcore_hand_case(spark):
     """k-core hand case (k=2): a triangle {0,1,2} with two pendant
     tails 2-3-4. Round 1 peels 4 (degree 1); round 2 peels 3 (its
