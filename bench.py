@@ -268,6 +268,14 @@ EXTRA = [
     # round 14: WordPiece single-pass train+encode + persisted
     # merge-table round-trip (the tokenizer family's lifecycle row)
     "wordpiece_train_encode",
+    # round 14: the two canonical web-corpus quality gates
+    "gopher_quality",
+    "c4_line_filter",
+    # round 14: contamination attribution, duplicate-aware sampling
+    # weights, per-domain quality rollup
+    "contamination_report",
+    "soft_dedup_weights",
+    "domain_quality_rollup",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -8680,6 +8680,284 @@ GROUP BY dw.doc_id
 )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) over the
+    organic corpus with planted rule-trippers so every signal path
+    carries live data at every SF: doc_id%5 docs gain symbol runs
+    (``###``), %11 docs gain bullet lines, %13 docs gain an
+    ellipsis-terminated line — the identical augmentation expression
+    runs on both engines, and every ratio is an exact e6 integer."""
+    from spatially_databricks_etl_spark.operators.curate import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ### ### ###")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\n- planted bullet one\n- planted bullet two"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("\na trailing thought...")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(
+        aug,
+        min_words=40,
+        required_stopwords=("the", "a", "value", "data"),
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN ' ### ### ###' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || '- planted bullet one'
+                      || chr(10) || '- planted bullet two'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'a trailing thought...'
+                 ELSE '' END AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '[^ \t\n\f\r]+') AS w,
+         string_split(t, chr(10)) AS l
+  FROM aug
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sumlen,
+         length(t) - length(replace(t, '#', '')) AS nhash,
+         (length(t) - length(replace(t, '...', ''))) // 3 AS nell,
+         len(l) AS nlines,
+         len(list_filter(l, x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))
+           AS nbullet,
+         len(list_filter(l, x -> right(rtrim(x), 3) = '...')) AS nelline,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                            ['the', 'a', 'value', 'data'])) AS nstop
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST((sumlen * 1000000) // greatest(n_words, 1) AS BIGINT)
+         AS mean_word_len_e6,
+       CAST(((nhash + nell) * 1000000) // greatest(n_words, 1) AS BIGINT)
+         AS symbol_ratio_e6,
+       CAST((nbullet * 1000000) // greatest(nlines, 1) AS BIGINT)
+         AS bullet_ratio_e6,
+       CAST((nelline * 1000000) // greatest(nlines, 1) AS BIGINT)
+         AS ellipsis_ratio_e6,
+       CAST((nalpha * 1000000) // greatest(n_words, 1) AS BIGINT)
+         AS alpha_word_ratio_e6,
+       CAST(nstop AS BIGINT) AS n_required_stopwords,
+       (n_words BETWEEN 40 AND 100000)
+         AND ((sumlen * 1000000) // greatest(n_words, 1)
+              BETWEEN 3000000 AND 10000000)
+         AND (((nhash + nell) * 1000000) // greatest(n_words, 1) <= 100000)
+         AND ((nbullet * 1000000) // greatest(nlines, 1) <= 900000)
+         AND ((nelline * 1000000) // greatest(nlines, 1) <= 300000)
+         AND ((nalpha * 1000000) // greatest(n_words, 1) >= 800000)
+         AND nstop >= 2 AS keep
+FROM m
+"""
+
+
+#: planted corpus for the C4 line-filter row: every rule path has a
+#: doc that exercises it (terminal punct, min words, javascript line,
+#: lorem-ipsum page, brace page, too-few-survivors, ordered rebuild)
+_C4_L1 = "this line ends with a period and has many words."
+_C4_L2 = "does this line have enough words to survive here?"
+_C4_L3 = 'quoted line with plenty of words inside it ends well."'
+_C4_DOCS: list[tuple[int, list[str]]] = [
+    (1, [_C4_L1, _C4_L2, _C4_L3, "short line.", "no terminal punct here"]),
+    (2, [_C4_L1, _C4_L2, "now with JavaScript enabled today ok."]),
+    (3, [_C4_L1, _C4_L2, _C4_L3, "Lorem Ipsum dolor sit amet consectetur."]),
+    (4, [_C4_L1, _C4_L2, _C4_L3, "var x = { a: 1 }."]),
+    (5, [_C4_L1, _C4_L2]),
+    (6, [_C4_L1, _C4_L2, _C4_L3, _C4_L1]),
+    (7, ["exclamation makes this line count as a keeper!", _C4_L1, _C4_L2]),
+]
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    planted corpus: per-line terminal-punctuation + min-words +
+    javascript predicates, wholesale lorem-ipsum/brace drops, and the
+    min-kept-lines page gate — the oracle replays the identical rules
+    with DuckDB list lambdas over the same literal corpus."""
+    from spatially_databricks_etl_spark.operators.curate import c4_line_filter
+
+    d = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in _C4_DOCS], "doc_id long, text string"
+    )
+    return c4_line_filter(d, min_kept_lines=3)
+
+
+def _sql_c4_line_filter() -> str:
+    values = ", ".join(
+        "({}, {})".format(i, " || chr(10) || ".join("'" + ln + "'" for ln in ls))
+        for i, ls in _C4_DOCS
+    )
+    return rf"""
+WITH docs(doc_id, text) AS (VALUES {values}),
+d AS (SELECT doc_id, string_split(text, chr(10)) AS l, lower(text) AS lt
+      FROM docs),
+k AS (
+  SELECT doc_id,
+         list_filter(l, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+                         AND len(regexp_extract_all(x, '[^ '||chr(9)||chr(10)||chr(12)||chr(13)||']+')) >= 5
+                         AND NOT contains(lower(x), 'javascript')) AS kept,
+         len(l) AS nlines,
+         (contains(lt, 'lorem ipsum') OR contains(lt, '{{')) AS banned
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN banned OR len(kept) < 3 THEN NULL
+            ELSE array_to_string(kept, chr(10)) END AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(nlines - len(kept) AS BIGINT) AS n_lines_dropped,
+       (banned OR len(kept) < 3) AS dropped,
+       CASE WHEN banned THEN 'banned_substring'
+            WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason
+FROM k
+"""
+
+
+SQL_C4_LINE_FILTER = _sql_c4_line_filter()
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination attribution (the audit form of `decontaminate`,
+    same doc_id%97 benchmark split): per (corpus doc, benchmark doc)
+    pair the shared distinct 5-gram count AND the exact e6 fraction
+    of the corpus doc's grams that overlap — WHICH benchmark item
+    leaked into WHICH document. The planted near-duplicates guarantee
+    organic hits at every SF."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = contamination_report(corpus, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("bench_id").cast("long").alias("bench_id"),
+        "n_shared",
+        "doc_frac_e6",
+    )
+
+
+SQL_CONTAMINATION_REPORT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5
+                      THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+                      ELSE [] END) AS gram
+        FROM toks)
+), bench AS (
+  SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+), totals AS (
+  SELECT doc_id, count(*) AS total FROM corpus GROUP BY 1
+), shared AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, CAST(s.bench_id AS BIGINT) AS bench_id,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST((s.n_shared * 1000000) // t.total AS BIGINT) AS doc_frac_e6
+FROM shared s JOIN totals t USING (doc_id)
+"""
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights over a corpus with one
+    planted exact copy of every document (id-shifted union — the
+    embedding_neardup idiom): every cluster has size ≥ 2, weight_e6 =
+    10⁶ div size exactly, cluster_id = smallest member id."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        soft_dedup_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    both = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10000))
+    return soft_dedup_weights(both)
+
+
+SQL_SOFT_DEDUP_WEIGHTS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000, text FROM documents
+), g AS (
+  SELECT text, count(*) AS cs, min(doc_id) AS cid FROM d GROUP BY text
+)
+SELECT d.doc_id, CAST(g.cid AS BIGINT) AS cluster_id,
+       CAST(g.cs AS BIGINT) AS cluster_size,
+       CAST(1000000 // g.cs AS BIGINT) AS weight_e6
+FROM d JOIN g USING (text)
+"""
+
+
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain (source) quality rollup with planted duplicates
+    (docs with doc_id%3==0 appear twice in their domain) so
+    dup_frac_e6 is live at every SF; short_frac counts docs under 150
+    chars — exact e6 integers throughout, keep is the conjunctive
+    domain gate."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        domain_quality_rollup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    both = d.unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    return domain_quality_rollup(
+        both, short_len=150, max_dup_frac_e6=250_000, max_short_frac_e6=200_000
+    )
+
+
+SQL_DOMAIN_QUALITY_ROLLUP = """
+WITH d AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT source, text FROM documents WHERE doc_id % 3 = 0
+), g1 AS (
+  SELECT source AS domain, text, count(*) AS c FROM d GROUP BY 1, 2
+), g2 AS (
+  SELECT domain, sum(c) AS n_docs, count(*) AS n_unique,
+         sum(length(text) * c) AS chars,
+         sum(CASE WHEN length(text) < 150 THEN c ELSE 0 END) AS nshort
+  FROM g1 GROUP BY 1
+)
+SELECT domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique_texts,
+       CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT) AS dup_frac_e6,
+       CAST((chars * 1000000) // n_docs AS BIGINT) AS mean_chars_e6,
+       CAST((nshort * 1000000) // n_docs AS BIGINT) AS short_frac_e6,
+       (((n_docs - n_unique) * 1000000) // n_docs <= 250000)
+         AND ((nshort * 1000000) // n_docs <= 200000)
+         AND (n_docs >= 1) AS keep
+FROM g2
+"""
+
+
 def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive-with-drift forecast (hourly buckets, period 24,
     12 horizons) per event_type over the events fixture — the
@@ -9485,6 +9763,22 @@ QUERIES: dict[str, QueryFn] = {
     # merge-table save/load behind the writer arbitration, and
     # loaded-rule re-encode parity, all in one value-oracled row
     "wordpiece_train_encode": q_wordpiece_train_encode,
+    # round-14 addition: Gopher document-quality rules (Rae et al.
+    # 2021 §A1.1) — every signal an exact e6 integer, planted
+    # rule-trippers keep all paths live
+    "gopher_quality": q_gopher_quality,
+    # round-14 addition: C4 line-level cleaning (Raffel et al. 2020
+    # §2.2) — planted corpus, full DuckDB lambda replay
+    "c4_line_filter": q_c4_line_filter,
+    # round-14 addition: contamination attribution — per (doc, bench)
+    # shared-gram counts + exact e6 overlap fraction
+    "contamination_report": q_contamination_report,
+    # round-14 addition: duplicate-aware sampling weights (down-weight
+    # don't drop; weight = 1e6 div cluster size, exact)
+    "soft_dedup_weights": q_soft_dedup_weights,
+    # round-14 addition: per-domain quality rollup (RefinedWeb-style
+    # domain-granularity keep/drop; exact e6 ratios)
+    "domain_quality_rollup": q_domain_quality_rollup,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9693,6 +9987,11 @@ ORACLES: dict[str, str] = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "wordpiece_train_encode": SQL_WORDPIECE_TRAIN_ENCODE,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "contamination_report": SQL_CONTAMINATION_REPORT,
+    "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
+    "domain_quality_rollup": SQL_DOMAIN_QUALITY_ROLLUP,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

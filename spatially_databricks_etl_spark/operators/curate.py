@@ -135,6 +135,372 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    n: int = 5,
+    min_frac_e6: int = 0,
+) -> DataFrame:
+    """Contamination ATTRIBUTION — the audit companion to
+    :func:`decontaminate` (which only aggregates hit counts over the
+    whole benchmark): per (corpus doc, benchmark doc) pair, how many
+    distinct word ``n``-grams they share and what fraction of the
+    corpus doc's distinct grams that is (the GPT-3/PaLM-style n-gram
+    overlap metric) — so an audit can say WHICH benchmark item leaked
+    into WHICH training document, not just "something did".
+
+    Returns (id_col, bench_id, n_shared, doc_frac_e6) for pairs with
+    ``doc_frac_e6 >= min_frac_e6``; ``doc_frac_e6`` is the exact
+    integer ``n_shared·10⁶ div n_doc_grams``. Clean pairs are absent.
+
+    Scale shape: benchmark grams (suite-sized, MBs) broadcast against
+    the exploded corpus grams — the corpus side never shuffles for
+    the probe; only the matched slivers aggregate on (doc, bench).
+    The per-doc gram totals reuse the same exploded frame (one
+    aggregate keyed by doc id). No reference analog."""
+
+    def gram_rows(df: DataFrame, idc: str, out: str) -> DataFrame:
+        toks = df.select(F.col(idc).alias(out), _ws_tokens(text_col).alias("toks"))
+        return toks.select(
+            out, F.explode(_token_ngrams(F.col("toks"), n)).alias("gram")
+        ).distinct()
+
+    corpus_grams = gram_rows(docs, id_col, "__cid")
+    bench_grams = gram_rows(benchmark, bench_id_col, "bench_id")
+    totals = corpus_grams.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    shared = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("__cid", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(totals, "__cid")
+        .withColumn(
+            "doc_frac_e6", F.expr("(n_shared * 1000000) div __total")
+        )
+        .filter(F.col("doc_frac_e6") >= min_frac_e6)
+        .select(
+            F.col("__cid").alias(id_col), "bench_id", "n_shared", "doc_frac_e6"
+        )
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-aware SAMPLING WEIGHTS — the down-weight-don't-drop
+    alternative to hard dedup (the SlimPajama/D4 observation: some
+    duplication is signal; dropping every copy over-prunes, keeping
+    all over-trains — weighting each copy 1/cluster_size makes every
+    distinct content unit contribute equally in expectation).
+
+    Clusters are exact-text groups by default, or connected
+    components over ``pairs`` (any near-dup pair generator — the
+    :func:`dedup_keep_best` contract). Returns every input doc with
+    (id_col, cluster_id, cluster_size, weight_e6) where
+    ``weight_e6 = 10⁶ div cluster_size`` exactly and ``cluster_id``
+    is the cluster's smallest doc id (singletons: own id, weight
+    10⁶).
+
+    Scale shape: the exact path is one corpus aggregate on the text
+    key joined back on the same key (two Exchanges on text; at 100 TB
+    swap the key for ``xxhash64(text)`` — the span-hash discipline —
+    with the negligible-collision caveat). The pairs path never
+    shuffles the corpus at all: CC runs on the pair graph, cluster
+    sizes broadcast back (the :func:`dedup_keep_best` shape)."""
+    if pairs is None:
+        g = docs.groupBy(F.col(text_col).alias("__t")).agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min(id_col).alias("cluster_id"),
+        )
+        return (
+            docs.join(g, docs[text_col] == g["__t"])
+            .select(
+                id_col,
+                "cluster_id",
+                "cluster_size",
+                F.expr("(1000000) div cluster_size").alias("weight_e6"),
+            )
+        )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    lab = comp.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("__cid"),
+        F.col("cluster_size").alias("__cs"),
+    )
+    return docs.join(lab, id_col, "left").select(
+        id_col,
+        F.coalesce("__cid", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("__cs", F.lit(1)).cast("long").alias("cluster_size"),
+        F.expr("(1000000) div coalesce(__cs, 1)").alias("weight_e6"),
+    )
+
+
+def domain_quality_rollup(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    short_len: int = 100,
+    max_dup_frac_e6: int = 500_000,
+    max_short_frac_e6: int = 500_000,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-DOMAIN quality rollup — the RefinedWeb/CCNet observation
+    that crawl quality decisions are cheapest at domain granularity:
+    a domain whose pages are mostly mutual duplicates or mostly
+    near-empty is dropped wholesale before any per-doc work. Emits
+    per domain: ``n_docs``, ``n_unique_texts`` (exact distinct),
+    ``dup_frac_e6 = (n_docs − n_unique)·10⁶ div n_docs``,
+    ``mean_chars_e6``, ``short_frac_e6`` (docs under ``short_len``
+    chars), and the conjunctive ``keep``.
+
+    All ratios exact e6 integers. Scale shape: a two-level aggregate —
+    (domain, text) partial groups first (map-side combine absorbs
+    exact duplicates where they sit), then the domain rollup on the
+    tiny (domain, distinct-text) frame; at 100 TB swap the first-level
+    key for ``xxhash64(text)`` (negligible-collision caveat) so the
+    Exchange carries 8-byte keys — the span-hash discipline."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    g1 = docs.groupBy(
+        F.col(domain_col).alias("domain"), t.alias("__t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    g2 = g1.groupBy("domain").agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        F.sum(F.length("__t") * F.col("__c")).cast("long").alias("__chars"),
+        F.sum(F.when(F.length("__t") < short_len, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__nshort"),
+    )
+    out = g2.select(
+        "domain",
+        "n_docs",
+        "n_unique_texts",
+        F.expr("((n_docs - n_unique_texts) * 1000000) div n_docs").alias(
+            "dup_frac_e6"
+        ),
+        F.expr("(__chars * 1000000) div n_docs").alias("mean_chars_e6"),
+        F.expr("(__nshort * 1000000) div n_docs").alias("short_frac_e6"),
+    )
+    keep = (
+        (F.col("dup_frac_e6") <= max_dup_frac_e6)
+        & (F.col("short_frac_e6") <= max_short_frac_e6)
+        & (F.col("n_docs") >= min_docs)
+    )
+    return out.withColumn("keep", keep)
+
+
+#: Gopher's required-stopword probe set (Rae et al. 2021 §A1.1)
+GOPHER_REQUIRED_STOPWORDS = (
+    "the",
+    "be",
+    "to",
+    "of",
+    "and",
+    "that",
+    "have",
+    "with",
+)
+
+
+def gopher_quality(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_e6: int = 3_000_000,
+    max_mean_word_len_e6: int = 10_000_000,
+    max_symbol_ratio_e6: int = 100_000,
+    max_bullet_ratio_e6: int = 900_000,
+    max_ellipsis_ratio_e6: int = 300_000,
+    min_alpha_word_ratio_e6: int = 800_000,
+    min_required_stopwords: int = 2,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A1.1) — the rule-based
+    quality gate every large web-corpus pipeline runs before model
+    training (MassiveWeb, RefinedWeb, FineWeb all derive from it).
+    Emits every signal plus the conjunctive ``keep``, so callers can
+    audit WHICH rule fired, not just the verdict:
+
+    - ``n_words`` ∈ [min_words, max_words] (whitespace tokens);
+    - mean word length ∈ [3, 10] chars;
+    - symbol-to-word ratio ≤ 0.1 (``#`` chars + non-overlapping
+      ``...`` runs);
+    - ≤ 90% of lines starting with a bullet (``-``/``*``/``•``);
+    - ≤ 30% of lines ending with an ellipsis;
+    - ≥ 80% of words containing an alphabetic character;
+    - ≥ 2 of the required stopwords present (lowercased membership).
+
+    All ratios are exact e6 fixed-point integers (``x·10⁶ div n``) —
+    no float boundary, so the whole gate is SQL-replayable. Empty
+    docs emit zeros and ``keep = false``. Companion signals live in
+    :func:`repetition_metrics` (Gopher's repetition rules).
+
+    Scale shape: one map-only pass — every signal is an array/string
+    codegen expression over the row (no explode, no shuffle, no
+    Python); at 100 TB this is a pure scan whose cost is reading the
+    text column."""
+    ws = "[^ \t\n\f\r]+"
+    words = F.when(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.regexp_extract_all(F.col(text_col), F.lit(ws), F.lit(0)))
+    sw_arr = F.array(*[F.lit(s) for s in required_stopwords])
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        words.alias("__w"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__l"),
+    ).select(
+        id_col,
+        F.size("__w").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(__w, 0L, (a, x) -> a + length(x))"
+        ).alias("__sumlen"),
+        (
+            F.length("__t") - F.length(F.replace("__t", F.lit("#"), F.lit("")))
+        ).alias("__nhash"),
+        F.expr(
+            "(length(__t) - length(replace(__t, '...', ''))) div 3"
+        ).alias("__nell"),
+        F.size("__l").cast("long").alias("__nlines"),
+        F.size(
+            F.expr("filter(__l, x -> substring(ltrim(x), 1, 1) IN ('-', '*', '•'))")
+        )
+        .cast("long")
+        .alias("__nbullet"),
+        F.size(F.expr("filter(__l, x -> right(rtrim(x), 3) = '...')"))
+        .cast("long")
+        .alias("__nelline"),
+        F.size(F.expr("filter(__w, x -> x rlike '[A-Za-z]')"))
+        .cast("long")
+        .alias("__nalpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.expr("transform(__w, x -> lower(x))")),
+                sw_arr,
+            )
+        )
+        .cast("long")
+        .alias("n_required_stopwords"),
+    )
+    out = d.select(
+        id_col,
+        "n_words",
+        F.expr("(__sumlen * 1000000) div greatest(n_words, 1)").alias(
+            "mean_word_len_e6"
+        ),
+        F.expr(
+            "((__nhash + __nell) * 1000000) div greatest(n_words, 1)"
+        ).alias("symbol_ratio_e6"),
+        F.expr("(__nbullet * 1000000) div greatest(__nlines, 1)").alias(
+            "bullet_ratio_e6"
+        ),
+        F.expr("(__nelline * 1000000) div greatest(__nlines, 1)").alias(
+            "ellipsis_ratio_e6"
+        ),
+        F.expr("(__nalpha * 1000000) div greatest(n_words, 1)").alias(
+            "alpha_word_ratio_e6"
+        ),
+        "n_required_stopwords",
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_e6").between(
+            min_mean_word_len_e6, max_mean_word_len_e6
+        )
+        & (F.col("symbol_ratio_e6") <= max_symbol_ratio_e6)
+        & (F.col("bullet_ratio_e6") <= max_bullet_ratio_e6)
+        & (F.col("ellipsis_ratio_e6") <= max_ellipsis_ratio_e6)
+        & (F.col("alpha_word_ratio_e6") >= min_alpha_word_ratio_e6)
+        & (F.col("n_required_stopwords") >= min_required_stopwords)
+    )
+    return out.withColumn("keep", keep)
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) — the other canonical web-corpus filter next
+    to :func:`gopher_quality`'s document-level rules:
+
+    - a line is KEPT iff it ends in terminal punctuation
+      (``. ! ? "``), has ≥ ``min_words_per_line`` whitespace words,
+      and does not contain ``javascript`` (case-insensitive);
+    - the whole document is DROPPED iff its text contains
+      ``lorem ipsum`` (case-insensitive) or a ``{``
+      (``drop_reason = 'banned_substring'``), or fewer than
+      ``min_kept_lines`` lines survive (``'too_few_lines'``).
+
+    Returns one row per input doc: (id_col, clean_text,
+    n_lines_kept, n_lines_dropped, dropped, drop_reason);
+    ``clean_text`` is the newline-joined kept lines, NULL for dropped
+    docs. Deterministic end to end, SQL-replayable.
+
+    Scale shape: map-only — line split, per-line predicate, and
+    re-join are array codegen expressions; no explode, no shuffle,
+    no Python."""
+    ws = "[^ \t\n\f\r]+"
+    kept_expr = (
+        "filter(__l, x -> right(rtrim(x), 1) IN ('.', '!', '?', '\"')"
+        f" AND size(regexp_extract_all(x, '{ws}', 0)) >= {min_words_per_line}"
+        " AND NOT contains(lower(x), 'javascript'))"
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__l"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__lt"),
+    ).select(
+        id_col,
+        F.expr(kept_expr).alias("__kept"),
+        F.size("__l").cast("long").alias("__nlines"),
+        (
+            F.contains(F.col("__lt"), F.lit("lorem ipsum"))
+            | F.contains(F.col("__lt"), F.lit("{"))
+        ).alias("__banned"),
+    )
+    n_kept = F.size("__kept").cast("long")
+    dropped = F.col("__banned") | (n_kept < min_kept_lines)
+    reason = F.when(F.col("__banned"), F.lit("banned_substring")).when(
+        n_kept < min_kept_lines, F.lit("too_few_lines")
+    )
+    return d.select(
+        id_col,
+        F.when(dropped, F.lit(None).cast("string"))
+        .otherwise(F.array_join("__kept", "\n"))
+        .alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        (F.col("__nlines") - n_kept).alias("n_lines_dropped"),
+        dropped.alias("dropped"),
+        reason.alias("drop_reason"),
+    )
+
+
 def hash_split(
     docs: DataFrame,
     *,

@@ -1716,3 +1716,201 @@ def test_vocab_growth_hand_case(spark):
         docs.orderBy(F.rand(7)), checkpoints=5
     ).orderBy("checkpoint").collect()
     assert [(r["checkpoint"], r["n_docs"], r["vocab"]) for r in shuffled] == want
+
+
+def test_gopher_quality_rules_hand_cases(spark):
+    """Each Gopher rule fires on a purpose-built doc and the signal
+    columns carry the exact fixed-point values: word-count bounds,
+    mean word length, symbol ratio (# + ...), bullet/ellipsis line
+    ratios, alpha-word ratio, required-stopword count."""
+    from spatially_databricks_etl_spark.operators.curate import gopher_quality
+
+    good = "the quick brown fox and the lazy dog have fun with words " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes everything at min_words=20
+            (2, "the and of"),  # too few words
+            (3, "the of and " + "### ### ### ### ### " * 4),  # symbols
+            (4, "\n".join(["- b u l l e t p o i n t s"] * 10)),  # bullets
+            (5, "the of and trailing dots...\nmore dots...\nplain line"),
+            (6, ("12345 " * 30) + "the of"),  # numeric words
+            (7, "zz " * 40),  # no required stopwords
+            (8, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(docs, min_words=20, max_words=1000).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 3
+    assert got[3]["keep"] is False
+    # doc 3: 20 '#' runs of 3 chars each = 60 hash chars, 23 words
+    assert got[3]["symbol_ratio_e6"] == (60 * 1_000_000) // 23
+    assert got[4]["keep"] is False
+    assert got[4]["bullet_ratio_e6"] == 1_000_000
+    assert got[5]["ellipsis_ratio_e6"] == (2 * 1_000_000) // 3
+    # doc 6: 30 numeric words of 32 total -> alpha ratio 2/32
+    assert got[6]["alpha_word_ratio_e6"] == (2 * 1_000_000) // 32
+    assert got[6]["keep"] is False
+    assert got[7]["n_required_stopwords"] == 0 and got[7]["keep"] is False
+    assert got[8]["n_words"] == 0 and got[8]["keep"] is False
+    # exact mean word length on doc 2: (3+3+2)*1e6 div 3
+    assert got[2]["mean_word_len_e6"] == (8 * 1_000_000) // 3
+
+
+def test_c4_line_filter_hand_cases(spark):
+    """C4 rules: terminal-punctuation + min-words + javascript line
+    predicates; lorem-ipsum / brace docs dropped wholesale;
+    too-few-kept-lines docs dropped; survivors rebuild in order."""
+    from spatially_databricks_etl_spark.operators.curate import c4_line_filter
+
+    l1 = "this line ends with a period and has many words."
+    l2 = "does this line have enough words to survive here?"
+    l3 = 'quoted line with plenty of words inside it ends well."'
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([l1, l2, l3, "short line.", "no terminal punct here"])),
+            (2, "\n".join([l1, l2, "now with JavaScript enabled today ok."])),
+            (3, l1 + "\nLorem Ipsum dolor sit amet consectetur."),
+            (4, l1 + "\nvar x = { a: 1 }."),
+            (5, "\n".join([l1, l2])),  # only 2 kept -> too few
+            (6, "\n".join([l1, l2, l3, l1])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_filter(docs, min_kept_lines=3).collect()
+    }
+    # doc 1: l1/l2/l3 survive; the 2-word line and the no-punct line drop
+    assert got[1]["dropped"] is False and got[1]["drop_reason"] is None
+    assert got[1]["n_lines_kept"] == 3 and got[1]["n_lines_dropped"] == 2
+    assert got[1]["clean_text"] == "\n".join([l1, l2, l3])
+    # doc 2: the javascript line drops -> only 2 kept -> doc dropped
+    assert got[2]["dropped"] is True
+    assert got[2]["drop_reason"] == "too_few_lines"
+    assert got[2]["clean_text"] is None
+    # docs 3/4: banned substrings (lorem ipsum, '{') drop wholesale
+    assert got[3]["drop_reason"] == "banned_substring"
+    assert got[4]["drop_reason"] == "banned_substring"
+    assert got[5]["drop_reason"] == "too_few_lines"
+    # doc 6: all four lines survive, order preserved incl. the repeat
+    assert got[6]["dropped"] is False
+    assert got[6]["clean_text"] == "\n".join([l1, l2, l3, l1])
+    assert got[6]["n_lines_kept"] == 4 and got[6]["n_lines_dropped"] == 0
+
+
+def test_contamination_report_attribution_hand_case(spark):
+    """Per-(doc, bench) shared 3-gram counts and exact e6 fractions:
+    a doc overlapping two different benchmark items gets TWO rows
+    with the right counts; a clean doc is absent; fractions divide by
+    the doc's own distinct gram count."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta"), (200, "echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # grams: {alpha bravo charlie, bravo charlie delta,
+            #         charlie delta echo, delta echo foxtrot,
+            #         echo foxtrot golf} -> 2 shared with bench 100,
+            #         1 with bench 200; 5 distinct grams total
+            (1, "alpha bravo charlie delta echo foxtrot golf"),
+            (2, "nothing shared here at all today friends"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_shared"], r["doc_frac_e6"])
+        for r in contamination_report(docs, bench, n=3).collect()
+    }
+    assert got == {
+        (1, 100): (2, 400_000),
+        (1, 200): (1, 200_000),
+    }
+
+
+def test_soft_dedup_weights_exact_and_pairs_paths(spark):
+    """Exact path: text groups weight 1e6 div size with min-id
+    cluster ids; pairs path: CC clusters weight the same way and
+    unclustered docs keep weight 1e6."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["weight_e6"])
+        for r in soft_dedup_weights(docs).collect()
+    }
+    assert got == {
+        1: (1, 3, 333_333),
+        2: (1, 3, 333_333),
+        3: (1, 3, 333_333),
+        4: (4, 1, 1_000_000),
+        5: (5, 1, 1_000_000),
+    }
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4)], "id_a long, id_b long"
+    )
+    got_p = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["weight_e6"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    assert got_p == {
+        1: (1, 3, 333_333),
+        2: (1, 3, 333_333),
+        4: (1, 3, 333_333),
+        3: (3, 1, 1_000_000),
+        5: (5, 1, 1_000_000),
+    }
+
+
+def test_domain_quality_rollup_hand_case(spark):
+    """Domain gate: a duplicate-heavy domain and a short-doc-heavy
+    domain fail their respective rules with exact e6 ratios; a clean
+    domain passes."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        domain_quality_rollup,
+    )
+
+    long_a = "x" * 200
+    long_b = "y" * 300
+    docs = spark.createDataFrame(
+        [
+            (1, "dup.com", long_a),
+            (2, "dup.com", long_a),
+            (3, "dup.com", long_a),
+            (4, "dup.com", long_b),
+            (5, "short.com", "tiny"),
+            (6, "short.com", long_a),
+            (7, "good.com", long_a),
+            (8, "good.com", long_b),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["domain"]: r.asDict()
+        for r in domain_quality_rollup(
+            docs, short_len=100, max_dup_frac_e6=250_000,
+            max_short_frac_e6=250_000,
+        ).collect()
+    }
+    d = got["dup.com"]
+    assert (d["n_docs"], d["n_unique_texts"]) == (4, 2)
+    assert d["dup_frac_e6"] == 500_000 and d["keep"] is False
+    assert d["mean_chars_e6"] == ((200 * 3 + 300) * 1_000_000) // 4
+    s = got["short.com"]
+    assert s["short_frac_e6"] == 500_000 and s["keep"] is False
+    g = got["good.com"]
+    assert g["dup_frac_e6"] == 0 and g["short_frac_e6"] == 0
+    assert g["keep"] is True
