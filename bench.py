@@ -276,6 +276,9 @@ EXTRA = [
     "contamination_report",
     "soft_dedup_weights",
     "domain_quality_rollup",
+    # round 14: audio VAD segments + video scene cuts (multimodal)
+    "audio_vad_segments",
+    "video_scene_cuts",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

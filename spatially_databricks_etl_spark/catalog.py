@@ -2958,6 +2958,122 @@ FROM documents
 """
 
 
+def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over the deterministic fake audio
+    decode (window=4 → 8 windows per item; threshold 74.0 sits at
+    the uniform-byte RMS median so voiced/silent both occur): maximal
+    voiced runs as (seg_idx, start, end, n). The oracle compares in
+    PURE INTEGERS — rms ≥ 74 ⟺ Σs² ≥ 4·74² = 21904 (the window mean
+    divides by a power of two and sqrt is IEEE correctly rounded) —
+    then replays the gaps-and-islands."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        audio_vad_segments,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return audio_vad_segments(src, window=4, threshold=74.0)
+
+
+def _sql_audio_vad(window: int = 4, n_samples: int = 32) -> str:
+    def byte(i: int) -> str:
+        return _HEXBYTE.format(o1=2 * i + 1, o2=2 * i + 2)
+
+    rows = []
+    for w in range(n_samples // window):
+        ss = " + ".join(
+            f"({byte(w * window + j)} - 128) * ({byte(w * window + j)} - 128)"
+            for j in range(window)
+        )
+        rows.append(f"SELECT item_id, {w} AS widx, {ss} AS ss FROM s")
+    body = "\nUNION ALL\n".join(rows)
+    thresh = window * 74 * 74
+    return f"""
+WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS h FROM documents),
+w AS (
+{body}
+),
+v AS (SELECT item_id, widx FROM w WHERE ss >= {thresh}),
+i AS (SELECT item_id, widx,
+             widx - row_number() OVER (PARTITION BY item_id ORDER BY widx) AS isl
+      FROM v),
+g AS (SELECT item_id, isl, min(widx) AS sw, max(widx) AS ew, count(*) AS nw
+      FROM i GROUP BY 1, 2)
+SELECT item_id,
+       CAST(row_number() OVER (PARTITION BY item_id ORDER BY sw) - 1 AS BIGINT)
+         AS seg_idx,
+       CAST(sw AS BIGINT) AS start_window,
+       CAST(ew AS BIGINT) AS end_window,
+       CAST(nw AS BIGINT) AS n_windows
+FROM g
+"""
+
+
+SQL_AUDIO_VAD_SEGMENTS = _sql_audio_vad()
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the frame_sample fan-out (duration
+    synthesized from n_chars, the q_frame_sample idiom) with the
+    deterministic fake per-frame luminance (sha256 byte per frame
+    index): cuts where |Δlum| ≥ 64. Integer end to end — the oracle
+    replays the decode byte-for-byte and the lag compare."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        attach_media_metadata,
+        video_scene_cuts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = attach_media_metadata(
+        d.select(
+            F.col("doc_id").cast("string").alias("item_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+            "n_chars",
+        ),
+        modality="video",
+    ).withColumn(
+        "media",
+        F.col("media").withField(
+            "duration_ms", ((F.col("n_chars") % 5 + 1) * 1000).cast("int")
+        ),
+    )
+    out = video_scene_cuts(src, every_ms=1000, threshold=64)
+    return out.select(
+        "item_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.col("prev_lum").cast("int").alias("prev_lum"),
+        F.col("lum").cast("int").alias("lum"),
+        F.col("delta").cast("int").alias("delta"),
+    )
+
+
+SQL_VIDEO_SCENE_CUTS = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS h,
+         unnest(generate_series(0, CAST(n_chars % 5 AS BIGINT), 1)) AS fi
+  FROM documents
+), l AS (
+  SELECT item_id, fi * 1000 AS frame_ts_ms,
+         ((strpos('0123456789abcdef', substr(h, CAST(2 * fi + 1 AS INT), 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(h, CAST(2 * fi + 2 AS INT), 1)) - 1)
+           AS lum
+  FROM f
+), d AS (
+  SELECT item_id, frame_ts_ms, lum,
+         lag(lum) OVER (PARTITION BY item_id ORDER BY frame_ts_ms) AS prev_lum
+  FROM l
+)
+SELECT item_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       CAST(prev_lum AS INT) AS prev_lum, CAST(lum AS INT) AS lum,
+       CAST(abs(lum - prev_lum) AS INT) AS delta
+FROM d
+WHERE prev_lum IS NOT NULL AND abs(lum - prev_lum) >= 64
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming (continued): sliding windows, bounded-state dedup
 # ---------------------------------------------------------------------------
@@ -9779,6 +9895,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-14 addition: per-domain quality rollup (RefinedWeb-style
     # domain-granularity keep/drop; exact e6 ratios)
     "domain_quality_rollup": q_domain_quality_rollup,
+    # round-14 addition: energy-threshold VAD segments (integer-exact
+    # voiced predicate + gaps-and-islands; audio family)
+    "audio_vad_segments": q_audio_vad_segments,
+    # round-14 addition: scene-cut detection on the frame fan-out
+    # (video family; byte-replayed fake luminance + lag compare)
+    "video_scene_cuts": q_video_scene_cuts,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -9992,6 +10114,8 @@ ORACLES: dict[str, str] = {
     "contamination_report": SQL_CONTAMINATION_REPORT,
     "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
     "domain_quality_rollup": SQL_DOMAIN_QUALITY_ROLLUP,
+    "audio_vad_segments": SQL_AUDIO_VAD_SEGMENTS,
+    "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

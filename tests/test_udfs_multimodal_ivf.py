@@ -1212,3 +1212,71 @@ def test_media_phash_and_near_dedup(spark):
         for r in phash_near_dedup(df, max_hamming=3).collect()
     }
     assert pairs == {("a1", "a2"): 0, ("n1", "n2"): 0}
+
+
+def test_audio_vad_segments_islands_hand_case(spark):
+    """VAD islands with a custom decoder whose energy profile is
+    known: voiced runs become segments with exact boundaries, silent
+    items emit nothing, and adjacent-but-separated runs stay two
+    segments."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        audio_vad_segments,
+    )
+
+    # 16 samples, window=4 -> 4 windows. Decoder keyed on payload.
+    profiles = {
+        b"A": [100.0] * 4 + [0.0] * 4 + [100.0] * 8,   # windows 0,2,3 voiced
+        b"B": [0.0] * 16,                               # silent
+        b"C": [100.0] * 16,                             # all voiced
+    }
+
+    def dec(p):
+        return profiles[bytes(p)]
+
+    src = spark.createDataFrame(
+        [("a", b"A"), ("b", b"B"), ("c", b"C")],
+        "item_id string, payload binary",
+    )
+    got = {
+        (r["item_id"], r["seg_idx"]): (
+            r["start_window"], r["end_window"], r["n_windows"]
+        )
+        for r in audio_vad_segments(
+            src, window=4, threshold=50.0, decode_fn=dec
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): (0, 0, 1),
+        ("a", 1): (2, 3, 2),
+        ("c", 0): (0, 3, 4),
+    }
+
+
+def test_video_scene_cuts_lag_hand_case(spark):
+    """Scene cuts with a scripted luminance sequence: only jumps >=
+    threshold flag, the first frame never flags, and prev/delta carry
+    the exact integers."""
+    from spatially_databricks_etl_spark.operators.multimodal import (
+        attach_media_metadata,
+        video_scene_cuts,
+    )
+
+    lums = {0: 10, 1: 20, 2: 200, 3: 210, 4: 40}
+
+    def lum(p, fi):
+        return lums[fi]
+
+    src = attach_media_metadata(
+        spark.createDataFrame(
+            [("v", b"payload")], "item_id string, payload binary"
+        ),
+        modality="video",
+    ).withColumn("media", F.col("media").withField("duration_ms", F.lit(5000)))
+    got = {
+        r["frame_ts_ms"]: (r["prev_lum"], r["lum"], r["delta"])
+        for r in video_scene_cuts(
+            src, every_ms=1000, threshold=100, lum_fn=lum
+        ).collect()
+    }
+    # jumps: 10->20 (10), 20->200 (180 CUT), 200->210 (10), 210->40 (170 CUT)
+    assert got == {2000: (20, 200, 180), 4000: (210, 40, 170)}
