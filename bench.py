@@ -279,6 +279,9 @@ EXTRA = [
     # round 14: audio VAD segments + video scene cuts (multimodal)
     "audio_vad_segments",
     "video_scene_cuts",
+    # round 14: per-language BPE fertility + JL random projection
+    "tokenizer_fertility",
+    "random_projection",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

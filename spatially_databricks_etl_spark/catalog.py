@@ -8550,6 +8550,83 @@ SQL_BPE_TOKEN_FREQ = (
 )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (tokens/word, chars/token) of the
+    8-merge BPE vocabulary trained on the full corpus — the
+    multilingual tokenizer-quality eval. The oracle re-derives the
+    trained symbol table via the unrolled-round CTEs and replays the
+    per-language aggregates as exact integer ratios."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"), merges=8)
+
+
+SQL_TOKENIZER_FERTILITY = (
+    _bpe_oracle_ctes(8)
+    + """
+, wt AS (SELECT word, count(*) AS ntok FROM s8 GROUP BY word),
+dw AS (SELECT lang,
+              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.ntok) AS BIGINT) AS n_tokens,
+       CAST((sum(wt.ntok) * 1000000) // count(*) AS BIGINT) AS fertility_e6,
+       CAST((sum(length(dw.word)) * 1000000) // sum(wt.ntok) AS BIGINT)
+         AS chars_per_token_e6
+FROM dw JOIN wt USING (word)
+GROUP BY lang
+"""
+)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection of the 64-dim embeddings to 16 dims:
+    exact e3 quantization + integer dot products against the
+    md5-derived sign matrix, which both engines receive as the SAME
+    driver-generated literal — the projection arrays hash-compare
+    bit-exactly."""
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return random_projection(emb, dim=64, out_dim=16, seed=1)
+
+
+def _sql_random_projection() -> str:
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        random_projection_signs,
+    )
+
+    m = random_projection_signs(64, 16, seed=1)
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(s) for s in row) + "]" for row in m
+        )
+        + "]"
+    )
+    return f"""
+WITH m AS (SELECT {mat} AS mat),
+q AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                      AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL)
+SELECT q.vec_id,
+       [CAST(list_sum([q.qv[i] * m.mat[j][i] for i in range(1, 65)])
+             AS BIGINT) for j in range(1, 17)] AS proj
+FROM q, m
+"""
+
+
+SQL_RANDOM_PROJECTION = _sql_random_projection()
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (λ=7/10, k=5) of each query's top-30
     exact-dot-product candidates over the embeddings fixture — the
@@ -9901,6 +9978,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-14 addition: scene-cut detection on the frame fan-out
     # (video family; byte-replayed fake luminance + lag compare)
     "video_scene_cuts": q_video_scene_cuts,
+    # round-14 addition: per-language BPE fertility (tokens/word,
+    # chars/token) — the multilingual tokenizer-quality eval
+    "tokenizer_fertility": q_tokenizer_fertility,
+    # round-14 addition: JL ±1 random projection (map-only, exact
+    # integer dot products vs a shared md5-derived literal matrix)
+    "random_projection": q_random_projection,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -10116,6 +10199,8 @@ ORACLES: dict[str, str] = {
     "domain_quality_rollup": SQL_DOMAIN_QUALITY_ROLLUP,
     "audio_vad_segments": SQL_AUDIO_VAD_SEGMENTS,
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "random_projection": SQL_RANDOM_PROJECTION,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -2822,6 +2822,69 @@ def bpe_encode(
     )
 
 
+def tokenizer_fertility(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    merges: int = 8,
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY under a freshly-trained BPE
+    vocabulary — the standard multilingual tokenizer-quality eval
+    (fertility = tokens per word; ~1 means the vocabulary fits the
+    language, high fertility means over-segmentation and wasted
+    context budget — the metric behind every "tokenizer tax" table).
+    Returns per ``lang_col`` group: (lang, n_words, n_tokens,
+    fertility_e6, chars_per_token_e6) — exact integer ratios
+    (``x·10⁶ div y``).
+
+    Scale shape: one trainer pass (:func:`bpe_train`'s
+    single-corpus-scan shape); the final symbol table gives every
+    distinct word's token count in one vocabulary-sized aggregate,
+    which broadcasts into the per-language word sequence — corpus
+    scanned twice total (word counts; per-lang fertility), no
+    per-row Python."""
+    _, syms = _bpe_rounds(
+        docs,
+        text_col=text_col,
+        merges=merges,
+        pattern=pattern,
+        lowercase=lowercase,
+    )
+    word_tok = syms.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("__ntok")
+    )
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    doc_words = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.regexp_extract_all(txt, F.lit(pattern), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    agg = (
+        doc_words.join(F.broadcast(word_tok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__ntok").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("__chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        F.expr("(n_tokens * 1000000) div n_words").alias("fertility_e6"),
+        F.expr("(__chars * 1000000) div n_tokens").alias(
+            "chars_per_token_e6"
+        ),
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     weights: dict[str, int],

@@ -704,3 +704,75 @@ def embedding_standardize(
         )
         .select(F.col("__id").alias(id_col), "z")
     )
+
+
+def random_projection_signs(
+    dim: int, out_dim: int, seed: int = 1
+) -> "list[list[int]]":
+    """Deterministic ±1 projection matrix (out_dim × dim) derived
+    from md5 — engine-agnostic (md5 of the same string is the same
+    everywhere), so an oracle can inline the identical literal. Tiny
+    (out_dim·dim entries): generated driver-side once and shipped as
+    a literal into the codegen'd expression, never a join."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2001, "Database-friendly random projections": the
+    dense-Gaussian-free variant whose entries are ±1 — distances are
+    preserved in expectation with the same JL guarantee) — the cheap
+    dimensionality-reduction member of the embedding family next to
+    the learned :func:`pca_fit` (no training pass, no model artifact,
+    any batch projects identically forever).
+
+    Components quantize to exact e3 longs (``floor(x·1000 + 0.5)``,
+    the :func:`~...retrieval.mmr_rerank` discipline) and the
+    projection is exact integer dot products against the md5-derived
+    sign matrix, so the whole operator is bit-replayable in SQL.
+    Returns (id_col, proj array<long> of ``out_dim``).
+
+    Scale shape: MAP-ONLY — the sign matrix is a driver-side literal
+    folded into one codegen'd ``transform``/``aggregate`` expression;
+    no shuffle, no Python, no model store. At 100 TB this is the
+    projection you run inline ahead of LSH bucketing or coarse
+    clustering, where PCA's training pass isn't worth the plan
+    barrier."""
+    signs = random_projection_signs(dim, out_dim, seed=seed)
+    mat = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s}L" for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    q = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(`{vec_col}`, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("__q"),
+    )
+    proj = F.expr(
+        f"transform({mat}, row -> aggregate(zip_with(__q, row,"
+        " (a, b) -> a * b), 0L, (acc, x) -> acc + x))"
+    )
+    return q.select(id_col, proj.alias("proj"))

@@ -1914,3 +1914,77 @@ def test_domain_quality_rollup_hand_case(spark):
     g = got["good.com"]
     assert g["dup_frac_e6"] == 0 and g["short_frac_e6"] == 0
     assert g["keep"] is True
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """Fertility on a two-lang corpus with a controllable merge
+    budget: after 1 merge ('lo'+'w'? depends on counts) the per-lang
+    token counts follow exactly from the trained symbol table; the
+    integer ratios divide exactly."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        bpe_token_freq,
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa", "ab ab ab cd"),
+            (2, "zz", "ab cd cd"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    # merges=1: the most frequent pair is ('a','b') with corpus freq 4
+    # -> 'ab' becomes 1 token; 'cd' stays 2 tokens ('c','d')
+    got = {
+        r["lang"]: (
+            r["n_words"], r["n_tokens"],
+            r["fertility_e6"], r["chars_per_token_e6"],
+        )
+        for r in tokenizer_fertility(docs, merges=1).collect()
+    }
+    # aa: words [ab, ab, ab, cd] -> tokens 1+1+1+2 = 5; chars 8
+    # zz: words [ab, cd, cd] -> tokens 1+2+2 = 5; chars 6
+    assert got == {
+        "aa": (4, 5, 1_250_000, 1_600_000),
+        "zz": (3, 5, 1_666_666, 1_200_000),
+    }
+    # cross-check the merged vocabulary really is {ab, c, d}
+    toks = {
+        r["token"] for r in bpe_token_freq(docs, merges=1).collect()
+    }
+    assert toks == {"ab", "c", "d"}
+
+
+def test_random_projection_exact_replay(spark):
+    """The ±1 projection replays exactly in Python: e3 quantization,
+    integer dot products against the md5-derived sign matrix; the
+    matrix itself is deterministic across calls and seeds differ."""
+    import math
+
+    from spatially_databricks_etl_spark.operators.embeddings import (
+        random_projection,
+        random_projection_signs,
+    )
+
+    vecs = [
+        (1, [0.1, -0.25, 0.33, 1.5]),
+        (2, [0.0004, -0.0006, 2.0, -3.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in random_projection(df, dim=4, out_dim=3, seed=7).collect()
+    }
+    signs = random_projection_signs(4, 3, seed=7)
+    want = {
+        vid: [
+            sum(int(math.floor(x * 1000 + 0.5)) * s for x, s in zip(v, row))
+            for row in signs
+        ]
+        for vid, v in vecs
+    }
+    assert got == want
+    assert random_projection_signs(4, 3, seed=7) == signs  # stable
+    assert random_projection_signs(4, 3, seed=8) != signs  # seed matters
+    assert any(s == -1 for row in signs for s in row)
+    assert any(s == 1 for row in signs for s in row)
