@@ -282,6 +282,9 @@ EXTRA = [
     # round 14: per-language BPE fertility + JL random projection
     "tokenizer_fertility",
     "random_projection",
+    # round 14: script routing profile + cross-split leakage audit
+    "script_profile",
+    "split_leakage_audit",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

@@ -1546,6 +1546,129 @@ FROM documents GROUP BY 1
 """
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile over the corpus with planted
+    multi-script suffixes (doc_id%4 rotates Cyrillic / CJK / digit
+    runs — the organic corpus is pure ASCII) — counts, e6 fractions
+    over non-space chars, and the deterministic dominant class, all
+    replayed by the oracle with identical literal ranges."""
+    from spatially_databricks_etl_spark.operators.curate import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" 你好世界 汉字"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" 1234567890"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(aug)
+
+
+SQL_SCRIPT_PROFILE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' привет мир'
+                      WHEN doc_id % 4 = 1 THEN ' 你好世界 汉字'
+                      WHEN doc_id % 4 = 2 THEN ' 1234567890'
+                      ELSE '' END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, length(t) AS len,
+         length(t) - length(regexp_replace(t, '[A-Za-z]+', '', 'g')) AS n_latin,
+         length(t) - length(regexp_replace(t, '[0-9]+', '', 'g')) AS n_digit,
+         length(t) - length(regexp_replace(t, '[Ѐ-ӿ]+', '', 'g')) AS n_cyrillic,
+         length(t) - length(regexp_replace(t, '[一-鿿]+', '', 'g')) AS n_cjk,
+         length(t) - length(regexp_replace(t, '[ ' || chr(9) || chr(10) || chr(12) || chr(13) || ']+', '', 'g')) AS n_space
+  FROM aug
+), x AS (
+  SELECT doc_id, len, n_latin, n_digit, n_cyrillic, n_cjk, n_space,
+         len - n_latin - n_digit - n_cyrillic - n_cjk - n_space AS n_other
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_other AS BIGINT) AS n_other,
+       CAST((n_latin * 1000000) // greatest(len - n_space, 1) AS BIGINT)
+         AS latin_frac_e6,
+       CAST((n_cyrillic * 1000000) // greatest(len - n_space, 1) AS BIGINT)
+         AS cyrillic_frac_e6,
+       CAST((n_cjk * 1000000) // greatest(len - n_space, 1) AS BIGINT)
+         AS cjk_frac_e6,
+       CASE WHEN n_latin >= n_digit AND n_latin >= n_cyrillic
+             AND n_latin >= n_cjk AND n_latin >= n_other THEN 'latin'
+            WHEN n_digit >= n_cyrillic AND n_digit >= n_cjk
+             AND n_digit >= n_other THEN 'digit'
+            WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_other
+              THEN 'cyrillic'
+            WHEN n_cjk >= n_other THEN 'cjk'
+            ELSE 'other' END AS dominant
+FROM x
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage: MinHash pairs (J≥0.7, exact
+    recall on this corpus — the q_minhash_neardup argument) whose
+    endpoints hash_split (md5, salt 'r1') into DIFFERENT buckets.
+    The oracle recomputes exact-Jaccard pairs quadratically and
+    replays the identical md5 bucket thresholds."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        split_leakage_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_leakage_audit(d, salt="r1", threshold=0.7, shingle_size=5)
+    return out.select(
+        "id_a",
+        "id_b",
+        "split_a",
+        "split_b",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                      i -> substr(lower(text), i, 5))) AS sh
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard_sim
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+       p.jaccard_sim
+FROM p
+JOIN sp sa ON sa.doc_id = p.id_a
+JOIN sp sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style incremental upsert on orders: a synthetic delta
     batch updates every 7th order's totalprice and inserts a shifted
@@ -9984,6 +10107,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-14 addition: JL ±1 random projection (map-only, exact
     # integer dot products vs a shared md5-derived literal matrix)
     "random_projection": q_random_projection,
+    # round-14 addition: Unicode-script profile (planted multi-script
+    # suffixes; map-only length-delta counts, exact e6 fractions)
+    "script_profile": q_script_profile,
+    # round-14 addition: cross-split near-dup leakage audit (MinHash
+    # pairs straddling md5 hash_split buckets)
+    "split_leakage_audit": q_split_leakage_audit,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -10201,6 +10330,8 @@ ORACLES: dict[str, str] = {
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "random_projection": SQL_RANDOM_PROJECTION,
+    "script_profile": SQL_SCRIPT_PROFILE,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -304,6 +304,158 @@ def domain_quality_rollup(
     return out.withColumn("keep", keep)
 
 
+def script_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-SCRIPT profile — the zero-cost routing
+    signal ahead of n-gram lang-id (`functions/text.py: lang_id`):
+    counts of Latin letters, digits, Cyrillic, CJK, whitespace and
+    other codepoints, e6 fractions over non-space chars, and the
+    deterministic dominant class. A multilingual crawl routes each
+    doc to the right tokenizer/lang-id model off this profile before
+    any model runs; mixed-script docs (spam, code-switching) surface
+    as no-majority profiles.
+
+    Counts are computed as length deltas under class-removal
+    ``regexp_replace`` (one pass per class, all codegen string ops —
+    no explode); every range is BMP so char counts agree across
+    engines. Dominance ties break in the fixed order latin > digit >
+    cyrillic > cjk > other. Map-only; exact integers."""
+    classes = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "cyrillic": "[Ѐ-ӿ]",
+        "cjk": "[一-鿿]",
+        "space": "[ \t\n\f\r]",
+    }
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col), F.length(t).cast("long").alias("__len")]
+    for name, pat in classes.items():
+        cols.append(
+            (
+                F.length(t)
+                - F.length(F.regexp_replace(t, pat + "+", F.lit("")))
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    d = docs.select(*cols).withColumn(
+        "n_other",
+        F.col("__len")
+        - F.col("n_latin")
+        - F.col("n_digit")
+        - F.col("n_cyrillic")
+        - F.col("n_cjk")
+        - F.col("n_space"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_digit"))
+            & (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_other")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_digit") >= F.col("n_cyrillic"))
+            & (F.col("n_digit") >= F.col("n_cjk"))
+            & (F.col("n_digit") >= F.col("n_other")),
+            F.lit("digit"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_cjk"))
+            & (F.col("n_cyrillic") >= F.col("n_other")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_cjk") >= F.col("n_other"), F.lit("cjk"))
+        .otherwise(F.lit("other"))
+    )
+    return d.select(
+        id_col,
+        "n_latin",
+        "n_digit",
+        "n_cyrillic",
+        "n_cjk",
+        "n_other",
+        F.expr(
+            "(n_latin * 1000000) div greatest(__len - n_space, 1)"
+        ).alias("latin_frac_e6"),
+        F.expr(
+            "(n_cyrillic * 1000000) div greatest(__len - n_space, 1)"
+        ).alias("cyrillic_frac_e6"),
+        F.expr(
+            "(n_cjk * 1000000) div greatest(__len - n_space, 1)"
+        ).alias("cjk_frac_e6"),
+        dominant.alias("dominant"),
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    threshold: float = 0.7,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Cross-split LEAKAGE audit — the check every train/val/test
+    split needs after near-dup analysis: a near-duplicate pair
+    straddling a split boundary leaks eval content into training
+    (the reason deduplication must run BEFORE splitting, and the
+    audit that proves whether it did). Returns near-dup pairs whose
+    endpoints landed in different :func:`hash_split` buckets:
+    (id_a, id_b, split_a, split_b, jaccard_sim).
+
+    ``pairs`` defaults to a fresh MinHash-LSH pass at ``threshold``;
+    pass a precomputed pair frame (e.g. from the persisted MinHash
+    index) to audit a re-split without re-shingling the corpus.
+
+    Scale shape: the split assignment is :func:`hash_split`'s
+    map-only md5 bucketing — no shuffle; the pair frame (orders of
+    magnitude smaller than the corpus) joins the assignment twice
+    with the pair side broadcast under AQE, so the corpus never
+    shuffles for the audit."""
+    from spatially_databricks_etl_spark.operators.dedup import (
+        minhash_near_dedup,
+    )
+
+    if pairs is None:
+        pairs = minhash_near_dedup(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            shingle_size=shingle_size,
+        )
+    assign = hash_split(
+        docs, key_col=id_col, splits=splits, salt=salt
+    ).select(F.col(id_col).alias("__sid"), "split")
+    out = (
+        pairs.join(
+            assign.select(
+                F.col("__sid").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("__sid").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select(
+        "id_a", "id_b", "split_a", "split_b", "jaccard_sim"
+    )
+
+
 #: Gopher's required-stopword probe set (Rae et al. 2021 §A1.1)
 GOPHER_REQUIRED_STOPWORDS = (
     "the",

@@ -1988,3 +1988,72 @@ def test_random_projection_exact_replay(spark):
     assert random_projection_signs(4, 3, seed=8) != signs  # seed matters
     assert any(s == -1 for row in signs for s in row)
     assert any(s == 1 for row in signs for s in row)
+
+
+def test_script_profile_hand_cases(spark):
+    """Script counts via class-removal length deltas: mixed-script
+    docs count each class exactly, fractions exclude whitespace, and
+    dominance ties break latin > digit > cyrillic > cjk > other."""
+    from spatially_databricks_etl_spark.operators.curate import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello мир 你好 42!"),
+            (2, "привет привет"),
+            (3, "你好世界"),
+            (4, "12345"),
+            (5, "!!!"),
+            (6, "ab12"),  # tie latin=digit=2 -> latin wins
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs).collect()}
+    d1 = got[1]
+    # hello=5 latin, мир=3 cyr, 你好=2 cjk, 42=2 digit, !=1 other, 3 spaces
+    assert (
+        d1["n_latin"], d1["n_digit"], d1["n_cyrillic"], d1["n_cjk"], d1["n_other"]
+    ) == (5, 2, 3, 2, 1)
+    assert d1["latin_frac_e6"] == (5 * 1_000_000) // 13
+    assert d1["dominant"] == "latin"
+    assert got[2]["dominant"] == "cyrillic"
+    assert got[2]["cyrillic_frac_e6"] == 1_000_000
+    assert got[3]["dominant"] == "cjk" and got[3]["cjk_frac_e6"] == 1_000_000
+    assert got[4]["dominant"] == "digit"
+    assert got[5]["dominant"] == "other" and got[5]["n_other"] == 3
+    assert got[6]["dominant"] == "latin"
+    assert got[7]["dominant"] == "latin"  # all-zero ties -> first class
+
+
+def test_split_leakage_audit_flags_only_straddling_pairs(spark):
+    """With an explicit pair frame and the deterministic md5 split,
+    only pairs whose endpoints land in different buckets survive,
+    carrying both split labels and the pair's similarity."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        hash_split,
+        split_leakage_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, salt="t").select("doc_id", "split").collect()
+    }
+    # build pairs: (0,1), (2,3), ... and keep the expected answer
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(0, 19, 2)],
+        "id_a long, id_b long, jaccard_sim double",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+        for r in split_leakage_audit(docs, pairs, salt="t").collect()
+    }
+    want = {
+        (a, a + 1): (assign[a], assign[a + 1])
+        for a in range(0, 19, 2)
+        if assign[a] != assign[a + 1]
+    }
+    assert got == want and len(want) > 0
