@@ -285,6 +285,8 @@ EXTRA = [
     # round 14: script routing profile + cross-split leakage audit
     "script_profile",
     "split_leakage_audit",
+    # round 14: seeded global training-shuffle order
+    "deterministic_shuffle",
 ]
 
 # Second frozen headline set (round-8, VERDICT r7 item 5): one

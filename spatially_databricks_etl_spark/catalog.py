@@ -1669,6 +1669,28 @@ WHERE sa.split <> sb.split
 """
 
 
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle order: position = rank under the
+    md5('e1:'||doc_id) total order via distributed_row_number (range
+    Exchange + offset manifest — no 1-task window). The oracle is a
+    plain ROW_NUMBER over the identical md5 key."""
+    from spatially_databricks_etl_spark.operators.curate import (
+        deterministic_shuffle,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, seed="e1").select("doc_id", "position")
+
+
+SQL_DETERMINISTIC_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+         AS BIGINT) AS position
+FROM documents
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style incremental upsert on orders: a synthetic delta
     batch updates every 7th order's totalprice and inserts a shifted
@@ -10113,6 +10135,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-14 addition: cross-split near-dup leakage audit (MinHash
     # pairs straddling md5 hash_split buckets)
     "split_leakage_audit": q_split_leakage_audit,
+    # round-14 addition: seeded global training-shuffle order
+    # (md5-keyed distributed ranking, no 1-task window)
+    "deterministic_shuffle": q_deterministic_shuffle,
     "chunk_documents": q_chunk_documents,
     "ngram_jaccard": q_ngram_jaccard,
     "sliding_window": q_sliding_window,
@@ -10332,6 +10357,7 @@ ORACLES: dict[str, str] = {
     "random_projection": SQL_RANDOM_PROJECTION,
     "script_profile": SQL_SCRIPT_PROFILE,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
+    "deterministic_shuffle": SQL_DETERMINISTIC_SHUFFLE,
     "dbscan": SQL_DBSCAN,
     "kcore": SQL_KCORE,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,

@@ -2974,6 +2974,44 @@ def bpe_encode(
     )
 
 
+def deterministic_shuffle(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    position_col: str = "position",
+) -> DataFrame:
+    """Seeded GLOBAL shuffle order for training — the "shuffle 100 TB
+    without a shuffle service meltdown" primitive: every epoch needs
+    the corpus in a different pseudorandom order, the order must be
+    REPRODUCIBLE (same seed → same order, for restarts and debugging),
+    and a naive ``ORDER BY rand()`` is neither (rand() is
+    partition-placement-dependent) nor scalable (a global sort through
+    one task). Assigns each row ``position`` = its 0-based rank under
+    the md5(seed:id) total order — deterministic, uniform, and
+    engine-agnostic (the same construction :func:`hash_split` uses for
+    assignment, here used for ordering).
+
+    Scale shape: rides :func:`distributed_row_number` — a range
+    Exchange on the hash key plus a #partitions-row offset manifest;
+    no single-partition window, no driver-side data. A new epoch is a
+    new ``seed`` — no state carried between epochs."""
+    from spatially_databricks_etl_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    key = F.md5(
+        F.concat(
+            F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    keyed = docs.withColumn("__shufkey", key)
+    ranked = distributed_row_number(
+        keyed, [F.col("__shufkey"), F.col(id_col)], rank_col=position_col
+    )
+    return ranked.drop("__shufkey")
+
+
 def tokenizer_fertility(
     docs: DataFrame,
     *,

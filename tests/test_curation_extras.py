@@ -2057,3 +2057,35 @@ def test_split_leakage_audit_flags_only_straddling_pairs(spark):
         if assign[a] != assign[a + 1]
     }
     assert got == want and len(want) > 0
+
+
+def test_deterministic_shuffle_replay_and_stability(spark):
+    """The seeded shuffle order replays exactly in Python (md5 key +
+    id tiebreak), positions are a dense 0-based permutation, the same
+    seed reproduces the order across calls and partitionings, and a
+    different seed yields a different order."""
+    import hashlib
+
+    from spatially_databricks_etl_spark.operators.curate import (
+        deterministic_shuffle,
+    )
+
+    ids = list(range(40))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["position"]
+        for r in deterministic_shuffle(docs, seed="s1").collect()
+    }
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i))
+    want = {i: pos for pos, i in enumerate(order)}
+    assert got == want
+    again = {
+        r["doc_id"]: r["position"]
+        for r in deterministic_shuffle(docs.repartition(7), seed="s1").collect()
+    }
+    assert again == want
+    other = {
+        r["doc_id"]: r["position"]
+        for r in deterministic_shuffle(docs, seed="s2").collect()
+    }
+    assert other != want and sorted(other.values()) == list(range(40))
