@@ -1507,6 +1507,16 @@ def _curation_stages(
     computes each gate once."""
     from pyspark.storagelevel import StorageLevel
 
+    from spatially_databricks_etl_spark.operators.relational import (
+        ensure_parallelism,
+    )
+
+    # The quality gate is heavy per-row compute (multiple regex/token
+    # passes per document); a single-file local scan arrives as ONE
+    # partition and would serialize it — the standard repartition-
+    # before-expensive-compute idiom (no-op at real scale, where scans
+    # arrive with thousands of splits).
+    docs = ensure_parallelism(docs, id_col)
     d1 = docs.filter(quality_score(F.col(text_col)) >= F.lit(min_quality))
     if langs:
         d1 = d1.filter(F.col("lang").isin(langs))

@@ -31,12 +31,24 @@ def exact_dedup(df: DataFrame, subset: list[str], *, keep_by: str | None = None)
     column, e.g. doc_id) the survivor is deterministic: min(keep_by)
     per group — one hash-aggregate shuffle, map-side partials first.
     Without it, ``dropDuplicates`` (arbitrary survivor, cheapest).
-    """
+
+    The survivor set is attached by a semi-join on ``keep_by`` ALONE
+    (it is unique per row, so id-membership ≡ (subset, id)-membership):
+    the wide rows exchange keyed on the id instead of on the full
+    ``subset`` values — for text dedup that halves the key bytes of
+    the probe-side shuffle, and when the survivor-id list is small
+    AQE turns the attach into a broadcast semi-join with NO probe-side
+    shuffle at all (at corpus scale the id list is corpus-sized and
+    the attach degrades gracefully to an 8-byte-key shuffle). Null
+    ``subset`` values form a survivor group of their own — matching
+    SQL ``GROUP BY`` semantics (the former (subset, id)-keyed
+    semi-join silently dropped null-key groups, which no oracle
+    exercises but SQL semantics disallow)."""
     if keep_by is None:
         return df.dropDuplicates(subset)
     w_cols = [F.col(c) for c in subset]
-    keep = df.groupBy(*w_cols).agg(F.min(keep_by).alias(keep_by))
-    return df.join(keep, on=[*subset, keep_by], how="left_semi")
+    keep = df.groupBy(*w_cols).agg(F.min(keep_by).alias(keep_by)).select(keep_by)
+    return df.join(keep, on=keep_by, how="left_semi")
 
 
 def minhash_signature(
@@ -175,83 +187,61 @@ def minhash_signatures_df(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Vectorized signature stage: one Arrow-batched ``mapInPandas``
-    numpy pass computing sig[i] = min((a_i·h + b_i) mod (2³¹−1)) for
-    every doc in the batch at once — bit-exact with
-    :func:`minhash_from_hashes` (same constants via
+    """Vectorized signature stage, all-JVM: explode the hash arrays
+    and compute every permutation minimum as ``num_hashes`` codegen'd
+    ``min`` aggregates — sig[i] = min((a_i·h + b_i) mod (2³¹−1)) —
+    bit-exact with :func:`minhash_from_hashes` (same constants via
     ``_minhash_constants``, same int64 arithmetic: h < 2³², a < 2³⁰ ⇒
-    a·h + b < 2⁶³, and numpy's ``%`` on a positive modulus equals
-    Spark's ``pmod``).
+    a·h + b < 2⁶³, so no overflow even under ANSI mode).
 
-    Why mapInPandas here and not a HOF column: Spark's higher-order
+    Why aggregates and not a HOF column: Spark's higher-order
     functions evaluate interpreted per element, so a 96-permutation
-    signature walks each hash array 96 times in the interpreter. The
-    numpy kernel does one (hashes × permutations) matrix per chunk
-    with ``np.minimum.reduceat`` over per-doc segments — the classic
-    "UDFs are the slow path, EXCEPT Arrow-batched numpy beats
-    interpreted HOFs" case. Scale: per-partition streaming over Arrow
-    batches (default 10k rows), chunked so the work matrix stays
-    ~128 MB regardless of document count or shingle density; no
-    shuffle introduced (mapInPandas is a narrow transform).
+    signature walks each hash array 96 times in the interpreter.
+    Explode + min-aggregates evaluate the same arithmetic inside
+    whole-stage codegen. And why not a mapInPandas/mapInArrow numpy
+    kernel (the pre-round-14 form): every Python path pays the
+    JVM→Arrow→Python round trip of the ENTIRE hash-array column
+    (~1000 int64s per doc) plus Python-worker warm-up — measured at
+    sf0.1 the numpy kernel's noop wall was 16.7 s cold / 1.5–8 s warm
+    vs 1.4 s cold / 0.45–0.85 s warm for this form (same session,
+    alternating A/B). Built-ins beat the boundary (guide §4.1).
 
-    Docs with zero shingles get an all-null signature — identical to
-    ``F.array_min`` over an empty array in the HOF form.
+    Shuffle shape: when the input is already hash-partitioned by the
+    passthrough key (every caller routes through
+    ``ensure_parallelism(df, "__id")`` or an equivalent), the groupBy
+    reuses that partitioning — NO new exchange. Otherwise map-side
+    partial aggregation reduces each partition to one
+    num_hashes-long partial row per doc before the exchange, so the
+    shuffle carries signature-sized rows (num_hashes × 8 B per doc),
+    never the hash arrays.
+
+    Input may carry full 64-bit codes: the kernel masks each element
+    to the 32-bit domain itself (scalar ``bitwiseAND`` in codegen —
+    callers no longer need a :func:`mask32_hashes` projection, whose
+    per-element HOF pass this rewrite also retires). Docs with zero
+    shingles (or a NULL hash array) get an all-null signature —
+    identical to ``F.array_min`` over an empty array in the HOF form
+    (``explode_outer`` keeps the row; min over its single NULL is
+    NULL per permutation).
     """
-    import numpy as np
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
     a, b = _minhash_constants(num_hashes, seed)
-    out_fields = [f for f in hashed.schema.fields if f.name != hash_col]
-    out_schema = StructType(
-        [*out_fields, StructField(sig_col, ArrayType(LongType()), True)]
+    passthrough = [f.name for f in hashed.schema.fields if f.name != hash_col]
+    elem = F.col("__mh_e").bitwiseAND(F.lit((1 << 32) - 1))
+    aggs = [
+        F.min(
+            F.pmod(elem * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE31))
+        ).alias(f"__mh_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.select(*passthrough, F.explode_outer(hash_col).alias("__mh_e"))
+        .groupBy(*passthrough)
+        .agg(*aggs)
+        .select(
+            *passthrough,
+            F.array(*[F.col(f"__mh_m{i}") for i in range(num_hashes)]).alias(sig_col),
+        )
     )
-    passthrough = [f.name for f in out_fields]
-    # chunk bound: hashes_per_chunk × num_hashes × 8 B ≈ 128 MB
-    max_flat = max(num_hashes, (128 << 20) // (num_hashes * 8))
-
-    def compute(batches):
-        for pdf in batches:
-            n = len(pdf)
-            # None rows behave like zero shingles (all-null signature) —
-            # parity with the HOF kernel, where transform/array_min over
-            # a NULL array yields NULL per permutation.
-            arrs = [
-                np.asarray(h if h is not None else [], dtype=np.int64)
-                for h in pdf[hash_col]
-            ]
-            counts = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
-            sigs: list = [None] * n
-            i = 0
-            while i < n:
-                # greedy chunk of docs whose total hash count fits the
-                # memory bound (always ≥1 doc to guarantee progress)
-                j, flat_len = i, 0
-                while j < n and (j == i or flat_len + counts[j] <= max_flat):
-                    flat_len += counts[j]
-                    j += 1
-                seg = [arrs[k] for k in range(i, j) if counts[k] > 0]
-                if seg:
-                    flat = np.concatenate(seg)
-                    mat = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
-                    nz = counts[i:j] > 0
-                    starts = np.concatenate(([0], np.cumsum(counts[i:j][nz])))[:-1]
-                    mins = np.minimum.reduceat(mat, starts, axis=0)
-                    m = 0
-                    for k in range(i, j):
-                        if counts[k] > 0:
-                            sigs[k] = mins[m].tolist()
-                            m += 1
-                        else:
-                            sigs[k] = [None] * num_hashes
-                else:
-                    for k in range(i, j):
-                        sigs[k] = [None] * num_hashes
-                i = j
-            out = pdf[passthrough].copy()
-            out[sig_col] = sigs
-            yield out
-
-    return hashed.mapInPandas(compute, schema=out_schema)
 
 
 def _band_rows(sig_df: DataFrame, *, bands: int, rows: int) -> DataFrame:
@@ -379,18 +369,17 @@ def minhash_near_dedup(
     base = src.select(
         "__id", shingle_hashes(sh, seed=seed, mask32=False).alias("__h")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # derive ALL permutation minima in one vectorized Arrow/numpy pass
+    # derive ALL permutation minima as codegen'd min-aggregates
     # (bit-exact with the Column-expression kernel — see
-    # minhash_signatures_df docstring for why this beats the HOF form).
-    # Zero-shingle docs are excluded up front: an empty set has Jaccard
-    # 0 with everything (never a result), and the shared all-null
-    # signature would otherwise band the whole degenerate population
-    # into one mega-bucket per band. size(NULL)=-1 under ANSI, so null
-    # arrays fail the predicate too.
+    # minhash_signatures_df docstring for why this beats both the HOF
+    # form and the former Arrow/numpy kernel; it masks to 32 bits
+    # itself). Zero-shingle docs are excluded up front: an empty set
+    # has Jaccard 0 with everything (never a result), and the shared
+    # all-null signature would otherwise band the whole degenerate
+    # population into one mega-bucket per band. size(NULL)=-1 under
+    # ANSI, so null arrays fail the predicate too.
     sig = minhash_signatures_df(
-        base.filter(F.size("__h") > 0).select(
-            "__id", mask32_hashes("__h").alias("__h")
-        ),
+        base.filter(F.size("__h") > 0),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -802,7 +791,7 @@ def minhash_write_index(
         "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
     ).write.mode("overwrite").partitionBy("__pb").parquet(f"{path}/shingles")
     sig = minhash_signatures_df(
-        base.select("__id", mask32_hashes("__h").alias("__h")),
+        base.select("__id", "__h"),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -886,7 +875,7 @@ def minhash_append_index(
         "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
     ).write.mode("append").partitionBy("__pb").parquet(f"{path}/shingles")
     sig = minhash_signatures_df(
-        base.select("__id", mask32_hashes("__h").alias("__h")),
+        base.select("__id", "__h"),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -978,7 +967,7 @@ def minhash_upsert_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     new_sig = minhash_signatures_df(
-        base.select("__id", mask32_hashes("__h").alias("__h")),
+        base.select("__id", "__h"),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -1008,7 +997,7 @@ def minhash_upsert_index(
     # old band rows reconstruct exactly from the stored codes
     old_mine = old_sh.join(F.broadcast(batch_ids), "__id").select("__id", "__h")
     old_sig = minhash_signatures_df(
-        old_mine.select("__id", mask32_hashes("__h").alias("__h")),
+        old_mine.select("__id", "__h"),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,
@@ -1113,7 +1102,7 @@ def minhash_search_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     b_sig = minhash_signatures_df(
-        b_base.select("__id", mask32_hashes("__h").alias("__h")),
+        b_base.select("__id", "__h"),
         hash_col="__h",
         sig_col="__sig",
         num_hashes=num_hashes,

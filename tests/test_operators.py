@@ -88,6 +88,22 @@ def test_exact_dedup_deterministic_survivor(spark):
     assert got == {"x": 1, "y": 2}
 
 
+def test_exact_dedup_null_group_survives_id_attach(spark):
+    """The survivor attach is a semi-join on keep_by ALONE (round-14
+    optimization: 8-byte attach key, AQE-broadcastable survivor list).
+    NULL subset values must form a survivor group of their own — SQL
+    GROUP BY semantics — instead of vanishing through a null-keyed
+    equi-join, and full rows must come back, not just key columns."""
+    df = spark.createDataFrame(
+        [(3, None, "a"), (1, None, "b"), (2, "y", "c"), (5, "y", "d")],
+        "doc_id long, text string, extra string",
+    )
+    out = exact_dedup(df, ["text"], keep_by="doc_id").collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # original columns are preserved on the surviving rows
+    assert {(r["doc_id"], r["extra"]) for r in out} == {(1, "b"), (2, "c")}
+
+
 def test_minhash_pairs_have_high_true_jaccard(spark):
     base = "the quick brown fox jumps over the lazy dog again and again"
     rows = [(0, base), (1, base + " x"), (2, "completely different words entirely unrelated")]
