@@ -2523,6 +2523,12 @@ def q_simhash_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _simhash_planted_docs()
     path = _scratch_dir("simhash_idx")
+    # hash_buckets sized to the 45-doc planted corpus (index-layout
+    # parameter only — searches prune on bucket DIRECTORIES, results
+    # are bucket-count-invariant; the 64-bucket default targets real
+    # corpora and would spread 45 docs over 45+ single-row partition
+    # dirs, paying ~8x the file/commit/listing overhead for nothing)
+    buckets = 8
     base = spark.createDataFrame(
         [(i, t) for i, t in docs if i % 100 != 2 and not 400 <= i < 500],
         "doc_id long, text string",
@@ -2534,7 +2540,7 @@ def q_simhash_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, t) for i, t in docs if i % 100 == 2 and i < 1000],
         "doc_id long, text string",
     )
-    simhash_write_index(base, path)
+    simhash_write_index(base, path, hash_buckets=buckets)
     simhash_append_index(late, path)
     simhash_delete_index(
         spark.createDataFrame([(101,)], "doc_id long"), path

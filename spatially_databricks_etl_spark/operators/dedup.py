@@ -544,6 +544,75 @@ def simhash(text_col: Column | str, *, bits: int = 64, seed: int = 42) -> Column
     return out
 
 
+def simhash_codes(
+    df: DataFrame,
+    *,
+    text_col: str = "__text",
+    id_col: str = "__id",
+    code_col: str = "__sh",
+    seed: int = 42,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, 64-bit SimHash) for every row of ``df`` — the DataFrame
+    form of :func:`simhash`, computed as ONE explode + ``bits``
+    codegen'd sign-vote sums instead of ``bits`` interpreted
+    ``aggregate`` HOFs per row. Bit-exact with the Column form
+    (pinned by test): integer vote sums are order-independent, a
+    zero-token document's NULL vote rows sum to a non-positive vote
+    per bit exactly like the HOF's empty-array zero votes, so both
+    yield code 0.
+
+    Why: the Column form nests 64 ``F.aggregate`` calls over the
+    token-hash array into one expression tree — Catalyst re-analyzes
+    the duplicated tokenize+hash subtree 64 times and evaluates every
+    vote pass in the HOF interpreter. This form tokenizes and hashes
+    ONCE per token inside whole-stage codegen, explodes each token
+    hash into 64 (bit, ±1) vote rows, and reduces with two tiny hash
+    aggregates: per-(id, bit) vote sums, then the code as the sum of
+    ``1 << bit`` over positive-vote bits (distinct powers, so sum ≡
+    OR; bit 63's power is long-min, mathematically the signed two's-
+    complement contribution). An intermediate 64-wide-aggregate
+    variant was measured 3–4× SLOWER per call than this shape — the
+    64-column plan pays seconds of analysis/codegen per invocation.
+
+    Shuffle shape: map-side partial aggregation collapses the ×64 row
+    expansion to ≤64 narrow (id, bit, sum) rows per doc per partition
+    before the first exchange, and to one row per doc before the
+    second — both fingerprint-scale, never token-count-scale."""
+    if bits != 64:
+        raise ValueError(f"bits must be 64 (long-width codes), got {bits}")
+    toks = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__smt")).select(
+        id_col,
+        # keep NULL (zero-token rows) NULL: xxhash64(NULL, seed) would
+        # otherwise hash the seed alone and cast spurious votes
+        F.when(
+            F.col("__smt").isNotNull(), F.xxhash64("__smt", F.lit(seed))
+        ).alias("__smh"),
+    )
+    votes = (
+        ex.select(
+            id_col,
+            "__smh",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("__smb"),
+        )
+        .groupBy(id_col, "__smb")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(__smh, __smb) & 1) = 1"), 1).otherwise(-1)
+            ).alias("__smv")
+        )
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("__smv") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), __smb)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(code_col)
+    )
+
+
 def simhash_near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -564,7 +633,7 @@ def simhash_near_dedup(
     src = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")), "__id"
     )
-    base = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
+    base = simhash_codes(src, seed=seed)
     return hamming_near_dedup_codes(
         base, max_hamming=max_hamming, chunks=chunks
     )
@@ -768,6 +837,7 @@ def minhash_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        write_meta_sidecar,
     )
 
     if num_hashes % bands != 0:
@@ -801,22 +871,17 @@ def minhash_write_index(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
     ).write.mode("overwrite").partitionBy("__bhb").parquet(f"{path}/bands")
     base.unpersist()
-    corpus.sparkSession.createDataFrame(
-        [
-            (
-                json.dumps(
-                    {
-                        "shingle_size": shingle_size,
-                        "num_hashes": num_hashes,
-                        "bands": bands,
-                        "seed": seed,
-                        "hash_buckets": hash_buckets,
-                    }
-                ),
-            )
-        ],
-        "minhash_params_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_minhash_meta")
+    write_meta_sidecar(
+        f"{path}/_minhash_meta",
+        "minhash_params_json",
+        {
+            "shingle_size": shingle_size,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "hash_buckets": hash_buckets,
+        },
+    )
 
 
 def minhash_append_index(
@@ -1310,6 +1375,7 @@ def simhash_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        write_meta_sidecar,
     )
 
     if 64 % chunks != 0:
@@ -1320,29 +1386,32 @@ def simhash_write_index(
         corpus.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__id",
     )
-    coded = src.select("__id", simhash(F.col("__text"), seed=seed).alias("__sh"))
+    # fingerprint ONCE, persist, and derive both stores from the
+    # persisted frame (bit-identical to the former read-back of the
+    # codes store — _simhash_band_rows is pure in (code, params) —
+    # minus one directory listing + scan)
+    coded = simhash_codes(src, seed=seed).persist(StorageLevel.MEMORY_AND_DISK)
+    # repartition by the partition column before every partitioned
+    # write (guide §6): without it each upstream task opens a file in
+    # every partition directory it holds a row for — a tasks×dirs
+    # small-file storm at any scale; with it AQE coalesces to few
+    # writer tasks and each directory gets contiguous row runs
     coded.withColumn(
         "__pb", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets))
-    ).write.mode("overwrite").partitionBy("__pb").parquet(f"{path}/codes")
-    # bands derive from the stored codes read back — one fingerprint
-    # pass over the corpus, not two
+    ).repartition("__pb").write.mode("overwrite").partitionBy("__pb").parquet(
+        f"{path}/codes"
+    )
     _simhash_band_rows(
-        corpus.sparkSession.read.parquet(f"{path}/codes"),
-        chunks=chunks,
-        hash_buckets=hash_buckets,
-    ).select("__id", "__sh", "__chunk", "__cv", "__cb").write.mode(
-        "overwrite"
-    ).partitionBy("__cb").parquet(f"{path}/bands")
-    corpus.sparkSession.createDataFrame(
-        [
-            (
-                json.dumps(
-                    {"chunks": chunks, "seed": seed, "hash_buckets": hash_buckets}
-                ),
-            )
-        ],
-        "simhash_params_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_simhash_meta")
+        coded, chunks=chunks, hash_buckets=hash_buckets
+    ).select("__id", "__sh", "__chunk", "__cv", "__cb").repartition(
+        "__cb"
+    ).write.mode("overwrite").partitionBy("__cb").parquet(f"{path}/bands")
+    coded.unpersist()
+    write_meta_sidecar(
+        f"{path}/_simhash_meta",
+        "simhash_params_json",
+        {"chunks": chunks, "seed": seed, "hash_buckets": hash_buckets},
+    )
 
 
 def _simhash_meta(spark, path: str) -> dict:
@@ -1379,16 +1448,20 @@ def simhash_append_index(
         new_docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         "__id",
     )
-    coded = src.select(
-        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    coded = simhash_codes(src, seed=meta["seed"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     commit_index_mutation(path, ver)  # claim before the first visible write
     coded.withColumn(
         "__pb", F.pmod(F.xxhash64("__id"), F.lit(meta["hash_buckets"]))
-    ).write.mode("append").partitionBy("__pb").parquet(f"{path}/codes")
+    ).repartition("__pb").write.mode("append").partitionBy("__pb").parquet(
+        f"{path}/codes"
+    )
     _simhash_band_rows(
         coded, chunks=meta["chunks"], hash_buckets=meta["hash_buckets"]
-    ).write.mode("append").partitionBy("__cb").parquet(f"{path}/bands")
+    ).repartition("__cb").write.mode("append").partitionBy("__cb").parquet(
+        f"{path}/bands"
+    )
     coded.unpersist()
 
 
@@ -1427,9 +1500,7 @@ def simhash_search_index(
             "for the pigeonhole completeness guarantee"
         )
     src = batch.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-    coded = src.select(
-        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
-    )
+    coded = simhash_codes(src, seed=meta["seed"])
     b_bands = _simhash_band_rows(
         coded, chunks=meta["chunks"], hash_buckets=meta["hash_buckets"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1555,9 +1626,9 @@ def simhash_upsert_index(
         "__id",
     )
     batch_ids = src.select("__id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    new_coded = src.select(
-        "__id", simhash(F.col("__text"), seed=meta["seed"]).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_coded = simhash_codes(src, seed=meta["seed"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     new_bands = _simhash_band_rows(
         new_coded, chunks=chunks, hash_buckets=hash_buckets
     ).persist(StorageLevel.MEMORY_AND_DISK)

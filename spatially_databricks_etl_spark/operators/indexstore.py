@@ -228,6 +228,30 @@ def write_tombstones(ids: DataFrame, path: str, *, id_col: str) -> None:
     )
 
 
+def write_meta_sidecar(path: str, field: str, payload: dict) -> None:
+    """Write an index's one-row parameter sidecar in exactly the
+    layout ``spark.read.json(path)`` consumes (one JSON object per
+    line, a single string ``field`` holding the params as a JSON
+    payload — the same shape the previous Spark writer produced).
+
+    Driver-side on purpose: a ``coalesce(1).write.json`` of ONE
+    metadata row schedules a full Spark write job + commit round —
+    measured ~6 s per index mutation at local[32] — for ~100 bytes of
+    parameters. Local-FS I/O like every other indexstore primitive
+    (see ``swap_directory``'s object-store note); staged + swapped so
+    a crash mid-write never leaves a torn sidecar."""
+    import json
+    import os
+    import shutil
+
+    tmp = f"{path.rstrip('/')}.__staged__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.json"), "w") as fh:
+        fh.write(json.dumps({field: json.dumps(payload)}) + "\n")
+    swap_directory(tmp, path)
+
+
 def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The tombstone id set for an index, or ``None`` when no delete
     has ever happened (the common case — searches skip the anti-join

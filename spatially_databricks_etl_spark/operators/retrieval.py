@@ -368,6 +368,7 @@ def bm25_write_index(
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        write_meta_sidecar,
     )
 
     ver = begin_index_mutation(path)
@@ -404,21 +405,16 @@ def bm25_write_index(
     ).first()
     n_docs = float(row["n_docs"])
     sum_dl = float(row["sum_dl"] or 0.0)
-    spark.createDataFrame(
-        [
-            (
-                json.dumps(
-                    {
-                        "n_docs": n_docs,
-                        "sum_dl": sum_dl,
-                        "avgdl": sum_dl / n_docs if n_docs else 0.0,
-                        "gen": 0,
-                    }
-                ),
-            )
-        ],
-        "bm25_meta_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+    write_meta_sidecar(
+        f"{path}/_bm25_meta",
+        "bm25_meta_json",
+        {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n_docs if n_docs else 0.0,
+            "gen": 0,
+        },
+    )
 
 
 def bm25_append_index(
@@ -463,6 +459,7 @@ def bm25_append_index(
         begin_index_mutation,
         commit_index_mutation,
         swap_directory,
+        write_meta_sidecar,
     )
 
     ver = begin_index_mutation(path)
@@ -531,10 +528,7 @@ def bm25_append_index(
     }
     if new_gen is not None:
         new_meta["gen"] = new_gen
-    spark.createDataFrame(
-        [(json.dumps(new_meta),)],
-        "bm25_meta_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+    write_meta_sidecar(f"{path}/_bm25_meta", "bm25_meta_json", new_meta)
 
 
 def bm25_delete_index(
@@ -585,6 +579,7 @@ def bm25_delete_index(
         begin_index_mutation,
         commit_index_mutation,
         swap_directory,
+        write_meta_sidecar,
         write_tombstones,
     )
 
@@ -661,10 +656,7 @@ def bm25_delete_index(
     }
     if "gen" in meta:
         new_meta["gen"] = int(meta["gen"])
-    spark.createDataFrame(
-        [(json.dumps(new_meta),)],
-        "bm25_meta_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_bm25_meta")
+    write_meta_sidecar(f"{path}/_bm25_meta", "bm25_meta_json", new_meta)
     if manifest_live is not None:
         _write_tombstones_gen(
             live.select("doc_id"), path, int(meta.get("gen", 0))

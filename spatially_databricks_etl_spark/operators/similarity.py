@@ -30,6 +30,7 @@ from spatially_databricks_etl_spark.operators.indexstore import (
     apply_allowed_ids,
     clear_tombstones,
     compact_partitioned_index,
+    write_meta_sidecar,
     write_tombstones,
 )
 from spatially_databricks_etl_spark.operators.relational import (
@@ -261,10 +262,11 @@ def lsh_write_index(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__bucket", lsh_bucket("embedding", hp))
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    corpus.sparkSession.createDataFrame(
-        [(json.dumps({"planes": planes, "dim": dim, "seed": seed}),)],
-        "lsh_params_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
+    write_meta_sidecar(
+        f"{path}/_lsh_meta",
+        "lsh_params_json",
+        {"planes": planes, "dim": dim, "seed": seed},
+    )
 
 
 def lsh_append_index(
@@ -580,9 +582,7 @@ def ivf_write_index(
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(json.dumps(centroids),)], "centroids_json string"
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_meta")
+    write_meta_sidecar(f"{path}/_ivf_meta", "centroids_json", centroids)
 
 
 def ivf_append_index(
@@ -903,10 +903,11 @@ def ivfpq_write_index(
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(json.dumps({"centroids": centroids, "codebooks": codebooks}),)],
-        "ivfpq_json string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
+    write_meta_sidecar(
+        f"{path}/_ivfpq_meta",
+        "ivfpq_json",
+        {"centroids": centroids, "codebooks": codebooks},
+    )
 
 
 def ivfpq_append_index(

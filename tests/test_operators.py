@@ -165,6 +165,39 @@ def test_simhash_identical_and_disjoint(spark):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
 
 
+def test_simhash_codes_bit_exact_with_column_form(spark):
+    """The explode + sign-vote-aggregate fingerprint (round-14: 64
+    interpreted aggregate HOFs -> codegen'd sums) must be BIT-EXACT
+    with the Column form, including zero-token and NULL-text rows
+    (both fingerprint to 0 in the HOF form: empty votes -> no bit
+    set)."""
+    from spatially_databricks_etl_spark.operators.dedup import simhash_codes
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "delta gamma beta alpha zeta epsilon"),
+            (3, "completely different words entirely"),
+            (4, "single"),
+            (5, ""),
+            (6, None),
+            (7, "alpha alpha alpha beta"),  # tf-weighted votes
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash("text", seed=42).alias("sh")).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["__sh"]
+        for r in simhash_codes(
+            df, text_col="text", id_col="doc_id", seed=42
+        ).collect()
+    }
+    assert col_form == df_form
+
+
 def test_brute_force_topk_matches_manual(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") == 0).select(
