@@ -39,7 +39,11 @@ def exact_dedup(df: DataFrame, subset: list[str], *, keep_by: str | None = None)
     the probe-side shuffle, and when the survivor-id list is small
     AQE turns the attach into a broadcast semi-join with NO probe-side
     shuffle at all (at corpus scale the id list is corpus-sized and
-    the attach degrades gracefully to an 8-byte-key shuffle). Null
+    the attach degrades gracefully to an 8-byte-key shuffle).
+    ``keep_by`` must be GLOBALLY unique (not merely per-group) — the
+    id-only semi-join relies on id-membership ≡ (subset, id)-
+    membership; a non-unique keep_by would wrongly keep rows in other
+    groups that share a surviving id value. Null
     ``subset`` values form a survivor group of their own — matching
     SQL ``GROUP BY`` semantics (the former (subset, id)-keyed
     semi-join silently dropped null-key groups, which no oracle
@@ -223,9 +227,22 @@ def minhash_signatures_df(
     identical to ``F.array_min`` over an empty array in the HOF form
     (``explode_outer`` keeps the row; min over its single NULL is
     NULL per permutation).
+
+    Caller contract: the passthrough columns (everything but
+    ``hash_col``) must be non-empty and UNIQUE per row — the groupBy
+    keys on them, so rows sharing a passthrough key would collapse
+    into one signature over the union of their hash arrays (the
+    former per-row kernel preserved cardinality). Every in-repo
+    caller passes a unique ``__id``; enforced below.
     """
     a, b = _minhash_constants(num_hashes, seed)
     passthrough = [f.name for f in hashed.schema.fields if f.name != hash_col]
+    if not passthrough:
+        raise ValueError(
+            "minhash_signatures_df: input needs at least one passthrough "
+            "column (a unique row key) besides the hash column — an empty "
+            "groupBy would collapse the whole frame to one signature"
+        )
     elem = F.col("__mh_e").bitwiseAND(F.lit((1 << 32) - 1))
     aggs = [
         F.min(
@@ -832,8 +849,6 @@ def minhash_write_index(
     Zero-shingle docs are excluded (cannot be near-duplicates;
     mega-bucket hazard — see :func:`minhash_near_dedup`).
     """
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -857,9 +872,14 @@ def minhash_write_index(
         .filter(F.size("__h") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # repartition by the partition column before every partitioned
+    # write (guide §6): one writer-task run per directory instead of a
+    # tasks×dirs small-file storm; AQE coalesces the exchange output
     base.select(
         "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
-    ).write.mode("overwrite").partitionBy("__pb").parquet(f"{path}/shingles")
+    ).repartition("__pb").write.mode("overwrite").partitionBy("__pb").parquet(
+        f"{path}/shingles"
+    )
     sig = minhash_signatures_df(
         base.select("__id", "__h"),
         hash_col="__h",
@@ -869,7 +889,9 @@ def minhash_write_index(
     )
     _band_rows(sig, bands=bands, rows=rows).withColumn(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
-    ).write.mode("overwrite").partitionBy("__bhb").parquet(f"{path}/bands")
+    ).repartition("__bhb").write.mode("overwrite").partitionBy("__bhb").parquet(
+        f"{path}/bands"
+    )
     base.unpersist()
     write_meta_sidecar(
         f"{path}/_minhash_meta",
@@ -910,18 +932,15 @@ def minhash_append_index(
     rows before the new ones land and sheds the tombstone; the
     delete → compact → append sequence is the equivalent manual
     route (both pinned by test)."""
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        read_meta_sidecar,
     )
 
     ver = begin_index_mutation(path)
     spark = new_docs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_minhash_meta", "minhash_params_json")
     bands, num_hashes = meta["bands"], meta["num_hashes"]
     hash_buckets, seed = meta["hash_buckets"], meta["seed"]
     rows = num_hashes // bands
@@ -938,7 +957,9 @@ def minhash_append_index(
     commit_index_mutation(path, ver)  # claim before the first visible write
     base.select(
         "__id", "__h", F.pmod(F.xxhash64("__id"), F.lit(hash_buckets)).alias("__pb")
-    ).write.mode("append").partitionBy("__pb").parquet(f"{path}/shingles")
+    ).repartition("__pb").write.mode("append").partitionBy("__pb").parquet(
+        f"{path}/shingles"
+    )
     sig = minhash_signatures_df(
         base.select("__id", "__h"),
         hash_col="__h",
@@ -948,7 +969,9 @@ def minhash_append_index(
     )
     _band_rows(sig, bands=bands, rows=rows).withColumn(
         "__bhb", F.pmod(F.xxhash64("__bh"), F.lit(hash_buckets))
-    ).write.mode("append").partitionBy("__bhb").parquet(f"{path}/bands")
+    ).repartition("__bhb").write.mode("append").partitionBy("__bhb").parquet(
+        f"{path}/bands"
+    )
     base.unpersist()
 
 
@@ -994,12 +1017,11 @@ def minhash_upsert_index(
     A batch doc whose text yields zero shingles contributes no rows
     — upserting an id to empty text is equivalent to deleting it,
     exactly as a rebuild on the updated corpus would behave."""
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
         heal_partition_swap,
+        read_meta_sidecar,
         shed_tombstones,
         swap_partitions,
     )
@@ -1013,9 +1035,7 @@ def minhash_upsert_index(
     ver = begin_index_mutation(path)
 
     spark = new_docs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_minhash_meta", "minhash_params_json")
     bands, num_hashes = meta["bands"], meta["num_hashes"]
     hash_buckets, seed = meta["hash_buckets"], meta["seed"]
     rows = num_hashes // bands
@@ -1092,7 +1112,9 @@ def minhash_upsert_index(
         new_bands.select("__id", "__band", "__bh", "__bhb")
     )
     staged_b = f"{path}/bands.__upsert_staged"
-    content_b.write.mode("overwrite").partitionBy("__bhb").parquet(staged_b)
+    content_b.repartition("__bhb").write.mode("overwrite").partitionBy(
+        "__bhb"
+    ).parquet(staged_b)
     commit_index_mutation(path, ver)  # claim before the first visible swap
     swap_partitions(staged_b, f"{path}/bands", "__bhb", bhbs)
 
@@ -1108,7 +1130,9 @@ def minhash_upsert_index(
         )
     )
     staged_s = f"{path}/shingles.__upsert_staged"
-    content_s.write.mode("overwrite").partitionBy("__pb").parquet(staged_s)
+    content_s.repartition("__pb").write.mode("overwrite").partitionBy(
+        "__pb"
+    ).parquet(staged_s)
     swap_partitions(staged_s, f"{path}/shingles", "__pb", pbs)
 
     # re-ingested ids shed any standing tombstone — safe now that
@@ -1150,12 +1174,12 @@ def minhash_search_index(
     isolation beyond that needs a real table format's snapshot reads
     (SCALE.md "Dependency gates").
     """
-    import json
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        read_meta_sidecar,
+    )
 
     spark = batch.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_minhash_meta").collect()[0]["minhash_params_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_minhash_meta", "minhash_params_json")
     bands, num_hashes = meta["bands"], meta["num_hashes"]
     hash_buckets, seed = meta["hash_buckets"], meta["seed"]
     rows = num_hashes // bands
@@ -1286,7 +1310,9 @@ def minhash_compact_index(spark, path: str) -> None:
         )
         staged = f"{path}/{sub}_staged"
         shutil.rmtree(staged, ignore_errors=True)
-        live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
+        live.repartition(pcol).write.mode("overwrite").partitionBy(pcol).parquet(
+            staged
+        )
         swap_directory(staged, f"{path}/{sub}")
     clear_tombstones(path)
 
@@ -1370,8 +1396,6 @@ def simhash_write_index(
     delete / compact / upsert / filtered search) rides
     ``operators/indexstore.py`` — multi-writer arbitrated, crash
     swaps self-heal."""
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -1415,11 +1439,11 @@ def simhash_write_index(
 
 
 def _simhash_meta(spark, path: str) -> dict:
-    import json
-
-    return json.loads(
-        spark.read.json(f"{path}/_simhash_meta").collect()[0]["simhash_params_json"]
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        read_meta_sidecar,
     )
+
+    return read_meta_sidecar(f"{path}/_simhash_meta", "simhash_params_json")
 
 
 def simhash_append_index(
@@ -1581,7 +1605,9 @@ def simhash_compact_index(spark, path: str) -> None:
         live = anti_tombstones(spark.read.parquet(f"{path}/{sub}"), path, "__id")
         staged = f"{path}/{sub}_staged"
         shutil.rmtree(staged, ignore_errors=True)
-        live.write.mode("overwrite").partitionBy(pcol).parquet(staged)
+        live.repartition(pcol).write.mode("overwrite").partitionBy(pcol).parquet(
+            staged
+        )
         swap_directory(staged, f"{path}/{sub}")
     clear_tombstones(path)
 
@@ -1668,7 +1694,9 @@ def simhash_upsert_index(
         new_bands.select("__id", "__sh", "__chunk", "__cv", "__cb")
     )
     staged_b = f"{path}/bands.__upsert_staged"
-    content_b.write.mode("overwrite").partitionBy("__cb").parquet(staged_b)
+    content_b.repartition("__cb").write.mode("overwrite").partitionBy(
+        "__cb"
+    ).parquet(staged_b)
     commit_index_mutation(path, ver)  # claim before the first visible swap
     swap_partitions(staged_b, f"{path}/bands", "__cb", cbs)
 
@@ -1681,7 +1709,9 @@ def simhash_upsert_index(
         )
     )
     staged_c = f"{path}/codes.__upsert_staged"
-    content_c.write.mode("overwrite").partitionBy("__pb").parquet(staged_c)
+    content_c.repartition("__pb").write.mode("overwrite").partitionBy(
+        "__pb"
+    ).parquet(staged_c)
     swap_partitions(staged_c, f"{path}/codes", "__pb", pbs)
 
     shed_tombstones(spark, path, batch_ids, id_col="__id")

@@ -252,6 +252,32 @@ def write_meta_sidecar(path: str, field: str, payload: dict) -> None:
     swap_directory(tmp, path)
 
 
+def read_meta_sidecar(path: str, field: str) -> dict | list:
+    """Read an index's one-row parameter sidecar DRIVER-SIDE — the
+    read half of :func:`write_meta_sidecar` (VERDICT r14 item 5: the
+    ``spark.read.json(sidecar).collect()`` form schedules a full Spark
+    job + scan for ~100 bytes of parameters, ~0.2 s per search/append/
+    upsert call at local[32]). Parses the same JSON-lines layout both
+    the driver-side writer and the legacy ``coalesce(1).write.json``
+    writer produce (``_SUCCESS``/dot-files skipped), so pre-existing
+    indexes read unchanged. Local-FS like every other indexstore
+    primitive; an object store would GET the object instead. Not a
+    cache: every call re-reads the file, so a concurrent rewrite is
+    picked up exactly as the Spark-job read did."""
+    import json
+    import os
+
+    for name in sorted(os.listdir(path)):
+        if name.startswith(("_", ".")):
+            continue
+        with open(os.path.join(path, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    return json.loads(json.loads(line)[field])
+    raise FileNotFoundError(f"no sidecar row under {path}")
+
+
 def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The tombstone id set for an index, or ``None`` when no delete
     has ever happened (the common case — searches skip the anti-join
@@ -393,7 +419,11 @@ def compact_partitioned_index(
     live = anti_tombstones(spark.read.parquet(path), path, id_col)
     staged = f"{path.rstrip('/')}.__compact_staged"
     shutil.rmtree(staged, ignore_errors=True)
-    live.write.mode("overwrite").partitionBy(partition_col).parquet(staged)
+    # guide §6: cluster rows by their target directory before the
+    # partitioned write — one writer-task run per directory
+    live.repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(staged)
     commit_index_mutation(path, ver)  # claim before the visible swap; the
     # marks live in the sibling {root}.__index_version dir and survive
     # the whole-root swap below untouched

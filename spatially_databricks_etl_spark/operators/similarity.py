@@ -30,6 +30,7 @@ from spatially_databricks_etl_spark.operators.indexstore import (
     apply_allowed_ids,
     clear_tombstones,
     compact_partitioned_index,
+    read_meta_sidecar,
     write_meta_sidecar,
     write_tombstones,
 )
@@ -246,8 +247,6 @@ def lsh_write_index(
     re-derive deterministically from the seed. Ingest-time half of the
     repeated-query path: bucketing (one corpus pass) happens at write;
     searches read only the probed bucket directories."""
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -261,7 +260,12 @@ def lsh_write_index(
     bucketed = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__bucket", lsh_bucket("embedding", hp))
-    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    # repartition by the partition column before the partitioned write
+    # (guide §6): one writer-task run per directory instead of a
+    # tasks×dirs small-file storm; AQE coalesces the exchange output
+    bucketed.repartition("__bucket").write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(path)
     write_meta_sidecar(
         f"{path}/_lsh_meta",
         "lsh_params_json",
@@ -300,7 +304,9 @@ def lsh_append_index(
         path,
     )
     commit_index_mutation(path, ver)  # claim before the visible append
-    bucketed.write.mode("append").partitionBy("__bucket").parquet(path)
+    bucketed.repartition("__bucket").write.mode("append").partitionBy(
+        "__bucket"
+    ).parquet(path)
 
 
 def lsh_search_index(
@@ -320,13 +326,9 @@ def lsh_search_index(
     the partition column. Identical results to
     :func:`lsh_bucketed_topk` over the same corpus and parameters
     (pinned by test)."""
-    import json
-
     check_query_batch(queries, "lsh_search_index", max_queries)
     spark = queries.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_lsh_meta", "lsh_params_json")
     hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -565,8 +567,6 @@ def ivf_write_index(
     write; every later search probes ``nprobe`` cells as
     partition-PRUNED scans — the corpus is never re-scanned, never
     shuffled, and unprobed cells are never even listed."""
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -580,8 +580,10 @@ def ivf_write_index(
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    spark = corpus.sparkSession
+    # guide §6: cluster rows by their target directory before the write
+    assigned.repartition("__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(path)
     write_meta_sidecar(f"{path}/_ivf_meta", "centroids_json", centroids)
 
 
@@ -622,15 +624,16 @@ def ivf_append_index(
         path,
     )
     commit_index_mutation(path, ver)  # claim before the visible append
-    assigned.write.mode("append").partitionBy("__cell").parquet(path)
+    assigned.repartition("__cell").write.mode("append").partitionBy(
+        "__cell"
+    ).parquet(path)
 
 
 def ivf_read_centroids(spark, path: str) -> list[list[float]]:
-    """Load the centroids sidecar written by :func:`ivf_write_index`."""
-    import json
-
-    row = spark.read.json(f"{path}/_ivf_meta").collect()[0]
-    return json.loads(row["centroids_json"])
+    """Load the centroids sidecar written by :func:`ivf_write_index`
+    (driver-side file read — ~100 bytes of parameters never justify a
+    Spark scan job; see :func:`indexstore.read_meta_sidecar`)."""
+    return read_meta_sidecar(f"{path}/_ivf_meta", "centroids_json")
 
 
 def ivf_search_index(
@@ -881,8 +884,6 @@ def ivfpq_write_index(
     scan reduction for nprobe=4/256 cells and 16-byte codes vs
     256-byte float vectors.
     """
-    import json
-
     from spatially_databricks_etl_spark.operators.embeddings import pq_encode
 
     from spatially_databricks_etl_spark.operators.indexstore import (
@@ -901,8 +902,10 @@ def ivfpq_write_index(
         vec_col="embedding",
         out_col="pq_code",
     ).withColumn("__cell", F.array_max(cell_sims(F.col("embedding"))).getField("cell"))
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    spark = corpus.sparkSession
+    # guide §6: cluster rows by their target directory before the write
+    assigned.repartition("__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(path)
     write_meta_sidecar(
         f"{path}/_ivfpq_meta",
         "ivfpq_json",
@@ -939,7 +942,9 @@ def ivfpq_append_index(
         path,
     )
     commit_index_mutation(path, ver)  # claim before the visible append
-    assigned.write.mode("append").partitionBy("__cell").parquet(path)
+    assigned.repartition("__cell").write.mode("append").partitionBy(
+        "__cell"
+    ).parquet(path)
 
 
 def ivfpq_search_index(
@@ -973,8 +978,6 @@ def ivfpq_search_index(
     top-``shortlist``s, so the result is bit-identical to the
     unreduced form.
     """
-    import json
-
     import numpy as np
     import pandas as pd
 
@@ -984,9 +987,7 @@ def ivfpq_search_index(
         shortlist = 4 * k
     check_query_batch(queries, "ivfpq_search_index", max_queries)
     spark = queries.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_ivfpq_meta", "ivfpq_json")
     cents, codebooks = meta["centroids"], meta["codebooks"]
     cb = np.asarray(codebooks, dtype=np.float64)
     m, _, subdim = cb.shape
@@ -1237,7 +1238,8 @@ def _vector_upsert_index(
     content = keep.select(*assigned.columns).unionByName(assigned)
     staged = f"{path.rstrip('/')}.__upsert_staged"
     shutil.rmtree(staged, ignore_errors=True)
-    content.write.partitionBy(pcol).parquet(staged)
+    # guide §6: cluster rows by their target directory before the write
+    content.repartition(pcol).write.partitionBy(pcol).parquet(staged)
     assigned.unpersist()
     commit_index_mutation(path, ver)  # claim before the first visible swap
     # crash-safe partition swap (live copies aside first, deleted last)
@@ -1252,12 +1254,7 @@ def _vector_upsert_index(
 def _lsh_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
     """Batch bucket assignment under a persisted LSH index's sidecar
     parameters — the shared half of append and upsert."""
-    import json
-
-    spark = new_vecs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_lsh_meta").collect()[0]["lsh_params_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_lsh_meta", "lsh_params_json")
     hp = _hyperplanes(meta["dim"], meta["planes"], meta["seed"])
     return new_vecs.withColumn("__bucket", lsh_bucket("embedding", hp))
 
@@ -1275,14 +1272,9 @@ def _ivf_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
 def _ivfpq_assigned(new_vecs: DataFrame, path: str) -> DataFrame:
     """Batch coarse assignment + PQ encoding under a persisted IVF-PQ
     index's pinned models — the shared half of append and upsert."""
-    import json
-
     from spatially_databricks_etl_spark.operators.embeddings import pq_encode
 
-    spark = new_vecs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_ivfpq_meta").collect()[0]["ivfpq_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_ivfpq_meta", "ivfpq_json")
     cents, codebooks = meta["centroids"], meta["codebooks"]
     cell_sims = _cell_sims(_scaled_centroid_lit(cents))
     return pq_encode(

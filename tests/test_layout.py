@@ -490,3 +490,43 @@ def test_shard_by_size_distributed_rank_consistency(spark):
     assert set(counts) == set(range(7))
     # 4096 = 7*585 + 1: six shards get 585, one gets 586
     assert sorted(counts.values()) == [585] * 6 + [586]
+
+
+def test_partitioned_index_writes_avoid_small_file_storms(spark, tmp_path):
+    """Guide §6: every partitioned index write repartitions by the
+    partition column first, so a directory holds one writer-task file
+    group — not one file per upstream task (the 32-task local input
+    would otherwise fan a tasks×dirs storm into every directory)."""
+    from spatially_databricks_etl_spark.operators.dedup import minhash_write_index
+    from spatially_databricks_etl_spark.operators.similarity import ivf_write_index
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog number "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    mh = str(tmp_path / "mh_idx")
+    minhash_write_index(docs, mh, hash_buckets=8)
+    checked = 0
+    for store in ("bands", "shingles"):
+        for d in glob.glob(f"{mh}/{store}/__*b=*"):
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) <= 2, (d, len(files))
+            checked += 1
+    assert checked >= 8  # both stores actually produced directories
+
+    vecs = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 17).cast("float"), (F.col("id") % 5).cast("float")
+        ).alias("embedding"),
+    ).repartition(16)
+    iv = str(tmp_path / "ivf_idx")
+    ivf_write_index(vecs, iv, centroids=[[0.0, 1.0], [16.0, 2.0]])
+    cells = glob.glob(f"{iv}/__cell=*")
+    assert cells
+    for d in cells:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) <= 2, (d, len(files))

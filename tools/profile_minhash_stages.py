@@ -25,7 +25,6 @@ def main() -> int:
     from spatially_databricks_etl_spark.operators.dedup import (
         _band_rows,
         _expand_verify_pairs,
-        mask32_hashes,
         minhash_signatures_df,
         shingle_hashes,
     )
@@ -48,16 +47,16 @@ def main() -> int:
             "__id", shingle_hashes(sh, seed=42, mask32=False).alias("__h")
         ).persist(StorageLevel.MEMORY_AND_DISK)
         t("1 base shingle+hash persist", base.count)
+        # the kernel masks to 32 bits itself — no mask32_hashes
+        # projection, matching the shipped minhash_near_dedup path
         sig = minhash_signatures_df(
-            base.filter(F.size("__h") > 0).select(
-                "__id", mask32_hashes("__h").alias("__h")
-            ),
+            base.filter(F.size("__h") > 0),
             hash_col="__h",
             sig_col="__sig",
             num_hashes=96,
             seed=42,
         )
-        t("2 signatures (mapInPandas)", lambda: sig.write.format("noop").mode("overwrite").save())
+        t("2 signatures (codegen min-aggs)", lambda: sig.write.format("noop").mode("overwrite").save())
         banded = _band_rows(sig, bands=16, rows=6)
         t("3 band rows", lambda: banded.write.format("noop").mode("overwrite").save())
         out, obs, fb = _expand_verify_pairs(banded, base, threshold=0.7, max_bucket_size=200)
