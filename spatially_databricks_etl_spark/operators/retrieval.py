@@ -175,6 +175,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     rank_col: str = "rank",
     quantize: int | None = 6,
+    overlap: bool = False,
 ) -> DataFrame:
     """Weighted reciprocal-rank fusion (Cormack, Clarke & Buettcher,
     SIGIR 2009) of N ranked retrieval lists — the standard
@@ -202,6 +203,17 @@ def rrf_fuse(
     (total score 0 = "not retrieved") is dropped before ranking, which
     makes a zero weight EXACTLY equivalent to omitting its list.
 
+    ``overlap=True`` materializes the input lists CONCURRENTLY before
+    fusing (guide §2.6 "overlap independent jobs"): each retriever is
+    persisted and counted from its own driver thread, so the next
+    retriever's tasks back-fill executors freed by the current one's
+    straggler tail — wall clock ≈ max(retriever) + fusion instead of
+    Σ retrievers. Results are bit-identical (persist changes nothing);
+    the persisted lists are registered on the result for
+    ``caching.release_intermediates``. Leave False for already-
+    materialized or trivially-small inputs, where the extra count
+    jobs cost more than the overlap saves.
+
     Returns (query_id, doc_id, score, rank) with rank ≤ ``topk``.
     """
     from spatially_databricks_etl_spark.operators.relational import top_k_per_group
@@ -221,6 +233,25 @@ def rrf_fuse(
         )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    persisted: list[DataFrame] = []
+    if overlap and len(frames) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+        from pyspark.storagelevel import StorageLevel
+
+        persisted = [f.persist(StorageLevel.MEMORY_AND_DISK) for f in frames]
+        # 2-3 jobs in flight is plenty (guide §2.6); FIFO scheduling
+        # back-fills the earlier job's straggler tail with the next
+        # job's tasks. inheritable_thread_target propagates the JVM
+        # thread-locals (job group/description) into the pool threads.
+        with ThreadPoolExecutor(max_workers=min(3, len(persisted))) as pool:
+            list(
+                pool.map(
+                    inheritable_thread_target(lambda f: f.count()), persisted
+                )
+            )
+        frames = persisted
     ranked = [
         f.select(
             F.col(query_id_col).alias("query_id"),
@@ -254,7 +285,12 @@ def rrf_fuse(
         topk,
         rank_col="rank",
     )
-    return out.select("query_id", "doc_id", "score", "rank")
+    out = out.select("query_id", "doc_id", "score", "rank")
+    if persisted:
+        from spatially_databricks_etl_spark.caching import register_persists
+
+        out = register_persists(out, persisted)
+    return out
 
 
 def ngram_jaccard_topk(
@@ -363,8 +399,6 @@ def bm25_write_index(
     ingested document — including zero-token ones, which have no
     postings rows — making delete idempotent and upsert sound.
     """
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
@@ -453,20 +487,17 @@ def bm25_append_index(
       ``sum_dl`` reconstructs it as round(avgdl·n_docs) (the true
       token total is the nearest integer).
     """
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        read_meta_sidecar,
         swap_directory,
         write_meta_sidecar,
     )
 
     ver = begin_index_mutation(path)
     spark = new_docs.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_bm25_meta", "bm25_meta_json")
     old_n = float(meta["n_docs"])
     old_sum = float(
         meta["sum_dl"]
@@ -573,11 +604,10 @@ def bm25_delete_index(
     :func:`bm25_compact_index` when the tombstone set warrants
     physically dropping the postings.
     """
-    import json
-
     from spatially_databricks_etl_spark.operators.indexstore import (
         begin_index_mutation,
         commit_index_mutation,
+        read_meta_sidecar,
         swap_directory,
         write_meta_sidecar,
         write_tombstones,
@@ -586,9 +616,7 @@ def bm25_delete_index(
     ver = begin_index_mutation(path)
     spark = deleted.sparkSession
     dele = deleted.select(F.col(id_col).alias("doc_id")).distinct()
-    meta = json.loads(
-        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_bm25_meta", "bm25_meta_json")
     old_n = float(meta["n_docs"])
     old_sum = float(
         meta["sum_dl"]
@@ -894,15 +922,14 @@ def bm25_search_index(
     ``similarity.ANN_MAX_QUERIES``) raises before the collect on a
     degenerate mega-batch — the same contract as the LSH/IVF/IVF-PQ
     index routers."""
-    import json
-
+    from spatially_databricks_etl_spark.operators.indexstore import (
+        read_meta_sidecar,
+    )
     from spatially_databricks_etl_spark.operators.relational import top_k_per_group
 
     check_query_batch(queries, "bm25_search_index", max_queries)
     spark = queries.sparkSession
-    meta = json.loads(
-        spark.read.json(f"{path}/_bm25_meta").collect()[0]["bm25_meta_json"]
-    )
+    meta = read_meta_sidecar(f"{path}/_bm25_meta", "bm25_meta_json")
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
