@@ -2687,9 +2687,14 @@ def _bpe_rounds(
     makes the whole training run value-oracle-able as unrolled SQL),
     and the gaps-and-islands merge apply. ``localCheckpoint``
     truncates lineage per round (the :func:`pagerank` /
-    :func:`label_propagation` discipline); the 1-row arg-max frame is
-    checkpointed so its two consumers (merge table, merge apply)
-    don't recompute the aggregate.
+    :func:`label_propagation` discipline); the 1-row arg-max is
+    COLLECTED driver-side (round 15) — its two consumers (merge
+    table, merge apply) then read a local literal instead of a
+    checkpointed frame, which cuts two Spark jobs per round (the
+    eager checkpoint of the 1-row frame and the emptiness probe)
+    and makes the merge table itself a driver-local relation. The
+    collect is O(1) — one (sym, sym, count, score) row per round —
+    so it adds no scale constraint at any corpus size.
 
     ``scoring`` selects the arg-max rule: ``"freq"`` is classic BPE
     (highest pair count); ``"likelihood"`` is WordPiece (Schuster &
@@ -2729,7 +2734,7 @@ def _bpe_rounds(
     )
     syms = syms.repartition(parts, "word").localCheckpoint(eager=True)
     wpos = Window.partitionBy("word").orderBy("pos")
-    merge_frames: list[DataFrame] = []
+    merge_rows: list[tuple] = []
     for rnd in range(1, merges + 1):
         counts = (
             syms.withColumn("nxt", F.lead("sym").over(wpos))
@@ -2764,11 +2769,14 @@ def _bpe_rounds(
         else:
             order = [F.col("cnt").desc(), "sym", "nxt"]
             score_col = F.col("cnt").cast("long")
-        # eagerly checkpointed: the 1-row arg-max has two consumers
-        # (merge table, merge apply) — leaving it lazy re-runs the
-        # count aggregate inside every consumer's job and measured
-        # ~1.6x SLOWER locally than paying the one extra barrier
-        top = (
+        # the 1-row arg-max is collected driver-side: its two
+        # consumers (merge table, merge apply) then read a local
+        # literal — ONE job per round instead of three (the former
+        # eager 1-row checkpoint + emptiness-probe pair measured
+        # ~0.2-0.4 s/round of pure job overhead at local[32]); a
+        # lazy frame would instead re-run the count aggregate inside
+        # every consumer's job (~1.6x slower, round-12 measurement)
+        top_rows = (
             counts.orderBy(*order)
             .limit(1)
             .select(
@@ -2777,43 +2785,30 @@ def _bpe_rounds(
                 F.col("cnt").cast("long").alias("__cnt"),
                 score_col.cast("long").alias("__score"),
             )
-            .localCheckpoint(eager=True)
+            .collect()
         )
         # pair counts exhausted before the requested round budget:
         # classic BPE stops when no pair remains (Sennrich 2016 §3.2).
-        # Without this guard the empty 1-row frame would annihilate
+        # Without this guard an empty merge pair would annihilate
         # the symbol table through the broadcast cross join in
-        # _bpe_apply_merge — every document silently dropped. `top`
-        # is eagerly checkpointed, so the emptiness probe is a local
-        # scan of one cached partition, not a recompute.
-        if top.isEmpty():
+        # _bpe_apply_merge — every document silently dropped.
+        if not top_rows:
             break
-        merge_frames.append(
-            top.select(
-                F.lit(rnd).cast("long").alias("round"),
-                F.col("__a").alias("left_sym"),
-                F.col("__b").alias("right_sym"),
-                F.col("__cnt").alias("pair_count"),
-                F.col("__score").alias("score"),
-            )
+        t = top_rows[0]
+        merge_rows.append((rnd, t["__a"], t["__b"], t["__cnt"], t["__score"]))
+        pair = docs.sparkSession.createDataFrame(
+            [(t["__a"], t["__b"])], "__a string, __b string"
         )
         syms = (
-            _bpe_apply_merge(syms, top, carry=["word", "freq"])
+            _bpe_apply_merge(syms, pair, carry=["word", "freq"])
             .repartition(parts, "word")
             .localCheckpoint(eager=True)
         )
-    if not merge_frames:
-        # zero completed rounds (e.g. an all-single-char corpus):
-        # empty merge table with the contract schema, symbols intact
-        empty = docs.sparkSession.createDataFrame(
-            [],
-            "round long, left_sym string, right_sym string,"
-            " pair_count long, score long",
-        )
-        return empty, syms
-    merges_df = merge_frames[0]
-    for f in merge_frames[1:]:
-        merges_df = merges_df.unionByName(f)
+    merges_df = docs.sparkSession.createDataFrame(
+        merge_rows,
+        "round long, left_sym string, right_sym string,"
+        " pair_count long, score long",
+    )
     return merges_df, syms
 
 
@@ -2843,9 +2838,10 @@ def bpe_train(
     words); all training rounds run on the vocabulary, which grows
     sublinearly with corpus size (Heaps' law) and is re-partitioned
     by word exactly once per round — every window in a round reuses
-    that one Exchange. The arg-max is a 1-row sort-limit, and the
-    winning pair rides a broadcast into the merge apply: no driver
-    round-trip, no O(corpus) step after the first scan."""
+    that one Exchange. The arg-max is a 1-row sort-limit COLLECTED
+    driver-side (O(1) — one winning pair per round, at any corpus
+    size), and the pair re-enters the merge apply as a broadcast
+    local relation: no O(corpus) step after the first scan."""
     return _bpe_rounds(
         docs, text_col=text_col, merges=merges, pattern=pattern, lowercase=lowercase
     )[0].select("round", "left_sym", "right_sym", "pair_count")
